@@ -1,0 +1,99 @@
+"""Persistent fixpoint checkpoints: resumable iteration state + metrics.
+
+North-rule requirement: every fixpoint iteration checkpoints its derived
+delta (and lineage/arguments table in prove mode) with per-partition metrics
+so a killed job resumes mid-fixpoint instead of recomputing from scratch.
+
+Layout:
+    <dir>/iter=00007/delta.parquet
+    <dir>/iter=00007/facts.parquet
+    <dir>/iter=00007/arguments.parquet      (prove mode only)
+    <dir>/iter=00007/meta.json              (written last = commit marker)
+
+``meta.json`` carries iteration number, row counts, partition counts and
+wall-clock — the per-partition lineage record. An iteration directory
+without meta.json is incomplete and ignored on resume.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class CheckpointManager:
+    def __init__(self, spark: SparkSession, directory: str):
+        self.spark = spark
+        self.dir = directory
+        os.makedirs(directory, exist_ok=True)
+
+    def _iter_dir(self, it: int) -> str:
+        return os.path.join(self.dir, f"iter={it:05d}")
+
+    def save_iteration(
+        self,
+        it: int,
+        facts: DataFrame,
+        delta: DataFrame,
+        arguments: Optional[DataFrame] = None,
+        extra_meta: Optional[dict] = None,
+    ) -> tuple:
+        """Write iteration state; return (facts, delta, arguments) re-read
+        from parquet so downstream plans have no upstream lineage."""
+        d = self._iter_dir(it)
+        t0 = time.time()
+        facts.write.mode("overwrite").parquet(os.path.join(d, "facts.parquet"))
+        delta.write.mode("overwrite").parquet(os.path.join(d, "delta.parquet"))
+        if arguments is not None:
+            arguments.write.mode("overwrite").parquet(
+                os.path.join(d, "arguments.parquet")
+            )
+        facts2 = self.spark.read.parquet(os.path.join(d, "facts.parquet"))
+        delta2 = self.spark.read.parquet(os.path.join(d, "delta.parquet"))
+        args2 = (
+            self.spark.read.parquet(os.path.join(d, "arguments.parquet"))
+            if arguments is not None
+            else None
+        )
+        meta = {
+            "iteration": it,
+            "write_wall_s": round(time.time() - t0, 4),
+            "facts_partitions": facts2.rdd.getNumPartitions(),
+            "delta_partitions": delta2.rdd.getNumPartitions(),
+            "ts": time.time(),
+            "has_arguments": arguments is not None,
+        }
+        if extra_meta:
+            meta.update(extra_meta)
+        with open(os.path.join(d, "meta.json"), "w") as f:
+            json.dump(meta, f)
+        return facts2, delta2, args2
+
+    def latest(self) -> Optional[tuple]:
+        """(iteration, facts, delta, arguments|None, meta) of the newest
+        complete checkpoint, or None."""
+        if not os.path.isdir(self.dir):
+            return None
+        complete = []
+        for name in os.listdir(self.dir):
+            if not name.startswith("iter="):
+                continue
+            mpath = os.path.join(self.dir, name, "meta.json")
+            if os.path.exists(mpath):
+                complete.append(int(name.split("=")[1]))
+        if not complete:
+            return None
+        it = max(complete)
+        d = self._iter_dir(it)
+        with open(os.path.join(d, "meta.json")) as f:
+            meta = json.load(f)
+        facts = self.spark.read.parquet(os.path.join(d, "facts.parquet"))
+        delta = self.spark.read.parquet(os.path.join(d, "delta.parquet"))
+        args = None
+        if meta.get("has_arguments"):
+            args = self.spark.read.parquet(os.path.join(d, "arguments.parquet"))
+        return it, facts, delta, args, meta

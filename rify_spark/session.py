@@ -1,0 +1,42 @@
+"""SparkSession factory with the engine's preferred configuration."""
+
+from __future__ import annotations
+
+import os
+from typing import Mapping, Optional
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    master: Optional[str] = None,
+    app_name: str = "rify-spark",
+    shuffle_partitions: Optional[int] = None,
+    extra_conf: Optional[Mapping[str, str]] = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession tuned for the fixpoint workload.
+
+    AQE is mandatory: it re-plans the per-iteration join DAGs at runtime
+    (broadcast conversion once a delta shrinks, skew-join splitting on hot
+    predicates, partition coalescing for the small early iterations).
+    """
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    master = master or f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(os.environ.get("RIFY_SHUFFLE_PARTITIONS", str(min(64, 2 * cpus))))
+    b = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+        .config("spark.driver.memory", os.environ.get("RIFY_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    return b.getOrCreate()

@@ -1,0 +1,267 @@
+"""Infer end-to-end tests — ports of reference src/infer.rs:108-275 vectors.
+
+Each runs through both the hash-encoded (default) and raw-string engine
+paths where it adds coverage.
+"""
+
+import pytest
+
+from rify_spark import Bound as B, InferConfig, Rule, Unbound as U, infer
+
+DG = "default_graph"
+
+
+def decl_rules(rs):
+    return [Rule.create(ifa, then) for ifa, then in rs]
+
+
+def ancestry_rules(parent="parent", ancestor="ancestor", dg=DG):
+    return decl_rules(
+        [
+            (
+                [[U("a"), B(parent), U("b"), B(dg)]],
+                [[U("a"), B(ancestor), U("b"), B(dg)]],
+            ),
+            (
+                [
+                    [U("a"), B(ancestor), U("b"), B(dg)],
+                    [U("b"), B(ancestor), U("c"), B(dg)],
+                ],
+                [[U("a"), B(ancestor), U("c"), B(dg)]],
+            ),
+        ]
+    )
+
+
+@pytest.mark.parametrize("encode", [True, False])
+def test_ancestry(spark, encode):
+    # reference src/infer.rs:117-154: 10-node parent cycle => full closure
+    nodes = [f"node_{n}" for n in range(10)]
+    facts = [
+        (a, "parent", b, DG)
+        for a, b in zip(nodes, nodes[1:] + nodes[:1])
+    ]
+    out = infer(spark, facts, ancestry_rules(), InferConfig(encode_terms=encode))
+    expected = sorted(
+        (a, "ancestor", b, DG) for a in nodes for b in nodes
+    )
+    assert out == expected
+
+
+def test_unconditional_rule(spark):
+    # reference src/infer.rs:157-165
+    rules = decl_rules([([], [[B("nachos"), B("are"), B("food"), B(DG)]])])
+    out = infer(spark, [], rules)
+    assert out == [("nachos", "are", "food", DG)]
+
+
+def test_reasoning_is_already_complete(spark):
+    # reference src/infer.rs:168-179
+    facts = [
+        ("nachos", "are", "tasty", DG),
+        ("nachos", "are", "food", DG),
+    ]
+    rules = decl_rules(
+        [
+            (
+                [[B("nachos"), B("are"), B("tasty"), B(DG)]],
+                [[B("nachos"), B("are"), B("food"), B(DG)]],
+            )
+        ]
+    )
+    assert infer(spark, facts, rules) == []
+
+
+def test_empty_ruleset(spark):
+    # reference src/infer.rs:182-191
+    facts = [
+        ("nachos", "are", "tasty", DG),
+        ("nachos", "are", "food", DG),
+    ]
+    assert infer(spark, facts, []) == []
+
+
+def test_empty_claimgraph(spark):
+    # reference src/infer.rs:194-203
+    rules = decl_rules(
+        [
+            (
+                [[B("nachos"), B("are"), B("tasty"), B(DG)]],
+                [[B("nachos"), B("are"), B("food"), B(DG)]],
+            )
+        ]
+    )
+    assert infer(spark, [], rules) == []
+
+
+def test_duplicate_premises_deduped(spark):
+    # premises deduped before inference; never reported (src/infer.rs:32-34,79-98)
+    facts = [
+        ("a", "parent", "b", DG),
+        ("a", "parent", "b", DG),
+    ]
+    out = infer(spark, facts, ancestry_rules())
+    assert out == [("a", "ancestor", "b", DG)]
+
+
+def test_sum_of_consecutive_ints_is_odd(spark):
+    # reference src/infer.rs:206-274: 5-rule symbolic-math chain
+    facts = [
+        ("B", "is a consecutive int to", "A", DG),
+        ("A+B", "result of op", "op_add_A_B", DG),
+        ("op_add_A_B", "op_type", "add", DG),
+        ("op_add_A_B", "left_hand", "A", DG),
+        ("op_add_A_B", "right_hand", "B", DG),
+    ]
+    rules = decl_rules(
+        [
+            (
+                [[U("y"), B("is a consecutive int to"), U("x"), B(DG)]],
+                [[U("y"), B("equals (t -> t+1) of"), U("x"), B(DG)]],
+            ),
+            (
+                [
+                    [U("y"), B("is type"), B("int"), B(DG)],
+                    [U("x"), B("is type"), B("int"), B(DG)],
+                    [U("x+y"), B("result of op"), U("op1"), B(DG)],
+                    [U("op1"), B("op_type"), B("add"), B(DG)],
+                    [U("op1"), B("left_hand"), U("x"), B(DG)],
+                    [U("op1"), B("right_hand"), U("y"), B(DG)],
+                ],
+                [[U("x+y"), B("is type"), B("int"), B(DG)]],
+            ),
+            (
+                [
+                    [U("y"), B("equals (t -> t+1) of"), U("x"), B(DG)],
+                    [U("x+y"), B("result of op"), U("op1"), B(DG)],
+                    [U("op1"), B("op_type"), B("add"), B(DG)],
+                    [U("op1"), B("left_hand"), U("x"), B(DG)],
+                    [U("op1"), B("right_hand"), U("y"), B(DG)],
+                ],
+                [[U("x+y"), B("equals (t -> 2*t+1) of"), U("x"), B(DG)]],
+            ),
+            (
+                [
+                    [U("v"), B("equals (t -> 2*t+1) of"), U("w"), B(DG)],
+                    [U("v"), B("is type"), B("int"), B(DG)],
+                    [U("w"), B("is type"), B("int"), B(DG)],
+                ],
+                [[U("v"), B("is"), B("odd"), B(DG)]],
+            ),
+            (
+                [[U("p"), B("is a consecutive int to"), U("q"), B(DG)]],
+                [
+                    [U("p"), B("is type"), B("int"), B(DG)],
+                    [U("q"), B("is type"), B("int"), B(DG)],
+                ],
+            ),
+        ]
+    )
+    out = infer(spark, facts, rules)
+    assert ("A+B", "is", "odd", DG) in out
+
+
+def test_non_string_terms(spark):
+    # reference is generic over Bound: Ord; u32 terms (src/prove.rs:630-637)
+    nodes = list(range(10, 14))
+    facts = [(a, 1, b, 2) for a, b in zip(nodes, nodes[1:] + nodes[:1])]
+    rules = decl_rules(
+        [
+            ([[U("a"), B(1), U("b"), B(2)]], [[U("a"), B(99), U("b"), B(2)]]),
+        ]
+    )
+    out = infer(spark, facts, rules)
+    assert sorted(out) == sorted(
+        (a, 99, b, 2) for a, b in zip(nodes, nodes[1:] + nodes[:1])
+    )
+
+
+def test_graph_is_a_join_column(spark):
+    # graph separation: ?g cannot straddle graphs (src/prove.rs:443-500 shape)
+    rules = decl_rules(
+        [
+            (
+                [
+                    [U("boi"), B("is"), B("awesome"), U("g")],
+                    [U("boi"), B("score"), U("s"), U("g")],
+                ],
+                [[U("boi"), B("score"), B("awesome"), U("g")]],
+            )
+        ]
+    )
+    same_graph = [
+        ("you", "score", "unspecified", DG),
+        ("you", "is", "awesome", DG),
+    ]
+    assert infer(spark, same_graph, rules) == [("you", "score", "awesome", DG)]
+    split = [
+        ("you", "score", "unspecified", DG),
+        ("you", "is", "awesome", "other_graph"),
+    ]
+    assert infer(spark, split, rules) == []
+
+
+def test_intra_atom_repeated_variable(spark):
+    # [?a ?a ?b ?g] must only match quads with s == p
+    rules = decl_rules(
+        [
+            (
+                [[U("a"), U("a"), U("b"), U("g")]],
+                [[U("b"), B("selfpred_of"), U("a"), U("g")]],
+            )
+        ]
+    )
+    facts = [
+        ("x", "x", "y", DG),
+        ("x", "z", "y", DG),
+    ]
+    assert infer(spark, facts, rules) == [("y", "selfpred_of", "x", DG)]
+
+
+def test_head_can_create_multiple_atoms(spark):
+    rules = decl_rules(
+        [
+            (
+                [[U("a"), B("p"), U("b"), U("g")]],
+                [
+                    [U("a"), B("q"), U("b"), U("g")],
+                    [U("b"), B("r"), U("a"), U("g")],
+                ],
+            )
+        ]
+    )
+    facts = [("1", "p", "2", DG)]
+    assert infer(spark, facts, rules) == [
+        ("1", "q", "2", DG),
+        ("2", "r", "1", DG),
+    ]
+
+
+def test_unconditional_head_equal_to_premise_not_reported(spark):
+    rules = decl_rules([([], [[B("a"), B("b"), B("c"), B(DG)]])])
+    facts = [("a", "b", "c", DG)]
+    assert infer(spark, facts, rules) == []
+
+
+def test_disconnected_body_cross_product(spark):
+    # body atoms sharing no variables require a cartesian join
+    rules = decl_rules(
+        [
+            (
+                [
+                    [U("a"), B("p"), U("b"), B(DG)],
+                    [U("c"), B("q"), U("d"), B(DG)],
+                ],
+                [[U("a"), B("pq"), U("d"), B(DG)]],
+            )
+        ]
+    )
+    facts = [
+        ("1", "p", "2", DG),
+        ("3", "q", "4", DG),
+        ("5", "q", "6", DG),
+    ]
+    assert infer(spark, facts, rules) == [
+        ("1", "pq", "4", DG),
+        ("1", "pq", "6", DG),
+    ]
