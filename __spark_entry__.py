@@ -1,38 +1,288 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship query (the ancestry-closure fixpoint —
+the real inference engine — over the customer-key tree at sf0.001).
+``queries()`` exposes one entry per implemented operator from SURVEY.md §2
+plus the training-data ops; ``oracle_sql()`` provides the DuckDB twin for
+every SQL-expressible one (prove-lineage, validate-roundtrip and the
+pandas-UDF KG pipeline are rows-only by nature).
 """
 
 from __future__ import annotations
 
+import os
+import sys
+import tempfile
+import zipfile
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+REPO = os.path.dirname(os.path.abspath(__file__))
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+from pyspark.sql import DataFrame, SparkSession  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+_shipped: set = set()
+
+
+def _ship(spark: SparkSession) -> None:
+    """Ship the rify_spark package to executors (spark-submit --py-files
+    analog) so pandas UDFs unpickle on python workers regardless of the
+    driver's working directory."""
+    key = id(spark.sparkContext)
+    if key in _shipped:
+        return
+    zpath = os.path.join(
+        tempfile.gettempdir(), f"rify_spark_pkg_{os.getpid()}.zip"
+    )
+    if not os.path.exists(zpath):
+        with zipfile.ZipFile(zpath, "w") as zf:
+            pkg = os.path.join(REPO, "rify_spark")
+            for root, _dirs, files in os.walk(pkg):
+                for fn in files:
+                    if fn.endswith(".py"):
+                        full = os.path.join(root, fn)
+                        zf.write(full, os.path.relpath(full, REPO))
+    spark.sparkContext.addPyFile(zpath)
+    _shipped.add(key)
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full transitive-closure fixpoint on /root/testdata/sf0.001."""
+    from rify_spark.ops.quads import ancestry_closure
+
+    return ancestry_closure(spark, "/root/testdata/sf0.001")
+
+
+# --- individual query callables -------------------------------------------
+
+def _q_ancestry(spark, sf_dir):
+    from rify_spark.ops.quads import ancestry_closure
+
+    return ancestry_closure(spark, sf_dir)
+
+
+def _q_prove_lineage(spark, sf_dir):
+    """Goal-directed lineage fixpoint: the arguments table (first winning
+    derivation per derived quad) for proving the deepest node's ancestry."""
+    from rify_spark.infer import InferConfig
+    from rify_spark.ops.quads import TREE_G, tree_edges
+    from rify_spark.prove import prove_fixpoint
+    from rify_spark.rules import Bound as B, Rule, Unbound as U, lower_rule
+    from rify_spark.infer import seed_facts
+
+    edges = tree_edges(spark, sf_dir)
+    maxk = (
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .agg(F.max("c_custkey"))
+        .collect()[0][0]
+    )
+    rules = [
+        Rule.create(
+            [[U("a"), B("parent"), U("b"), U("g")]],
+            [[U("a"), B("ancestor"), U("b"), U("g")]],
+        ),
+        Rule.create(
+            [
+                [U("a"), B("ancestor"), U("b"), U("g")],
+                [U("b"), B("ancestor"), U("c"), U("g")],
+            ],
+            [[U("a"), B("ancestor"), U("c"), U("g")]],
+        ),
+    ]
+    cfg = InferConfig(encode_terms=False)
+    lrules = [lower_rule(r, i, lambda t: t) for i, r in enumerate(rules)]
+    prem = edges.select("s", "p", "o", "g")
+    prem_dedup = prem.dropDuplicates(["s", "p", "o", "g"])
+    goals = spark.createDataFrame(
+        [(f"node:{maxk}", "ancestor", "node:0", TREE_G)],
+        "s string, p string, o string, g string",
+    )
+    facts0 = seed_facts(spark, prem, lrules, "string")
+    res = prove_fixpoint(spark, facts0, prem_dedup, goals, lrules, cfg, "string")
+    return res.arguments.select("s", "p", "o", "g", "rule_index", "iteration")
+
+
+def _q_validate_roundtrip(spark, sf_dir):
+    """prove -> validate round trip on the Explicit Ethos fixture; returns
+    the implied set (the reference's own soundness oracle)."""
+    from rify_spark.api import prove
+    from rify_spark.rules import Bound as B, Rule, Unbound as U
+    from rify_spark.validate import valid_to_dfs, validate
+
+    DG = "default_graph"
+    facts = [
+        ("root_authority", "claims", "_:0", DG),
+        ("_:0", "subject", "root_authority", DG),
+        ("_:0", "predicate", "defersTo", DG),
+        ("_:0", "object", "issuer", DG),
+        ("issuer", "claims", "_:1", DG),
+        ("_:1", "subject", "bobert", DG),
+        ("_:1", "predicate", "mayPurchase", DG),
+        ("_:1", "object", "vso:Vehicle", DG),
+    ]
+    rules = [
+        Rule.create(
+            [
+                [U("super"), B("claims"), U("claim1"), B(DG)],
+                [U("claim1"), B("subject"), U("super"), B(DG)],
+                [U("claim1"), B("predicate"), B("defersTo"), B(DG)],
+                [U("claim1"), B("object"), U("minor"), B(DG)],
+            ],
+            [[U("super"), B("defersTo"), U("minor"), B(DG)]],
+        ),
+        Rule.create(
+            [
+                [U("super"), B("defersTo"), U("minor"), B(DG)],
+                [U("minor"), B("claims"), U("claim1"), B(DG)],
+            ],
+            [[U("super"), B("claims"), U("claim1"), B(DG)]],
+        ),
+        Rule.create(
+            [
+                [B("root_authority"), B("claims"), U("c"), B(DG)],
+                [U("c"), B("subject"), U("s"), B(DG)],
+                [U("c"), B("predicate"), U("p"), B(DG)],
+                [U("c"), B("object"), U("o"), B(DG)],
+            ],
+            [[U("s"), U("p"), U("o"), B(DG)]],
+        ),
+    ]
+    proof = prove(
+        spark, facts, [("bobert", "mayPurchase", "vso:Vehicle", DG)], rules
+    )
+    valid = validate(rules, proof)
+    _assumed, implied = valid_to_dfs(spark, valid)
+    return implied
+
+
+def _q_kg_pipeline(spark, sf_dir):
+    """Full KG-construction pipeline over the deterministic synthetic corpus
+    (size independent of sf_dir): derived depends_on quads."""
+    _ship(spark)
+    from rify_spark.extract import code_files_df
+    from rify_spark.pipeline import run_pipeline
+
+    corpus = code_files_df(spark, n_repos=3, n_modules=4, n_funcs=3)
+    return run_pipeline(spark, corpus).derived
+
+
+def _q_kg_mentions(spark, sf_dir):
+    """mapInPandas mention extraction over documents (the extraction
+    plumbing, oracle-checked against DuckDB regexp)."""
+    _ship(spark)
+    import re
+
+    import pandas as pd
+
+    def fn(batches):
+        for pdf in batches:
+            rows = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                toks = sorted(
+                    {
+                        t
+                        for t in (text or "").lower().split(" ")
+                        if re.fullmatch("[a-z]{6,}", t)
+                    }
+                )
+                rows.extend((int(did), t) for t in toks)
+            yield pd.DataFrame(rows, columns=["doc_id", "mention"])
+
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", "text")
+        .mapInPandas(fn, schema="doc_id long, mention string")
+    )
+
+
+def _q_multimodal(spark, sf_dir):
+    _ship(spark)
+    from rify_spark.ops.multimodal import extract_media_features, fake_media_df
+
+    return extract_media_features(fake_media_df(_docs(spark, sf_dir)))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from rify_spark.ops import dedup, quads, similarity, text
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # engine operators (SURVEY.md §2)
+        "o1_dict_build": quads.dict_build,
+        "o2_encode": quads.encode,
+        "o4_insert_dedup": quads.insert_dedup,
+        "o5_membership": quads.membership,
+        "o6_pattern_scan": quads.pattern_scan,
+        "o7_conjunctive_match": quads.conjunctive_match,
+        "o9_delta_round": quads.delta_round,
+        "o10_head_projection": quads.head_projection,
+        "o11_ancestry_fixpoint": _q_ancestry,
+        "o13_prove_lineage": _q_prove_lineage,
+        "o16_validate_roundtrip": _q_validate_roundtrip,
+        # KG construction
+        "kg_extract_mentions": _q_kg_mentions,
+        "kg_pipeline_derived": _q_kg_pipeline,
+        # training-data ops: text analysis
+        "text_token_count": lambda s, d: text.token_count(_docs(s, d)),
+        "text_quality": lambda s, d: text.quality_score(_docs(s, d)),
+        "text_lang_id": lambda s, d: text.lang_id(_docs(s, d)),
+        "text_fingerprint": lambda s, d: text.fingerprint(_docs(s, d)),
+        # deduplication
+        "dedup_exact": lambda s, d: dedup.exact_dedup(_docs(s, d)),
+        "dedup_minhash": lambda s, d: dedup.minhash_signatures(_docs(s, d)),
+        "dedup_lsh_pairs": lambda s, d: dedup.lsh_candidate_pairs(_docs(s, d)),
+        "dedup_simhash": lambda s, d: dedup.simhash(_docs(s, d)),
+        "dedup_ngram_jaccard": lambda s, d: dedup.ngram_jaccard_pairs(_docs(s, d)),
+        # similarity search
+        "knn_bruteforce": lambda s, d: similarity.knn_bruteforce(_emb(s, d)),
+        "knn_lsh_buckets": lambda s, d: similarity.knn_lsh_buckets(_emb(s, d)),
+        "knn_lsh": lambda s, d: similarity.knn_lsh(_emb(s, d)),
+        # multimodal plumbing
+        "multimodal_features": _q_multimodal,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from rify_spark.ops import dedup, multimodal, quads, similarity, text
+
+    return {
+        "o1_dict_build": quads.DICT_BUILD_SQL,
+        "o2_encode": quads.ENCODE_SQL,
+        "o4_insert_dedup": quads.INSERT_DEDUP_SQL,
+        "o5_membership": quads.MEMBERSHIP_SQL,
+        "o6_pattern_scan": quads.PATTERN_SCAN_SQL,
+        "o7_conjunctive_match": quads.CONJUNCTIVE_MATCH_SQL,
+        "o9_delta_round": quads.DELTA_ROUND_SQL,
+        "o10_head_projection": quads.HEAD_PROJECTION_SQL,
+        "o11_ancestry_fixpoint": quads.ANCESTRY_CLOSURE_SQL,
+        "kg_extract_mentions": """
+            SELECT DISTINCT doc_id, tok AS mention FROM (
+              SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+              FROM documents
+            ) WHERE regexp_full_match(tok, '[a-z]{6,}')
+        """,
+        "text_token_count": text.token_count_sql(),
+        "text_quality": text.quality_score_sql(),
+        "text_lang_id": text.lang_id_sql(),
+        "text_fingerprint": text.fingerprint_sql(),
+        "dedup_exact": dedup.exact_dedup_sql(),
+        "dedup_minhash": dedup.minhash_signatures_sql(),
+        "dedup_lsh_pairs": dedup.lsh_candidate_pairs_sql(),
+        "dedup_simhash": dedup.simhash_sql(),
+        "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs_sql(),
+        "knn_bruteforce": similarity.knn_bruteforce_sql(),
+        "knn_lsh_buckets": similarity.knn_lsh_buckets_sql(),
+        "knn_lsh": similarity.knn_lsh_sql(),
+        "multimodal_features": multimodal.media_features_sql(),
+        # rows-only (non-SQL-expressible): o13_prove_lineage,
+        # o16_validate_roundtrip, kg_pipeline_derived
+    }

@@ -1,0 +1,114 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line.
+
+Execution is forced through the noop sink (not .count()) so column pruning
+cannot skip the measured compute. The fixpoint queries also report
+triples-derived/sec — the BASELINE.json throughput metric.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+# KG corpus scale for the pipeline benchmark (files = repos * modules)
+KG_REPOS = int(os.environ.get("RIFY_BENCH_KG_REPOS", "150"))
+KG_MODULES = int(os.environ.get("RIFY_BENCH_KG_MODULES", "8"))
+
+
+def _force(df) -> int:
+    """Fully execute a DataFrame (noop sink defeats pruning); return rows."""
+    df = df.persist()
+    df.write.mode("overwrite").format("noop").save()
+    n = df.count()
+    df.unpersist()
+    return n
+
+
+def main() -> None:
+    from rify_spark.ops import dedup, quads, similarity, text
+    from rify_spark.session import get_spark
+    import __spark_entry__ as entrymod
+
+    spark = get_spark(
+        master=f"local[{CPUS}]",
+        app_name="rify-spark-bench",
+        shuffle_partitions=max(8, 2 * CPUS),
+    )
+    entrymod._ship(spark)
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+    # setup (untimed): materialize the synthetic corpus as parquet — the
+    # pipeline's contract is a stored table (Iceberg-style), not a generator
+    # UDF; fusing generation into the extraction stage both distorts timing
+    # and chains two pandas UDFs into one pathological stage.
+    import tempfile
+
+    corpus_path = os.path.join(
+        tempfile.gettempdir(), f"rify_bench_corpus_{KG_REPOS}x{KG_MODULES}"
+    )
+    if not os.path.exists(corpus_path):
+        from rify_spark.extract import code_files_df_distributed
+
+        code_files_df_distributed(
+            spark, n_repos=KG_REPOS, n_modules=KG_MODULES, partitions=2 * CPUS
+        ).write.mode("overwrite").parquet(corpus_path)
+
+    def kg_pipeline(s, d):
+        from rify_spark.pipeline import run_pipeline
+
+        return run_pipeline(s, s.read.parquet(corpus_path)).derived
+
+    headline = {
+        "ancestry_fixpoint": lambda s, d: quads.ancestry_closure(s, d),
+        "kg_pipeline": kg_pipeline,
+        "conjunctive_match": quads.conjunctive_match,
+        "dedup_minhash": lambda s, d: dedup.minhash_signatures(docs),
+        "dedup_lsh_pairs": lambda s, d: dedup.lsh_candidate_pairs(docs),
+        "text_quality": lambda s, d: text.quality_score(docs),
+        "knn_bruteforce": lambda s, d: similarity.knn_bruteforce(emb),
+        "knn_lsh": lambda s, d: similarity.knn_lsh(emb),
+    }
+
+    # JVM/codegen warmup on a trivial job so q1 isn't charged for startup
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    times: dict = {}
+    rows: dict = {}
+    for name, fn in headline.items():
+        t0 = time.time()
+        rows[name] = _force(fn(spark, SF_DIR))
+        times[name] = round(time.time() - t0, 3)
+
+    total = round(sum(times.values()), 3)
+    sf = SF_DIR.rstrip("/").split("sf")[-1]
+    out = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "cpus": CPUS,
+        "rows": rows,
+        "fixpoint_triples_per_sec": round(
+            rows["ancestry_fixpoint"] / times["ancestry_fixpoint"], 1
+        ),
+        "kg_pipeline_triples_per_sec": round(
+            rows["kg_pipeline"] / times["kg_pipeline"], 1
+        ),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

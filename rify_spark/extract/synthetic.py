@@ -10,11 +10,10 @@ range-based generator for benchmarks) and content is reproducible from
 reference for the ingest invariant.
 """
 
-from __future__ import annotations
-
 import hashlib
 import random
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -92,11 +91,10 @@ def code_files_df_distributed(
     n_modules: int,
     n_funcs: int = 3,
     seed: int = 42,
-    partitions: int | None = None,
+    partitions: int = None,
 ) -> DataFrame:
     """Benchmark-scale generator: spark.range + a pandas UDF building content
     on executors, so corpus size is not driver-bound."""
-    import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("string")

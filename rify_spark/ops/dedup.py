@@ -1,0 +1,269 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Scale notes (the whole point of these designs):
+  * exact dedup is one hash-groupBy — Spark's map-side partial aggregation
+    makes it a single shuffle of (hash, min_id) pairs, not documents;
+  * MinHash signatures are computed with an explode + groupBy whose key is
+    doc_id — already uniformly distributed, no skew;
+  * LSH banding turns all-pairs similarity into an equi-join on band keys:
+    candidate generation is O(near-duplicates), never O(n²);
+  * n-gram Jaccard joins on shingles *within a blocking key* (source) so the
+    shingle join can't degenerate into a global cross product;
+  * everything is md5-prefix arithmetic (see ops/params.py) so the DuckDB
+    oracle can replicate results exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .params import (
+    JACCARD_THRESHOLD,
+    LSH_BANDS,
+    LSH_ROWS,
+    MERSENNE_P,
+    MINHASH_PERMS,
+    NGRAM_N,
+    SIMHASH_BITS,
+)
+
+# 28-bit portable token hash (md5 prefix): fits (A*h + B) in int64
+_H28_SPARK = lambda c: F.conv(F.substring(F.md5(c), 1, 7), 16, 10).cast("long")  # noqa: E731
+_H28_SQL = "CAST(('0x' || substr(md5({c}), 1, 7)) AS BIGINT)"
+
+
+def exact_dedup(docs: DataFrame) -> DataFrame:
+    """Representative (min doc_id) and duplicate count per exact text hash."""
+    return (
+        docs.select("doc_id", F.md5("text").alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count("*").alias("n_docs"),
+        )
+    )
+
+
+def exact_dedup_sql() -> str:
+    return """
+    SELECT md5(text) AS text_hash,
+           min(doc_id) AS keep_doc_id,
+           count(*) AS n_docs
+    FROM documents GROUP BY md5(text)
+    """
+
+
+def _tokens(docs: DataFrame) -> DataFrame:
+    return docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split(F.lower("text"), " "))).alias("tok"),
+    )
+
+
+_TOKENS_SQL = """
+  SELECT doc_id, unnest(list_distinct(string_split(lower(text), ' '))) AS tok
+  FROM documents
+"""
+
+
+def minhash_signatures(docs: DataFrame) -> DataFrame:
+    """K-permutation MinHash signature, one column per permutation."""
+    h = _H28_SPARK(F.col("tok"))
+    aggs = [
+        F.min((h * F.lit(a) + F.lit(b)) % F.lit(MERSENNE_P)).alias(f"mh{i}")
+        for i, (a, b) in enumerate(MINHASH_PERMS)
+    ]
+    return _tokens(docs).groupBy("doc_id").agg(*aggs)
+
+
+def minhash_signatures_sql() -> str:
+    h = _H28_SQL.format(c="tok")
+    mins = ",\n           ".join(
+        f"min(({h} * {a} + {b}) % {MERSENNE_P}) AS mh{i}"
+        for i, (a, b) in enumerate(MINHASH_PERMS)
+    )
+    return f"""
+    SELECT doc_id,
+           {mins}
+    FROM ({_TOKENS_SQL})
+    GROUP BY doc_id
+    """
+
+
+def lsh_candidate_pairs(docs: DataFrame) -> DataFrame:
+    """Near-duplicate candidate pairs: docs agreeing on any full LSH band.
+
+    bands x rows over the minhash signature; the pair join is an equi-join
+    on (band index, band values) — the LSH trick that keeps candidate
+    generation linear in the number of colliding docs.
+    """
+    sig = minhash_signatures(docs)
+    bands = []
+    for b in range(LSH_BANDS):
+        cols = [f"mh{b * LSH_ROWS + r}" for r in range(LSH_ROWS)]
+        bands.append(
+            sig.select(
+                "doc_id",
+                F.lit(b).alias("band"),
+                F.concat_ws("_", *[F.col(c) for c in cols]).alias("bandkey"),
+            )
+        )
+    allb = bands[0]
+    for b in bands[1:]:
+        allb = allb.unionByName(b)
+    left = allb.alias("l")
+    right = allb.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bandkey") == F.col("r.bandkey"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+def lsh_candidate_pairs_sql() -> str:
+    band_selects = []
+    for b in range(LSH_BANDS):
+        cols = [f"mh{b * LSH_ROWS + r}" for r in range(LSH_ROWS)]
+        key = " || '_' || ".join(f"CAST({c} AS VARCHAR)" for c in cols)
+        band_selects.append(
+            f"SELECT doc_id, {b} AS band, {key} AS bandkey FROM sig"
+        )
+    bands_sql = "\n      UNION ALL\n      ".join(band_selects)
+    return f"""
+    WITH sig AS ({minhash_signatures_sql()}),
+    bands AS (
+      {bands_sql}
+    )
+    SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+    FROM bands l JOIN bands r
+      ON l.band = r.band AND l.bandkey = r.bandkey AND l.doc_id < r.doc_id
+    """
+
+
+def simhash(docs: DataFrame) -> DataFrame:
+    """SIMHASH_BITS-bit SimHash: per bit, sign of the sum of ±1 token votes."""
+    h = _H28_SPARK(F.col("tok"))
+    toks = _tokens(docs).select("doc_id", h.alias("hv"))
+    bit_votes = [
+        F.sum(
+            (F.shiftright(F.col("hv"), j).bitwiseAND(F.lit(1)) * 2 - 1)
+        ).alias(f"v{j}")
+        for j in range(SIMHASH_BITS)
+    ]
+    votes = toks.groupBy("doc_id").agg(*bit_votes)
+    sh = F.lit(0).cast("long")
+    for j in range(SIMHASH_BITS):
+        sh = sh + F.when(F.col(f"v{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+    return votes.select("doc_id", sh.alias("simhash"))
+
+
+def simhash_sql() -> str:
+    h = _H28_SQL.format(c="tok")
+    votes = ",\n           ".join(
+        f"sum(((({h} >> {j}) & 1) * 2 - 1)) AS v{j}" for j in range(SIMHASH_BITS)
+    )
+    bits = " + ".join(
+        f"CASE WHEN v{j} > 0 THEN {1 << j} ELSE 0 END" for j in range(SIMHASH_BITS)
+    )
+    return f"""
+    WITH votes AS (
+      SELECT doc_id,
+           {votes}
+      FROM ({_TOKENS_SQL})
+      GROUP BY doc_id
+    )
+    SELECT doc_id, CAST({bits} AS BIGINT) AS simhash FROM votes
+    """
+
+
+def _shingles(docs: DataFrame) -> DataFrame:
+    """Distinct word NGRAM_N-shingles per doc, with the doc's blocking key
+    (source) and shingle count."""
+    toks = F.split(F.lower("text"), " ")
+    # guard short docs: no shingle may index past the token list (ANSI mode
+    # errors on out-of-bounds element_at, and the oracle must agree on
+    # empty-list semantics)
+    sh = F.when(
+        F.size(toks) >= NGRAM_N,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - NGRAM_N),
+                lambda i: F.concat_ws(
+                    " ",
+                    *[F.element_at(toks, i + F.lit(k + 1)) for k in range(NGRAM_N)],
+                ),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return docs.select(
+        "doc_id", "source", sh.alias("shingles"), F.size(sh).alias("n_sh")
+    )
+
+
+def ngram_jaccard_pairs(docs: DataFrame) -> DataFrame:
+    """Word-shingle Jaccard similarity for doc pairs within the same source
+    block, keeping pairs above JACCARD_THRESHOLD."""
+    base = _shingles(docs)
+    exploded = base.select(
+        "doc_id", "source", "n_sh", F.explode("shingles").alias("sh")
+    )
+    l, r = exploded.alias("l"), exploded.alias("r")
+    inter = (
+        l.join(
+            r,
+            (F.col("l.source") == F.col("r.source"))
+            & (F.col("l.sh") == F.col("r.sh"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .groupBy(
+            F.col("l.doc_id").alias("doc_a"),
+            F.col("r.doc_id").alias("doc_b"),
+            F.col("l.n_sh").alias("na"),
+            F.col("r.n_sh").alias("nb"),
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    jac = inter.withColumn(
+        "jaccard", F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
+    )
+    return jac.filter(F.col("jaccard") >= JACCARD_THRESHOLD).select(
+        "doc_a", "doc_b", "jaccard"
+    )
+
+
+def ngram_jaccard_pairs_sql() -> str:
+    elems = " || ' ' || ".join(f"toks[i + {k}]" for k in range(1, NGRAM_N + 1))
+    return f"""
+    WITH tk AS (
+      SELECT doc_id, source, string_split(lower(text), ' ') AS toks FROM documents
+    ),
+    base AS (
+      SELECT doc_id, source,
+             list_distinct(list_transform(
+               range(0, greatest(len(toks) - {NGRAM_N} + 1, 0)),
+               i -> {elems}
+             )) AS shingles
+      FROM tk
+    ),
+    ex AS (
+      SELECT doc_id, source, len(shingles) AS n_sh, unnest(shingles) AS sh FROM base
+    ),
+    inter AS (
+      SELECT l.doc_id AS doc_a, r.doc_id AS doc_b, l.n_sh AS na, r.n_sh AS nb,
+             count(*) AS inter
+      FROM ex l JOIN ex r
+        ON l.source = r.source AND l.sh = r.sh AND l.doc_id < r.doc_id
+      GROUP BY 1, 2, 3, 4
+    )
+    SELECT doc_a, doc_b, inter / (na + nb - inter) AS jaccard
+    FROM inter
+    WHERE inter / (na + nb - inter) >= {JACCARD_THRESHOLD}
+    """

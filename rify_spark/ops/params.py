@@ -1,0 +1,61 @@
+"""Shared constants for training-data ops.
+
+Every operator in rify_spark.ops has a Spark implementation and a DuckDB SQL
+generator that must produce bit-identical results; both sides read their
+parameters from here. Hashing is md5-prefix based because md5 is the one
+hash function Spark and DuckDB implement identically; 28-bit token hashes
+keep (a*h + b) inside int64 for the universal-hash permutations.
+"""
+
+# universal-hash permutations for minhash: h_i(x) = (A_i * h28(x) + B_i) % MERSENNE_P
+MINHASH_PERMS = [
+    (1234567891, 98765),
+    (2345678917, 87654),
+    (1111111121, 76543),
+    (1357924687, 65432),
+    (1470258369, 54321),
+    (1593571597, 43210),
+    (1616161627, 32109),
+    (1818181811, 21098),
+]
+MERSENNE_P = (1 << 61) - 1
+
+# LSH banding over the 8 minhashes: 4 bands x 2 rows
+LSH_BANDS = 4
+LSH_ROWS = 2
+
+SIMHASH_BITS = 16
+
+NGRAM_N = 3                  # word shingle width for jaccard
+JACCARD_THRESHOLD = 0.8
+
+KNN_QUANT = 1000             # embedding quantization factor (float -> int)
+KNN_K = 10
+KNN_N_QUERIES = 10
+
+# deterministic +/-1 hyperplanes for sign-random-projection LSH over
+# 64-dim embeddings: HYPERPLANES[b][d] in {-1, +1}, derived from a fixed
+# LCG so both the Spark literals and the generated SQL agree.
+N_HYPERPLANES = 8
+EMB_DIM = 64
+
+
+def _lcg_bits(n: int, seed: int = 0x2545F4914F6CDD1D):
+    x = seed
+    out = []
+    for _ in range(n):
+        x = (6364136223846793005 * x + 1442695040888963407) % (1 << 64)
+        out.append(1 if (x >> 33) & 1 else -1)
+    return out
+
+
+_flat = _lcg_bits(N_HYPERPLANES * EMB_DIM)
+HYPERPLANES = [
+    _flat[b * EMB_DIM : (b + 1) * EMB_DIM] for b in range(N_HYPERPLANES)
+]
+
+# language-ID marker words (n-gram heuristic): presence counts decide 'en'
+LANG_MARKERS = ["the", "and", "with", "from", "value", "table"]
+LANG_EN_MIN_HITS = 1
+
+STOPWORDS = ["the", "a", "and", "of", "to", "in", "is", "for", "with", "on"]

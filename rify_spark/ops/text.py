@@ -1,0 +1,115 @@
+"""Text analysis operators over the documents table.
+
+Each operator returns a DataFrame and has a ``*_sql()`` twin producing the
+DuckDB oracle query from the same constants (ops/params.py). All columns are
+integers/strings/exact doubles so value hashes match across engines.
+
+These are JVM-side expressions end to end (no Python UDFs): tokenization,
+counting and hashing stay inside whole-stage codegen, which is the scale
+path — a 100 TB documents table runs these as narrow projections +
+one groupBy at most.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .params import LANG_EN_MIN_HITS, LANG_MARKERS, STOPWORDS
+
+
+def token_count(docs: DataFrame) -> DataFrame:
+    """Whitespace tokens and BPE-ish regex tokens per document."""
+    return docs.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens_ws"),
+        F.regexp_count("text", F.lit("[a-z]+|[0-9]+")).cast("long").alias("n_tokens_re"),
+    )
+
+
+def token_count_sql() -> str:
+    return """
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_tokens_ws,
+           len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS n_tokens_re
+    FROM documents
+    """
+
+
+def quality_score(docs: DataFrame) -> DataFrame:
+    """Length / word-shape / stopword-ratio quality features.
+
+    ``quality`` is a simple monotone combination; exact-rational doubles only
+    (count / count), so cross-engine equality is bit-exact.
+    """
+    toks = F.split("text", " ")
+    n_toks = F.size(toks)
+    stop_hits = F.size(
+        F.filter(toks, lambda t: t.isin(*[F.lit(s) for s in STOPWORDS]))
+    )
+    return docs.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars"),
+        n_toks.cast("long").alias("n_tokens"),
+        (F.length(F.regexp_replace("text", " ", "")) / n_toks).alias("avg_word_len"),
+        (stop_hits / n_toks).alias("stopword_ratio"),
+    )
+
+
+def quality_score_sql() -> str:
+    stoplist = ", ".join(f"'{s}'" for s in STOPWORDS)
+    return f"""
+    SELECT doc_id,
+           length(text) AS n_chars,
+           len(string_split(text, ' ')) AS n_tokens,
+           length(replace(text, ' ', '')) / len(string_split(text, ' ')) AS avg_word_len,
+           len(list_filter(string_split(text, ' '), t -> t IN ({stoplist})))
+             / len(string_split(text, ' ')) AS stopword_ratio
+    FROM documents
+    """
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """Marker-word language heuristic: count English marker hits, threshold."""
+    toks = F.split(F.lower("text"), " ")
+    hits = F.size(
+        F.filter(toks, lambda t: t.isin(*[F.lit(m) for m in LANG_MARKERS]))
+    )
+    return docs.select(
+        "doc_id",
+        hits.cast("long").alias("en_hits"),
+        F.when(hits >= LANG_EN_MIN_HITS, F.lit("en")).otherwise(F.lit("unk")).alias("lang_pred"),
+    )
+
+
+def lang_id_sql() -> str:
+    markers = ", ".join(f"'{m}'" for m in LANG_MARKERS)
+    return f"""
+    SELECT doc_id,
+           len(list_filter(string_split(lower(text), ' '), t -> t IN ({markers}))) AS en_hits,
+           CASE WHEN len(list_filter(string_split(lower(text), ' '), t -> t IN ({markers})))
+                     >= {LANG_EN_MIN_HITS}
+                THEN 'en' ELSE 'unk' END AS lang_pred
+    FROM documents
+    """
+
+
+def fingerprint(docs: DataFrame) -> DataFrame:
+    """Order-insensitive document fingerprint: md5 of the sorted distinct
+    token set (bag fingerprint — survives token reordering)."""
+    return docs.select(
+        "doc_id",
+        F.md5(
+            F.concat_ws(
+                " ", F.array_sort(F.array_distinct(F.split(F.lower("text"), " ")))
+            )
+        ).alias("fp"),
+    )
+
+
+def fingerprint_sql() -> str:
+    return """
+    SELECT doc_id,
+           md5(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' ')) AS fp
+    FROM documents
+    """
