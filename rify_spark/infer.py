@@ -56,8 +56,9 @@ class InferConfig:
     encode_terms: bool = True
     collision_audit: bool = True
     # delta-side broadcast cutoff (rows); above it joins fall back to
-    # shuffle joins with AQE skew handling.
-    broadcast_delta_max_rows: int = 4_000_000
+    # shuffle joins with AQE skew handling. Broadcast cost is paid per plan
+    # per iteration, so the cutoff is deliberately conservative.
+    broadcast_delta_max_rows: int = 500_000
     # persistent checkpoints (resumable); None -> localCheckpoint only
     checkpoint_dir: Optional[str] = None
     resume: bool = False
@@ -124,13 +125,17 @@ def fixpoint(
     lineage: bool = False,
     goals: Optional[DataFrame] = None,
     initial_arguments: Optional[DataFrame] = None,
+    delta0: Optional[DataFrame] = None,
 ) -> FixpointResult:
     """Run rules to fixpoint over an already-deduplicated quad DataFrame.
 
     ``facts0`` must be deduplicated and already include unconditional-rule
     heads (see :func:`seed_facts`). With ``lineage=True`` a first-wins
     arguments table is maintained; with ``goals`` the loop exits early once
-    every goal quad is present (src/prove.rs:124).
+    every goal quad is present (src/prove.rs:124). ``delta0`` restricts the
+    first round's worklist (incremental mode: ``facts0`` minus ``delta0``
+    is already a fixpoint, so only derivations touching ``delta0`` can be
+    new); by default the whole of ``facts0`` is the first worklist.
     """
     cfg = cfg or InferConfig()
     dtype = facts0.schema["s"].dataType
@@ -152,8 +157,12 @@ def fixpoint(
     else:
         facts = facts0.localCheckpoint(eager=True)
         facts_rows = facts.count()
-        delta = facts
-        delta_rows = facts_rows
+        if delta0 is not None:
+            delta = delta0.localCheckpoint(eager=True)
+            delta_rows = delta.count()
+        else:
+            delta = facts
+            delta_rows = facts_rows
         if lineage:
             # iteration-0 arguments (unconditional-rule heads) come from the
             # caller; see prove.py.

@@ -1,0 +1,87 @@
+"""One scaling-run worker: the full KG job at a given parallelism.
+
+Runs (a) the KG-construction pipeline over a pre-materialized corpus and
+(b) the ancestry-closure fixpoint over a large synthetic tree, on
+local[$RIFY_SCALING_CPUS], and prints one JSON line with walls and
+throughputs. Invoked twice (N and 4N cores) by scripts/scaling.py on the
+SAME inputs — the sandbox proxy for a two-cluster-size run.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+CPUS = int(os.environ.get("RIFY_SCALING_CPUS", "32"))
+CORPUS_PATH = os.environ["RIFY_SCALING_CORPUS"]
+TREE_N = int(os.environ.get("RIFY_SCALING_TREE_N", "1000000"))
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from rify_spark.pipeline import run_pipeline
+    from rify_spark.rules import Bound as B, Rule, Unbound as U
+    from rify_spark.api import infer_df
+    from rify_spark.session import get_spark
+    import __spark_entry__ as entrymod
+
+    spark = get_spark(
+        master=f"local[{CPUS}]",
+        app_name=f"rify-scaling-{CPUS}",
+        shuffle_partitions=2 * CPUS,
+    )
+    entrymod._ship(spark)
+    spark.range(1_000_000).selectExpr("sum(id)").collect()  # warmup
+
+    out = {"cpus": CPUS}
+
+    # (a) KG pipeline over the shared corpus
+    t0 = time.time()
+    res = run_pipeline(spark, spark.read.parquet(CORPUS_PATH))
+    derived = res.derived.count()
+    wall = time.time() - t0
+    out["pipeline_wall_s"] = round(wall, 2)
+    out["pipeline_derived"] = derived
+    out["pipeline_triples_per_sec"] = round(derived / wall, 1)
+
+    # (b) ancestry fixpoint over a synthetic k -> k//2 tree (same shape as
+    # the reference's ancestry bench, scaled)
+    edges = spark.range(1, TREE_N, 1, 2 * CPUS).select(
+        F.concat(F.lit("node:"), F.col("id")).alias("s"),
+        F.lit("parent").alias("p"),
+        F.concat(F.lit("node:"), (F.col("id") / 2).cast("long")).alias("o"),
+        F.lit("graph://tree").alias("g"),
+    )
+    rules = [
+        Rule.create(
+            [[U("a"), B("parent"), U("b"), U("g")]],
+            [[U("a"), B("ancestor"), U("b"), U("g")]],
+        ),
+        Rule.create(
+            [
+                [U("a"), B("ancestor"), U("b"), U("g")],
+                [U("b"), B("ancestor"), U("c"), U("g")],
+            ],
+            [[U("a"), B("ancestor"), U("c"), U("g")]],
+        ),
+    ]
+    t0 = time.time()
+    derived_df, fx = infer_df(spark, edges, rules)
+    n = derived_df.count()
+    wall = time.time() - t0
+    out["fixpoint_wall_s"] = round(wall, 2)
+    out["fixpoint_derived"] = n
+    out["fixpoint_iterations"] = fx.iterations
+    out["fixpoint_triples_per_sec"] = round(n / wall, 1)
+
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
