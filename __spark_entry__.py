@@ -213,7 +213,10 @@ def _q_multimodal(spark, sf_dir):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    from rify_spark.ops import dedup, quads, similarity, text
+    from rify_spark.ops import dedup, events, quads, similarity, text
+
+    def _events(s_, d_):
+        return s_.read.parquet(f"{d_}/events.parquet")
 
     return {
         # engine operators (SURVEY.md §2)
@@ -246,13 +249,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_bruteforce": lambda s, d: similarity.knn_bruteforce(_emb(s, d)),
         "knn_lsh_buckets": lambda s, d: similarity.knn_lsh_buckets(_emb(s, d)),
         "knn_lsh": lambda s, d: similarity.knn_lsh(_emb(s, d)),
+        # event windows / sessionization (batch forms)
+        "events_windowed": lambda s, d: events.windowed_counts(_events(s, d)),
+        "events_sessionize": lambda s, d: events.sessionize(_events(s, d)),
         # multimodal plumbing
         "multimodal_features": _q_multimodal,
     }
 
 
 def oracle_sql() -> dict[str, str]:
-    from rify_spark.ops import dedup, multimodal, quads, similarity, text
+    from rify_spark.ops import dedup, events, multimodal, quads, similarity, text
 
     return {
         "o1_dict_build": quads.DICT_BUILD_SQL,
@@ -282,6 +288,8 @@ def oracle_sql() -> dict[str, str]:
         "knn_bruteforce": similarity.knn_bruteforce_sql(),
         "knn_lsh_buckets": similarity.knn_lsh_buckets_sql(),
         "knn_lsh": similarity.knn_lsh_sql(),
+        "events_windowed": events.windowed_counts_sql(),
+        "events_sessionize": events.sessionize_sql(),
         "multimodal_features": multimodal.media_features_sql(),
         # rows-only (non-SQL-expressible): o13_prove_lineage,
         # o16_validate_roundtrip, kg_pipeline_derived

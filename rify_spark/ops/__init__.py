@@ -1,1 +1,1 @@
-from . import dedup, multimodal, params, quads, similarity, text  # noqa: F401
+from . import dedup, events, multimodal, params, quads, similarity, text  # noqa: F401
