@@ -222,6 +222,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # engine operators (SURVEY.md §2)
         "o1_dict_build": quads.dict_build,
         "o2_encode": quads.encode,
+        "o3_decode": quads.decode_roundtrip,
         "o4_insert_dedup": quads.insert_dedup,
         "o5_membership": quads.membership,
         "o6_pattern_scan": quads.pattern_scan,
@@ -263,6 +264,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "o1_dict_build": quads.DICT_BUILD_SQL,
         "o2_encode": quads.ENCODE_SQL,
+        "o3_decode": quads.DECODE_ROUNDTRIP_SQL,
         "o4_insert_dedup": quads.INSERT_DEDUP_SQL,
         "o5_membership": quads.MEMBERSHIP_SQL,
         "o6_pattern_scan": quads.PATTERN_SCAN_SQL,

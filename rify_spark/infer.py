@@ -185,7 +185,6 @@ def fixpoint(
         return goals.join(facts, SPOG, "left_anti").count() == 0
 
     stats = _predicate_stats(facts, cfg) if cond_rules else None
-    live = []  # superseded localCheckpoints to release
 
     while delta_rows > 0 and cond_rules:
         if goals is not None and goals_met():

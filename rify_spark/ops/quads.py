@@ -134,6 +134,23 @@ ENCODE_SQL = f"""
 """
 
 
+# --- O3: decode (encode -> dictionary-join decode roundtrip) ---------------
+
+def decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-encode the quad store then decode it back through the
+    materialized dictionary — O2+O3 as one verifiable roundtrip (the oracle
+    is simply the original quads: decode(encode(x)) == x)."""
+    from .. import dictionary as D
+
+    quads = tpch_quads(spark, sf_dir)
+    enc = D.encode_quads(quads)
+    d = D.build_dict(spark, quads)
+    return D.decode_quads(enc, d)
+
+
+DECODE_ROUNDTRIP_SQL = TPCH_QUADS_SQL
+
+
 # --- O4: insert with dedup -------------------------------------------------
 
 def insert_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
