@@ -56,9 +56,12 @@ class InferConfig:
     encode_terms: bool = True
     collision_audit: bool = True
     # delta-side broadcast cutoff (rows); above it joins fall back to
-    # shuffle joins with AQE skew handling. Broadcast cost is paid per plan
-    # per iteration, so the cutoff is deliberately conservative.
-    broadcast_delta_max_rows: int = 500_000
+    # shuffle joins with AQE skew handling. Measured on the 1M-node-tree
+    # closure: broadcasting a 4M-row delta cut its iteration 67s -> 21s
+    # (bindings joins stop shuffling the fact side); an 8M-row delta
+    # regressed, so the cutoff sits between. ~5M quad rows ≈ 160 MB — a
+    # routine broadcast on cluster-class executors.
+    broadcast_delta_max_rows: int = 5_000_000
     # persistent checkpoints (resumable); None -> localCheckpoint only
     checkpoint_dir: Optional[str] = None
     resume: bool = False
@@ -153,6 +156,8 @@ def fixpoint(
         it, facts, delta, arguments, meta = resumed
         facts_rows = meta.get("facts_rows", facts.count())
         delta_rows = meta.get("delta_rows", delta.count())
+        # F_old for the next round (non-redundant decomposition)
+        facts_old = facts.join(delta, SPOG, "left_anti").localCheckpoint(eager=True)
         metrics.append({"iteration": it, "resumed": True, "delta_rows": delta_rows})
     else:
         facts = facts0.localCheckpoint(eager=True)
@@ -160,9 +165,13 @@ def fixpoint(
         if delta0 is not None:
             delta = delta0.localCheckpoint(eager=True)
             delta_rows = delta.count()
+            facts_old = facts.join(delta, SPOG, "left_anti").localCheckpoint(
+                eager=True
+            )
         else:
             delta = facts
             delta_rows = facts_rows
+            facts_old = facts.limit(0)
         if lineage:
             # iteration-0 arguments (unconditional-rule heads) come from the
             # caller; see prove.py.
@@ -203,7 +212,14 @@ def fixpoint(
         for r in cond_rules:
             extra = lineage_cols(r, dtype) if lineage else ()
             for i in range(len(r.body)):
-                b = bindings(facts, r, delta=delta_src, seed_pos=i, stats=stats)
+                b = bindings(
+                    facts,
+                    r,
+                    delta=delta_src,
+                    seed_pos=i,
+                    stats=stats,
+                    facts_old=facts_old,
+                )
                 plans.append(project_heads(b, r, dtype, extra))
         cand = _union_all(plans)
 
@@ -235,6 +251,7 @@ def fixpoint(
             )
             break
 
+        facts_old = facts
         facts = facts.unionByName(new)
         facts_rows += delta_rows
         delta = new

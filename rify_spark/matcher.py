@@ -136,12 +136,20 @@ def bindings(
     delta: Optional[DataFrame] = None,
     seed_pos: Optional[int] = None,
     stats: Optional[Mapping] = None,
+    facts_old: Optional[DataFrame] = None,
 ) -> DataFrame:
     """All assignments of ``lrule``'s variables satisfying its body.
 
     Result columns: ``v0..v{n_vars-1}`` (canonical unbound order). With
     ``delta``/``seed_pos``, atom ``seed_pos`` reads from ``delta`` and the
     others from ``facts`` (semi-naive restriction).
+
+    With ``facts_old`` (= facts without the current delta) the decomposition
+    is non-redundant: atom positions *before* ``seed_pos`` read ``facts_old``
+    and positions after read ``facts`` — so a derivation using several delta
+    quads is produced by exactly one seed plan (the one whose seed is its
+    first delta atom) instead of once per delta atom. Same fixpoint, strictly
+    fewer candidate rows through the dedup/anti-join shuffles.
 
     Raises ValueError for an empty body — unconditional rules are seeded by
     the fixpoint driver, mirroring the reference's special-casing
@@ -156,7 +164,12 @@ def bindings(
     acc_vars: set = set()
     dummy_cols: list = []
     for tag, pos in enumerate(order):
-        src = delta if (seed_pos is not None and pos == seed_pos) else facts
+        if seed_pos is not None and pos == seed_pos:
+            src = delta
+        elif facts_old is not None and seed_pos is not None and pos < seed_pos:
+            src = facts_old
+        else:
+            src = facts
         rel, rel_vars = atom_relation(src, body[pos], tag)
         if not rel_vars:
             dummy_cols.append(f"__e{tag}")

@@ -37,6 +37,16 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
     )
+    # shuffle/spill to RAM-backed storage when available: this box's /tmp is
+    # disk-backed and becomes the bottleneck for shuffle-heavy fixpoints
+    # (cluster nodes in the target deployment have NVMe/ram-disk local dirs).
+    # Override with RIFY_SPARK_LOCAL_DIR; opt out with RIFY_SPARK_LOCAL_DIR=default.
+    local_dir = os.environ.get("RIFY_SPARK_LOCAL_DIR")
+    if local_dir is None and os.path.isdir("/dev/shm"):
+        local_dir = "/dev/shm/rify-spark-local"
+    if local_dir and local_dir != "default":
+        os.makedirs(local_dir, exist_ok=True)
+        b = b.config("spark.local.dir", local_dir)
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     return b.getOrCreate()

@@ -114,6 +114,8 @@ def main() -> None:
         "best_hi_fixpoint_tps": best(CPU_HI, "fixpoint_triples_per_sec"),
         "pipeline_scaling_efficiency": eff("pipeline_triples_per_sec"),
         "fixpoint_scaling_efficiency": eff("fixpoint_triples_per_sec"),
+        # the machine's own ceiling on this run (raw Spark shuffle control)
+        "control_scaling_efficiency": eff("control_rows_per_sec"),
     }
     with open(os.path.join(REPO, "SCALING.json"), "w") as f:
         json.dump(out, f, indent=2)
