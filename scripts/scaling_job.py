@@ -41,18 +41,6 @@ def main() -> None:
 
     out = {"cpus": CPUS}
 
-    # (0) machine control: a raw Spark shuffle (no engine code). Its own
-    # 2->8 scaling on this box is ~0.75 when quiet — the ceiling any
-    # shuffle-bound workload can reach here; engine efficiencies should be
-    # read against the control's, not against 1.0.
-    t0 = time.time()
-    ctl = spark.range(0, 100_000_000, 1, 2 * CPUS).select(
-        ((F.col("id") * 2654435761) % 20_000_000).alias("k")
-    )
-    ctl.groupBy("k").count().selectExpr("sum(count)", "count(*)").collect()
-    out["control_shuffle_wall_s"] = round(time.time() - t0, 2)
-    out["control_rows_per_sec"] = round(100_000_000 / out["control_shuffle_wall_s"], 1)
-
     # (a) KG pipeline over the shared corpus
     t0 = time.time()
     res = run_pipeline(spark, spark.read.parquet(CORPUS_PATH))
@@ -91,6 +79,20 @@ def main() -> None:
     out["fixpoint_derived"] = n
     out["fixpoint_iterations"] = fx.iterations
     out["fixpoint_triples_per_sec"] = round(n / wall, 1)
+
+    # (c) machine control LAST: a raw Spark shuffle (no engine code). Runs
+    # after the workloads because its 100M-row shuffle measurably pollutes
+    # the JVM for subsequent small-stage jobs. Its own 2->8 scaling here is
+    # ~0.75 when quiet (and super-linear under the per-core-constant heap
+    # proxy, since the low-core JVM is memory-tight) — read engine
+    # efficiencies against it, not against 1.0.
+    t0 = time.time()
+    ctl = spark.range(0, 100_000_000, 1, 2 * CPUS).select(
+        ((F.col("id") * 2654435761) % 20_000_000).alias("k")
+    )
+    ctl.groupBy("k").count().selectExpr("sum(count)", "count(*)").collect()
+    out["control_shuffle_wall_s"] = round(time.time() - t0, 2)
+    out["control_rows_per_sec"] = round(100_000_000 / out["control_shuffle_wall_s"], 1)
 
     print(json.dumps(out))
 
