@@ -237,6 +237,10 @@ def fixpoint(
             new = new_full.select(*SPOG)
             if delta_rows:
                 arguments = arguments.unionByName(new_full)
+                # flatten the accumulating union periodically so long prove
+                # fixpoints keep bounded plan depth
+                if it % 16 == 0:
+                    arguments = arguments.localCheckpoint(eager=True)
         else:
             new = (
                 cand.dropDuplicates(SPOG)
