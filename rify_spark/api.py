@@ -35,7 +35,7 @@ from .prove import (
     prove_fixpoint,
     recall_proof,
 )
-from .rules import Rule, RuleApplication, lower_rule
+from .rules import Rule, RuleApplication, freeze_term, lower_rule, thaw_term
 from .validate import Valid, valid_to_dfs, validate  # re-export  # noqa: F401
 
 _QUAD_STR_SCHEMA = "s string, p string, o string, g string"
@@ -84,7 +84,7 @@ def _all_terms(premises: Sequence, rules: Sequence[Rule], extra: Sequence = ()):
 def _check_quads(quads: Sequence) -> list:
     out = []
     for q in quads:
-        q = tuple(q)
+        q = tuple(freeze_term(x) for x in q)
         if len(q) != 4:
             raise ValueError(f"facts are quads; got {len(q)} elements")
         out.append(q)
@@ -157,7 +157,8 @@ def infer(
     if low.dict_df is not None:
         derived = D.decode_quads(derived, low.dict_df)
     rows = sorted(tuple(r) for r in derived.collect())
-    return [tuple(codec.decode(x) for x in q) for q in rows]
+    # thaw so structured terms round-trip to their original JSON shapes
+    return [tuple(thaw_term(codec.decode(x)) for x in q) for q in rows]
 
 
 def infer_df(

@@ -26,9 +26,19 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 class CheckpointManager:
-    def __init__(self, spark: SparkSession, directory: str):
+    def __init__(
+        self,
+        spark: SparkSession,
+        directory: str,
+        fingerprint: Optional[str] = None,
+    ):
+        """``fingerprint`` identifies the job (rules + config + input shape);
+        it is stamped into every ``meta.json`` and verified on resume, so a
+        stale checkpoint directory from a different job is refused instead of
+        silently restoring wrong fixpoint state."""
         self.spark = spark
         self.dir = directory
+        self.fingerprint = fingerprint
         os.makedirs(directory, exist_ok=True)
 
     def _iter_dir(self, it: int) -> str:
@@ -66,6 +76,7 @@ class CheckpointManager:
             "delta_partitions": delta2.rdd.getNumPartitions(),
             "ts": time.time(),
             "has_arguments": arguments is not None,
+            "fingerprint": self.fingerprint,
         }
         if extra_meta:
             meta.update(extra_meta)
@@ -91,6 +102,13 @@ class CheckpointManager:
         d = self._iter_dir(it)
         with open(os.path.join(d, "meta.json")) as f:
             meta = json.load(f)
+        if self.fingerprint is not None and meta.get("fingerprint") != self.fingerprint:
+            raise ValueError(
+                f"checkpoint at {d} belongs to a different job "
+                f"(fingerprint {meta.get('fingerprint')!r} != "
+                f"{self.fingerprint!r}); refusing to resume — point "
+                f"checkpoint_dir at a fresh directory or the matching job's"
+            )
         facts = self.spark.read.parquet(os.path.join(d, "facts.parquet"))
         delta = self.spark.read.parquet(os.path.join(d, "delta.parquet"))
         args = None

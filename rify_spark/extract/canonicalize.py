@@ -68,6 +68,7 @@ def connected_components(
         edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
     )
 
+    changed = 0
     for _ in range(max_rounds):
         neighbor_labels = (
             sym.join(labels, sym["a"] == labels["node"], "inner")
@@ -88,6 +89,14 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        # a partially-converged mapping would silently split one component
+        # onto multiple representatives — fail loud instead
+        raise RuntimeError(
+            f"connected_components did not converge within {max_rounds} "
+            f"rounds ({changed} labels still changing); the edge graph has "
+            f"a component with diameter > max_rounds — raise max_rounds"
+        )
 
     return labels.select("node", F.col("label.n").alias("canon"))
 

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import re
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -149,15 +150,29 @@ def link_score_udf(mention: pd.Series, candidate: pd.Series) -> pd.Series:
     ).fillna("")
     exact = (m == frag).astype("float64")
     plen = pd.Series(
-        [len(_common_prefix(a, b)) for a, b in zip(m, frag)], index=m.index
+        _common_prefix_len(m, frag), index=m.index
     ).astype("float64")
     denom = m.str.len().clip(lower=1).astype("float64")
     return exact.where(exact == 1.0, (plen / denom) * 0.5)
 
 
-def _common_prefix(a: str, b: str) -> str:
-    n = min(len(a), len(b))
-    i = 0
-    while i < n and a[i] == b[i]:
-        i += 1
-    return a[:i]
+def _common_prefix_len(a: pd.Series, b: pd.Series) -> np.ndarray:
+    """Vectorized common-prefix length between two aligned string Series.
+
+    No per-row Python: both sides become fixed-width UTF-32 numpy arrays and
+    the first-mismatch position is found with array compares (this sits in
+    the entity-link hot path, batched over millions of candidate pairs)."""
+    a_arr = np.asarray(a.fillna(""), dtype="U")
+    b_arr = np.asarray(b.fillna(""), dtype="U")
+    n = len(a_arr)
+    if n == 0:
+        return np.zeros(0, dtype=np.int64)
+    # pad both to a common width; \0 padding guarantees a mismatch at
+    # min(len) when lengths differ
+    width = max(a_arr.dtype.itemsize, b_arr.dtype.itemsize, 4) // 4
+    a4 = a_arr.astype(f"<U{width}").view(np.uint32).reshape(n, width)
+    b4 = b_arr.astype(f"<U{width}").view(np.uint32).reshape(n, width)
+    neq = a4 != b4
+    first = np.where(neq.any(axis=1), neq.argmax(axis=1), width)
+    min_len = np.minimum(np.char.str_len(a_arr), np.char.str_len(b_arr))
+    return np.minimum(first, min_len)

@@ -37,6 +37,7 @@ Scale design:
 
 from __future__ import annotations
 
+import hashlib
 import time
 from dataclasses import dataclass, field
 from typing import Optional
@@ -99,6 +100,18 @@ def _predicate_stats(facts: DataFrame, cfg: InferConfig) -> Optional[dict]:
     return {r["p"]: r["count"] for r in rows}
 
 
+def job_fingerprint(lrules: list, dtype_str: str, lineage: bool) -> str:
+    """Deterministic identity of a fixpoint job: the lowered rule set (body/
+    head slot structure and constant values), the engine value type, and
+    whether lineage is maintained. Stamped into checkpoint meta.json so a
+    resume against a different job's directory is refused."""
+    h = hashlib.sha256()
+    h.update(f"dtype={dtype_str};lineage={lineage};".encode())
+    for r in lrules:
+        h.update(f"r{r.index}:{r.body!r}->{r.head!r};n={r.n_vars}".encode())
+    return h.hexdigest()[:32]
+
+
 def unconditional_heads(lrules: list) -> list:
     """Driver-side literal head quads of empty-body rules, in rule order.
 
@@ -143,7 +156,15 @@ def fixpoint(
     cfg = cfg or InferConfig()
     dtype = facts0.schema["s"].dataType
     cond_rules: list = [r for r in lrules if not r.unconditional]
-    ckpt = CheckpointManager(spark, cfg.checkpoint_dir) if cfg.checkpoint_dir else None
+    ckpt = (
+        CheckpointManager(
+            spark,
+            cfg.checkpoint_dir,
+            fingerprint=job_fingerprint(lrules, dtype.simpleString(), lineage),
+        )
+        if cfg.checkpoint_dir
+        else None
+    )
 
     metrics: list = []
     arguments: Optional[DataFrame] = None

@@ -38,7 +38,7 @@ def windowed_counts_sql() -> str:
     SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
            event_type,
            count(*) AS n_events,
-           sum(CAST(round(value * 1000) AS BIGINT)) AS sum_value_milli
+           CAST(sum(CAST(round(value * 1000) AS BIGINT)) AS BIGINT) AS sum_value_milli
     FROM events
     GROUP BY 1, 2
     """

@@ -19,12 +19,69 @@ through a driver-side codec (see :mod:`rify_spark.api`).
 
 from __future__ import annotations
 
+import json
 from dataclasses import dataclass, field
 from typing import Any, Iterator, Sequence, Tuple
 
-from .errors import UnboundImplied
+from .errors import NoTranslation, UnboundImplied
 
 Term = Any  # opaque; str inside the Spark engine
+
+
+class FrozenTerm:
+    """Hashable, totally-ordered wrapper for structured (JSON-shaped) terms.
+
+    The reference engine is generic over ``Bound: Ord`` and its serde vectors
+    round-trip rules whose bound terms are structured RdfTerm objects
+    (reference src/rule.rs:485-570, e.g. ``{"Bound": {"Iri": ...}}``). Python
+    dicts are unhashable, so such terms are frozen at rule-construction time:
+    hash/eq/order derive from the canonical JSON encoding, and ``.json``
+    recovers the original structure for serialization.
+    """
+
+    __slots__ = ("json", "_key")
+
+    def __init__(self, obj: Any) -> None:
+        self.json = obj
+        self._key = json.dumps(
+            obj, sort_keys=True, separators=(",", ":"), ensure_ascii=False
+        )
+
+    def __hash__(self) -> int:
+        return hash(self._key)
+
+    def __eq__(self, other: Any) -> bool:
+        if isinstance(other, FrozenTerm):
+            return self._key == other._key
+        # reflected comparison against the raw structure (dict == FrozenTerm
+        # delegates here), so tests and callers can compare against plain JSON
+        if isinstance(other, (dict, list)):
+            return self.json == other
+        return NotImplemented
+
+    def __lt__(self, other: "FrozenTerm") -> bool:
+        if not isinstance(other, FrozenTerm):
+            return NotImplemented
+        return self._key < other._key
+
+    def __repr__(self) -> str:  # pragma: no cover - debug aid
+        return f"FrozenTerm({self.json!r})"
+
+
+def freeze_term(value: Term) -> Term:
+    """Return ``value`` unchanged if hashable, else a :class:`FrozenTerm`."""
+    if isinstance(value, FrozenTerm):
+        return value
+    try:
+        hash(value)
+        return value
+    except TypeError:
+        return FrozenTerm(value)
+
+
+def thaw_term(value: Term) -> Term:
+    """Inverse of :func:`freeze_term` for serialization."""
+    return value.json if isinstance(value, FrozenTerm) else value
 
 
 @dataclass(frozen=True)
@@ -40,12 +97,12 @@ class Entity:
 
 def Unbound(name: Term) -> Entity:
     """A named variable with an unknown value."""
-    return Entity(True, name)
+    return Entity(True, freeze_term(name))
 
 
 def Bound(value: Term) -> Entity:
-    """A constant term."""
-    return Entity(False, value)
+    """A constant term (structured terms are frozen to a hashable form)."""
+    return Entity(False, freeze_term(value))
 
 
 Atom = Tuple[Entity, Entity, Entity, Entity]
@@ -63,7 +120,8 @@ def _entity_from_json(obj: Any) -> Entity:
 
 
 def _entity_to_json(e: Entity) -> dict:
-    return {"Unbound": e.value} if e.is_var else {"Bound": e.value}
+    value = thaw_term(e.value)
+    return {"Unbound": value} if e.is_var else {"Bound": value}
 
 
 def _coerce_atom(atom: Sequence[Entity]) -> Atom:
@@ -73,7 +131,9 @@ def _coerce_atom(atom: Sequence[Entity]) -> Atom:
     for e in atom:
         if not isinstance(e, Entity):
             raise TypeError(f"expected Entity, got {type(e).__name__}")
-    return atom  # type: ignore[return-value]
+    # freeze structured term values so every downstream set/dict over terms
+    # (bound_terms, TermCodec, prove's known-name check) stays hashable
+    return tuple(Entity(e.is_var, freeze_term(e.value)) for e in atom)  # type: ignore[return-value]
 
 
 @dataclass(frozen=True)
@@ -159,7 +219,11 @@ class RuleApplication:
     instantiations: Tuple[Term, ...] = field(default_factory=tuple)
 
     def __post_init__(self) -> None:
-        object.__setattr__(self, "instantiations", tuple(self.instantiations))
+        object.__setattr__(
+            self,
+            "instantiations",
+            tuple(freeze_term(x) for x in self.instantiations),
+        )
 
 
 # ---------------------------------------------------------------------------
@@ -204,12 +268,20 @@ def lower_rule(rule: Rule, index: int, const_map) -> LoweredRule:
     canon = rule.canonical_unbound()
     var_slot = {name: i for i, name in enumerate(canon)}
 
+    def lower_const(value):
+        try:
+            return const_map(value)
+        except (KeyError, LookupError) as exc:
+            # reference Rule::lower surfaces NoTranslation when the term
+            # dictionary lacks a bound term (src/rule.rs:154-165,221-223)
+            raise NoTranslation(value) from exc
+
     def lower_atoms(atoms: Sequence[Atom]) -> list:
         out = []
         for atom in atoms:
             out.append(
                 tuple(
-                    ("v", var_slot[e.value]) if e.is_var else ("c", const_map(e.value))
+                    ("v", var_slot[e.value]) if e.is_var else ("c", lower_const(e.value))
                     for e in atom
                 )
             )

@@ -42,9 +42,13 @@ def _make_fn(gap_s: int):
             session_id, session_start, last_ts, n_events = 0, None, None, 0
 
         closed = []
-        for pdf in pdf_iter:
-            # epoch seconds, sorted within the batch
-            ts = sorted(int(t) for t in pdf["ts_epoch"])
+        # a large group arrives as MULTIPLE Arrow chunks with no global
+        # order: accumulate them all, then sort once, so an earlier
+        # timestamp in a later chunk can't create a negative gap or a
+        # phantom session split.
+        chunks = [pdf["ts_epoch"] for pdf in pdf_iter]
+        if chunks:
+            ts = sorted(int(t) for t in pd.concat(chunks, ignore_index=True))
             for t in ts:
                 if last_ts is not None and t - last_ts > gap_s:
                     closed.append(

@@ -75,3 +75,30 @@ def test_resume_from_mid_fixpoint(spark, tmp_path):
     assert res.metrics[0].get("resumed") is True
     # resumed run continued from iteration 3, not from scratch
     assert all(m["iteration"] >= 2 for m in res.metrics)
+
+
+def test_resume_refuses_mismatched_fingerprint(spark, tmp_path):
+    import pytest
+
+    ckdir = str(tmp_path / "ck")
+    facts, lrules, _ = _chain_setup(spark)
+    facts0 = seed_facts(spark, facts, lrules, "string")
+    partial_cfg = InferConfig(
+        encode_terms=False, checkpoint_dir=ckdir, max_iterations=1
+    )
+    fixpoint(spark, facts0, lrules, partial_cfg)
+
+    # same directory, different rule set -> refuse to resume
+    other = [
+        lower_rule(
+            Rule.create(
+                [[U("a"), B("parent"), U("b"), B(DG)]],
+                [[U("b"), B("child_of"), U("a"), B(DG)]],
+            ),
+            0,
+            lambda t: t,
+        )
+    ]
+    resume_cfg = InferConfig(encode_terms=False, checkpoint_dir=ckdir, resume=True)
+    with pytest.raises(ValueError, match="different job"):
+        fixpoint(spark, seed_facts(spark, facts, other, "string"), other, resume_cfg)

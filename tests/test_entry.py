@@ -52,6 +52,8 @@ QUERIES = entrymod.queries()
 
 @pytest.mark.parametrize("name", sorted(ORACLES))
 def test_oracle_match(spark, duck, name):
+    import pyarrow as pa
+
     sdf = QUERIES[name](spark, SF_DIR)
     scols = sdf.columns
     srows = [tuple(r) for r in sdf.collect()]
@@ -59,6 +61,19 @@ def test_oracle_match(spark, duck, name):
     dcols = [d[0] for d in res.description]
     drows = res.fetchall()
     assert sorted(scols) == sorted(dcols), f"{name}: column names differ"
+    # the driver's value hash is DTYPE-sensitive (a DuckDB HUGEINT sum vs a
+    # Spark BIGINT hashes differently even when values are equal), so the
+    # local mirror must compare arrow dtypes too, not just Python values
+    spd = QUERIES[name](spark, SF_DIR).toPandas()[sorted(scols)]
+    dpd = duck.execute(ORACLES[name]).df()[sorted(dcols)]
+    sschema = pa.Table.from_pandas(spd, preserve_index=False).schema
+    dschema = pa.Table.from_pandas(dpd, preserve_index=False).schema
+    mism = [
+        (f.name, str(f.type), str(dschema.field(f.name).type))
+        for f in sschema
+        if f.type != dschema.field(f.name).type
+    ]
+    assert not mism, f"{name}: arrow dtype mismatch (spark vs oracle): {mism}"
     sc, sr = _normalize(scols, srows)
     dc, dr = _normalize(dcols, drows)
     assert len(sr) == len(dr), f"{name}: row count {len(sr)} vs {len(dr)}"
