@@ -227,11 +227,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "o5_membership": quads.membership,
         "o6_pattern_scan": quads.pattern_scan,
         "o7_conjunctive_match": quads.conjunctive_match,
+        "o8_join_order": quads.join_order,
         "o9_delta_round": quads.delta_round,
         "o10_head_projection": quads.head_projection,
         "o11_ancestry_fixpoint": _q_ancestry,
+        "o12_seed_unconditional": quads.seed_unconditional,
         "o13_prove_lineage": _q_prove_lineage,
+        "o14_proof_extract": quads.proof_extract,
+        "o15_proof_raise": quads.proof_raise,
         "o16_validate_roundtrip": _q_validate_roundtrip,
+        "o17_rule_lowering": quads.rule_lowering,
+        "o18_rule_validation": quads.rule_validation,
         # KG construction
         "kg_extract_mentions": _q_kg_mentions,
         "kg_pipeline_derived": _q_kg_pipeline,
@@ -269,9 +275,16 @@ def oracle_sql() -> dict[str, str]:
         "o5_membership": quads.MEMBERSHIP_SQL,
         "o6_pattern_scan": quads.PATTERN_SCAN_SQL,
         "o7_conjunctive_match": quads.CONJUNCTIVE_MATCH_SQL,
+        "o8_join_order": quads.JOIN_ORDER_SQL,
         "o9_delta_round": quads.DELTA_ROUND_SQL,
         "o10_head_projection": quads.HEAD_PROJECTION_SQL,
         "o11_ancestry_fixpoint": quads.ANCESTRY_CLOSURE_SQL,
+        "o12_seed_unconditional": quads.SEED_UNCONDITIONAL_SQL,
+        "o13_prove_lineage": quads.PROVE_LINEAGE_SQL,
+        "o14_proof_extract": quads.PROOF_SQL,
+        "o15_proof_raise": quads.PROOF_SQL,
+        "o17_rule_lowering": quads.RULE_LOWERING_SQL,
+        "o18_rule_validation": quads.RULE_VALIDATION_SQL,
         "kg_extract_mentions": """
             SELECT DISTINCT doc_id, tok AS mention FROM (
               SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
@@ -293,6 +306,7 @@ def oracle_sql() -> dict[str, str]:
         "events_windowed": events.windowed_counts_sql(),
         "events_sessionize": events.sessionize_sql(),
         "multimodal_features": multimodal.media_features_sql(),
-        # rows-only (non-SQL-expressible): o13_prove_lineage,
-        # o16_validate_roundtrip, kg_pipeline_derived
+        # rows-only (non-SQL-expressible): o16_validate_roundtrip (the
+        # implied set exists only after a prove->validate round trip),
+        # kg_pipeline_derived (pandas-UDF extraction)
     }

@@ -340,3 +340,359 @@ def ancestry_closure(spark: SparkSession, sf_dir: str, config=None) -> DataFrame
     ]
     derived, _ = infer_df(spark, edges, rules, config or InferConfig())
     return derived
+
+
+# --- O13 oracle: prove-lineage arguments table ------------------------------
+# The arguments table of the goal-directed fixpoint IS SQL-expressible for
+# the binary-tree closure, because first-derivation attribution is fully
+# determined by the unique path length j between a node and its ancestor
+# (a = k >> j): rule 0 (parent->ancestor) derives exactly the j=1 quads in
+# iteration 1, and the doubling semi-naive rounds of rule 2 (anc ∧ anc)
+# derive j in (2^(i-2), 2^(i-1)] at iteration i, so
+# iteration(j) = 1 if j == 1 else ceil(log2(j)) + 1. The goal (deepest node
+# -> node:0) has the maximum path length, so early exit still yields the
+# full closure.
+
+PROVE_LINEAGE_SQL = f"""
+  WITH RECURSIVE anc AS (
+    SELECT c_custkey AS child, c_custkey // 2 AS a, 1 AS j
+    FROM customer WHERE c_custkey >= 1
+    UNION ALL
+    SELECT child, a // 2, j + 1 FROM anc WHERE a >= 1
+  )
+  SELECT 'node:' || child AS s, 'ancestor' AS p, 'node:' || a AS o,
+         '{TREE_G}' AS g,
+         CAST(CASE WHEN j = 1 THEN 0 ELSE 1 END AS BIGINT) AS rule_index,
+         CAST(CASE WHEN j = 1 THEN 1 ELSE ceil(log2(j)) + 1 END AS BIGINT)
+           AS iteration
+  FROM anc
+"""
+
+
+# --- O8: join-order heuristic ------------------------------------------------
+
+def join_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O8: the stats-driven greedy join order (matcher.order_body — the
+    analog of the reference's pop_strictest_requirement,
+    src/reasoner.rs:235-243) over the 3-atom chain
+    (?ord placed_by ?c)(?c in_nation ?n)(?n in_region ?r). Per-predicate
+    counts come from a distributed agg; the oracle recomputes the greedy
+    choice from the same counts independently in SQL."""
+    from ..matcher import order_body
+    from ..rules import Bound as B, Rule, Unbound as U, lower_rule
+
+    quads = tpch_quads(spark, sf_dir)
+    stats = {r["p"]: r["count"] for r in quads.groupBy("p").count().collect()}
+    rule = Rule.create(
+        [
+            [U("ord"), B("placed_by"), U("c"), B(G)],
+            [U("c"), B("in_nation"), U("n"), B(G)],
+            [U("n"), B("in_region"), U("r"), B(G)],
+        ],
+        [[U("ord"), B("in_region_via"), U("r"), B(G)]],
+    )
+    lr = lower_rule(rule, 0, lambda t: t)
+    order = order_body(lr.body, stats=stats)
+    preds = ["placed_by", "in_nation", "in_region"]
+    rows = [
+        (pos, atom, preds[atom], int(stats.get(preds[atom], 0)))
+        for pos, atom in enumerate(order)
+    ]
+    return spark.createDataFrame(
+        rows, "position long, atom_index long, predicate string, est_rows long"
+    )
+
+
+# greedy order for the a1-a2-a3 chain (a1&a3 share no variable): first pick
+# is global min count (tie -> lower atom index); if the middle atom goes
+# first both ends are connected and the smaller count goes next; an end atom
+# first forces the middle next.
+JOIN_ORDER_SQL = f"""
+  WITH quads AS ({TPCH_QUADS_SQL}),
+  c AS (SELECT p, count(*) AS n FROM quads GROUP BY p),
+  t AS (
+    SELECT (SELECT n FROM c WHERE p = 'placed_by') AS n1,
+           (SELECT n FROM c WHERE p = 'in_nation') AS n2,
+           (SELECT n FROM c WHERE p = 'in_region') AS n3
+  ),
+  ord AS (
+    SELECT CASE
+             WHEN n1 <= n2 AND n1 <= n3 THEN [0, 1, 2]
+             WHEN n3 < n1 AND n3 < n2 THEN [2, 1, 0]
+             WHEN n1 <= n3 THEN [1, 0, 2]
+             ELSE [1, 2, 0]
+           END AS o,
+           [n1, n2, n3] AS n
+    FROM t
+  ),
+  pos AS (SELECT unnest(generate_series(0, 2)) AS position)
+  SELECT CAST(position AS BIGINT) AS position,
+         CAST(o[position + 1] AS BIGINT) AS atom_index,
+         (['placed_by', 'in_nation', 'in_region'])[o[position + 1] + 1]
+           AS predicate,
+         CAST(n[o[position + 1] + 1] AS BIGINT) AS est_rows
+  FROM pos, ord
+"""
+
+
+# --- O12: unconditional-rule seeding -----------------------------------------
+
+def seed_unconditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O12: premises ∪ literal heads of empty-body rules, first-wins deduped
+    (the pre-loop seeding of src/infer.rs:36-50). The premise side is fed in
+    duplicated and a head repeats across two rules, so the dedup semantics
+    are load-bearing."""
+    from ..infer import seed_facts
+    from ..rules import Bound as B, Rule, lower_rule
+
+    edges = tree_edges(spark, sf_dir)
+    rules = [
+        Rule.create([], [[B("axiom:root"), B("is"), B("root"), B(TREE_G)]]),
+        Rule.create(
+            [],
+            [
+                [B("axiom:root"), B("is"), B("root"), B(TREE_G)],
+                [B("tree:0"), B("rooted_at"), B("node:0"), B(TREE_G)],
+            ],
+        ),
+    ]
+    lrules = [lower_rule(r, i, lambda t: t) for i, r in enumerate(rules)]
+    return seed_facts(spark, edges.unionByName(edges), lrules, "string")
+
+
+SEED_UNCONDITIONAL_SQL = f"""
+  SELECT DISTINCT s, p, o, g FROM (
+    {TREE_EDGES_SQL}
+    UNION ALL
+    SELECT 'axiom:root', 'is', 'root', '{TREE_G}'
+    UNION ALL
+    SELECT 'tree:0', 'rooted_at', 'node:0', '{TREE_G}'
+  )
+"""
+
+
+# --- O14/O15: proof extraction + proof raise ---------------------------------
+# The reference pins the exact 11-step proof for this fixture
+# (src/prove.rs:503-627), so the oracle is the literal expected proof.
+
+_DG = "default_graph"
+
+_FRIENDSHIP_FACTS = [
+    ("soyoung", "friendswith", "nick", _DG),
+    ("nick", "friendswith", "elina", _DG),
+    ("elina", "friendswith", "sam", _DG),
+    ("sam", "friendswith", "fausto", _DG),
+    ("fausto", "friendswith", "lovesh", _DG),
+    ("andrew", "claims", "_:claim1", _DG),
+    ("_:claim1", "subject", "lovesh", _DG),
+    ("_:claim1", "property", "is", _DG),
+    ("_:claim1", "object", "awesome", _DG),
+]
+
+_EXPECTED_PROOF = [
+    (0, ("_:claim1", "lovesh", "is", "awesome")),
+    (2, ("fausto", "lovesh")),
+    (1, ("lovesh", "fausto")),
+    (2, ("sam", "fausto")),
+    (1, ("fausto", "sam")),
+    (2, ("elina", "sam")),
+    (1, ("sam", "elina")),
+    (2, ("nick", "elina")),
+    (1, ("elina", "nick")),
+    (2, ("soyoung", "nick")),
+    (1, ("nick", "soyoung")),
+]
+
+
+def _friendship_rules():
+    from ..rules import Bound as B, Rule, Unbound as U
+
+    return [
+        Rule.create(
+            [
+                [B("andrew"), B("claims"), U("c"), B(_DG)],
+                [U("c"), B("subject"), U("s"), B(_DG)],
+                [U("c"), B("property"), U("p"), B(_DG)],
+                [U("c"), B("object"), U("o"), B(_DG)],
+            ],
+            [[U("s"), U("p"), U("o"), B(_DG)]],
+        ),
+        Rule.create(
+            [
+                [U("person_a"), B("is"), B("awesome"), B(_DG)],
+                [U("person_a"), B("friendswith"), U("person_b"), B(_DG)],
+            ],
+            [[U("person_b"), B("is"), B("awesome"), B(_DG)]],
+        ),
+        Rule.create(
+            [[U("person_a"), B("friendswith"), U("person_b"), B(_DG)]],
+            [[U("person_b"), B("friendswith"), U("person_a"), B(_DG)]],
+        ),
+    ]
+
+
+def _proof_df(spark: SparkSession, encode_terms: bool) -> DataFrame:
+    from ..api import prove
+    from ..infer import InferConfig
+
+    claims = [("soyoung", "is", "awesome", _DG), ("nick", "is", "awesome", _DG)]
+    proof = prove(
+        spark,
+        _FRIENDSHIP_FACTS,
+        claims,
+        _friendship_rules(),
+        InferConfig(encode_terms=encode_terms),
+    )
+    rows = [
+        (i, app.rule_index, "|".join(app.instantiations))
+        for i, app in enumerate(proof)
+    ]
+    return spark.createDataFrame(rows, "step long, rule_index long, inst string")
+
+
+def proof_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O14: recall_proof over the lineage table, raw-string engine path —
+    the exact canonical proof (src/prove.rs:168-207)."""
+    return _proof_df(spark, encode_terms=False)
+
+
+def proof_raise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O15: the same proof through the hash-encoded engine, raised back from
+    64-bit ids to terms (src/common.rs:52-77) — identical output proves the
+    raise is a bijection on the proof's instantiation vectors."""
+    return _proof_df(spark, encode_terms=True)
+
+
+PROOF_SQL = "SELECT * FROM (VALUES\n" + ",\n".join(
+    f"  (CAST({i} AS BIGINT), CAST({ri} AS BIGINT), '{'|'.join(inst)}')"
+    for i, (ri, inst) in enumerate(_EXPECTED_PROOF)
+) + "\n) t(step, rule_index, inst)"
+
+
+# --- O17: rule lowering -------------------------------------------------------
+
+def rule_lowering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O17: Rule -> LoweredRule slot structure (src/rule.rs:103-168) as rows:
+    shared variables share dense slot ids in canonical first-appearance
+    order, constants carry translated values. Includes the reference's
+    similar-names vector (variable 'a' distinct from constant 'a',
+    src/rule.rs:242-257)."""
+    from ..rules import Bound as B, Rule, Unbound as U, lower_rule
+
+    rules = [
+        Rule.create(
+            [[U("a"), B("parent"), U("b"), U("g")]],
+            [[U("a"), B("ancestor"), U("b"), U("g")]],
+        ),
+        Rule.create(
+            [
+                [U("a"), B("ancestor"), U("b"), U("g")],
+                [U("b"), B("ancestor"), U("c"), U("g")],
+            ],
+            [[U("a"), B("ancestor"), U("c"), U("g")]],
+        ),
+        Rule.create([[U("a"), B("a"), U("b"), U("g")]], []),
+    ]
+    lrules = [lower_rule(r, i, lambda t: f"const:{t}") for i, r in enumerate(rules)]
+    rows = []
+    for lr in lrules:
+        for part, atoms in (("body", lr.body), ("head", lr.head)):
+            for ai, atom in enumerate(atoms):
+                for si, (kind, val) in enumerate(atom):
+                    rows.append((lr.index, part, ai, si, kind, str(val)))
+    return spark.createDataFrame(
+        rows,
+        "rule_index long, part string, atom_pos long, slot_pos long, "
+        "kind string, value string",
+    )
+
+
+_LOWERING_EXPECTED = [
+    # rule 0: canon vars a=0, b=1, g=2
+    (0, "body", 0, 0, "v", "0"), (0, "body", 0, 1, "c", "const:parent"),
+    (0, "body", 0, 2, "v", "1"), (0, "body", 0, 3, "v", "2"),
+    (0, "head", 0, 0, "v", "0"), (0, "head", 0, 1, "c", "const:ancestor"),
+    (0, "head", 0, 2, "v", "1"), (0, "head", 0, 3, "v", "2"),
+    # rule 1: canon vars a=0, b=1, g=2, c=3
+    (1, "body", 0, 0, "v", "0"), (1, "body", 0, 1, "c", "const:ancestor"),
+    (1, "body", 0, 2, "v", "1"), (1, "body", 0, 3, "v", "2"),
+    (1, "body", 1, 0, "v", "1"), (1, "body", 1, 1, "c", "const:ancestor"),
+    (1, "body", 1, 2, "v", "3"), (1, "body", 1, 3, "v", "2"),
+    (1, "head", 0, 0, "v", "0"), (1, "head", 0, 1, "c", "const:ancestor"),
+    (1, "head", 0, 2, "v", "3"), (1, "head", 0, 3, "v", "2"),
+    # rule 2: variable 'a' (slot 0) is distinct from constant 'a'
+    (2, "body", 0, 0, "v", "0"), (2, "body", 0, 1, "c", "const:a"),
+    (2, "body", 0, 2, "v", "1"), (2, "body", 0, 3, "v", "2"),
+]
+
+RULE_LOWERING_SQL = "SELECT * FROM (VALUES\n" + ",\n".join(
+    f"  (CAST({ri} AS BIGINT), '{part}', CAST({ai} AS BIGINT), "
+    f"CAST({si} AS BIGINT), '{kind}', '{val}')"
+    for ri, part, ai, si, kind, val in _LOWERING_EXPECTED
+) + "\n) t(rule_index, part, atom_pos, slot_pos, kind, value)"
+
+
+# --- O18: rule validation (range restriction) --------------------------------
+
+def rule_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O18: range-restriction checking over a fixture of rule JSONs
+    (src/rule.rs:72-86,196-210): every unbound name in `then` must occur in
+    `if_all`; unconditional rules therefore need all-constant heads."""
+    from ..errors import UnboundImplied
+    from ..rules import Rule
+
+    fixtures = [
+        (
+            "ancestry_step",
+            {
+                "if_all": [[{"Unbound": "a"}, {"Bound": "parent"},
+                            {"Unbound": "b"}, {"Unbound": "g"}]],
+                "then": [[{"Unbound": "a"}, {"Bound": "ancestor"},
+                          {"Unbound": "b"}, {"Unbound": "g"}]],
+            },
+        ),
+        (
+            "unbound_implied_var",
+            {
+                "if_all": [],
+                "then": [[{"Unbound": "a"}, {"Unbound": "a"},
+                          {"Unbound": "a"}, {"Unbound": "a"}]],
+            },
+        ),
+        (
+            "unbound_in_head_only",
+            {
+                "if_all": [[{"Unbound": "x"}, {"Bound": "p"},
+                            {"Unbound": "y"}, {"Bound": "g"}]],
+                "then": [[{"Unbound": "x"}, {"Bound": "p"},
+                          {"Unbound": "z"}, {"Bound": "g"}]],
+            },
+        ),
+        (
+            "unconditional_const_head",
+            {
+                "if_all": [],
+                "then": [[{"Bound": "nachos"}, {"Bound": "are"},
+                          {"Bound": "food"}, {"Bound": "g"}]],
+            },
+        ),
+    ]
+    rows = []
+    for name, obj in fixtures:
+        try:
+            Rule.from_json(obj)
+            status = "ok"
+        except UnboundImplied as exc:
+            status = f"UnboundImplied:{exc.name}"
+        rows.append((name, status))
+    return spark.createDataFrame(rows, "rule_name string, status string")
+
+
+RULE_VALIDATION_SQL = """
+  SELECT * FROM (VALUES
+    ('ancestry_step', 'ok'),
+    ('unbound_implied_var', 'UnboundImplied:a'),
+    ('unbound_in_head_only', 'UnboundImplied:z'),
+    ('unconditional_const_head', 'ok')
+  ) t(rule_name, status)
+"""
