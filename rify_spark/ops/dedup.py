@@ -55,50 +55,98 @@ def exact_dedup_sql() -> str:
 
 
 def _tokens(docs: DataFrame) -> DataFrame:
+    """(doc_id, h) with the 28-bit token hash computed ONCE per distinct
+    token in a projection before the aggregate — the md5/conv chain must not
+    be re-evaluated per minhash permutation."""
     return docs.select(
         "doc_id",
         F.explode(F.array_distinct(F.split(F.lower("text"), " "))).alias("tok"),
+    ).select("doc_id", _H28_SPARK(F.col("tok")).alias("h"))
+
+
+def _tokens_sql(table: str = "documents") -> str:
+    h = _H28_SQL.format(c="tok")
+    return f"""
+  SELECT doc_id, {h} AS h FROM (
+    SELECT doc_id, unnest(list_distinct(string_split(lower(text), ' '))) AS tok
+    FROM {table}
+  )
+"""
+
+
+def _mh_shingles(docs: DataFrame) -> DataFrame:
+    """(doc_id, h): 28-bit hash of each distinct NGRAM_N-word shingle.
+
+    MinHash runs over word *shingles*, not unigram tokens: token vocabularies
+    are tiny relative to documents (every pair of docs shares most of its
+    token set), while shingle sets are discriminative — two unrelated docs
+    share ~no shingles, so LSH candidates stay O(true near-duplicates).
+    Docs shorter than NGRAM_N words contribute their whole text as a single
+    shingle (never an empty feature set — every doc keeps a signature)."""
+    toks = F.split(F.lower("text"), " ")
+    sh = F.when(
+        F.size(toks) >= NGRAM_N,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - NGRAM_N),
+                lambda i: F.concat_ws(
+                    " ",
+                    *[F.element_at(toks, i + F.lit(k + 1)) for k in range(NGRAM_N)],
+                ),
+            )
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", toks)))
+    return docs.select("doc_id", F.explode(sh).alias("sh")).select(
+        "doc_id", _H28_SPARK(F.col("sh")).alias("h")
     )
 
 
-_TOKENS_SQL = """
-  SELECT doc_id, unnest(list_distinct(string_split(lower(text), ' '))) AS tok
-  FROM documents
+def _mh_shingles_sql(table: str = "documents") -> str:
+    elems = " || ' ' || ".join(f"toks[i + {k}]" for k in range(1, NGRAM_N + 1))
+    h = _H28_SQL.format(c="sh")
+    return f"""
+  SELECT doc_id, {h} AS h FROM (
+    SELECT doc_id, unnest(
+      CASE WHEN len(toks) >= {NGRAM_N}
+           THEN list_distinct(list_transform(
+                  range(0, len(toks) - {NGRAM_N} + 1), i -> {elems}))
+           ELSE [array_to_string(toks, ' ')]
+      END) AS sh
+    FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM {table})
+  )
 """
 
 
 def minhash_signatures(docs: DataFrame) -> DataFrame:
-    """K-permutation MinHash signature, one column per permutation."""
-    h = _H28_SPARK(F.col("tok"))
+    """K-permutation MinHash signature over word shingles, one column per
+    permutation."""
     aggs = [
-        F.min((h * F.lit(a) + F.lit(b)) % F.lit(MERSENNE_P)).alias(f"mh{i}")
+        F.min((F.col("h") * F.lit(a) + F.lit(b)) % F.lit(MERSENNE_P)).alias(f"mh{i}")
         for i, (a, b) in enumerate(MINHASH_PERMS)
     ]
-    return _tokens(docs).groupBy("doc_id").agg(*aggs)
+    return _mh_shingles(docs).groupBy("doc_id").agg(*aggs)
 
 
-def minhash_signatures_sql() -> str:
-    h = _H28_SQL.format(c="tok")
+def minhash_signatures_sql(table: str = "documents") -> str:
     mins = ",\n           ".join(
-        f"min(({h} * {a} + {b}) % {MERSENNE_P}) AS mh{i}"
+        f"min((h * {a} + {b}) % {MERSENNE_P}) AS mh{i}"
         for i, (a, b) in enumerate(MINHASH_PERMS)
     )
     return f"""
     SELECT doc_id,
            {mins}
-    FROM ({_TOKENS_SQL})
+    FROM ({_mh_shingles_sql(table)})
     GROUP BY doc_id
     """
 
 
-def lsh_candidate_pairs(docs: DataFrame) -> DataFrame:
-    """Near-duplicate candidate pairs: docs agreeing on any full LSH band.
+_BAND_KEYS = ["band"] + [f"k{r}" for r in range(LSH_ROWS)]
 
-    bands x rows over the minhash signature; the pair join is an equi-join
-    on (band index, band values) — the LSH trick that keeps candidate
-    generation linear in the number of colliding docs.
-    """
-    sig = minhash_signatures(docs)
+
+def _band_rows(sig: DataFrame) -> DataFrame:
+    """Explode a signature row into LSH_BANDS rows keyed by the band's raw
+    minhash values (long columns, not a concatenated string — compact
+    shuffle keys and no collision risk)."""
     bands = []
     for b in range(LSH_BANDS):
         cols = [f"mh{b * LSH_ROWS + r}" for r in range(LSH_ROWS)]
@@ -106,21 +154,32 @@ def lsh_candidate_pairs(docs: DataFrame) -> DataFrame:
             sig.select(
                 "doc_id",
                 F.lit(b).alias("band"),
-                F.concat_ws("_", *[F.col(c) for c in cols]).alias("bandkey"),
+                *[F.col(c).alias(f"k{r}") for r, c in enumerate(cols)],
             )
         )
-    allb = bands[0]
+    out = bands[0]
     for b in bands[1:]:
-        allb = allb.unionByName(b)
+        out = out.unionByName(b)
+    return out
+
+
+def lsh_candidate_pairs(docs: DataFrame) -> DataFrame:
+    """Near-duplicate candidate pairs: docs agreeing on any full LSH band.
+
+    bands x rows over the minhash signature; the pair join is an equi-join
+    on (band index, band minhash values) — the LSH trick that keeps
+    candidate generation O(colliding docs), never all-pairs. With r=4 rows
+    per band the collision probability at Jaccard s is 1-(1-s^4)^LSH_BANDS,
+    so low-similarity pairs effectively never collide (see ops/params.py).
+    """
+    allb = _band_rows(minhash_signatures(docs))
     left = allb.alias("l")
     right = allb.alias("r")
+    cond = F.col("l.doc_id") < F.col("r.doc_id")
+    for k in _BAND_KEYS:
+        cond = cond & (F.col(f"l.{k}") == F.col(f"r.{k}"))
     return (
-        left.join(
-            right,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.bandkey") == F.col("r.bandkey"))
-            & (F.col("l.doc_id") < F.col("r.doc_id")),
-        )
+        left.join(right, cond)
         .select(
             F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b")
         )
@@ -128,30 +187,103 @@ def lsh_candidate_pairs(docs: DataFrame) -> DataFrame:
     )
 
 
-def lsh_candidate_pairs_sql() -> str:
+def lsh_candidate_pairs_sql(table: str = "documents") -> str:
     band_selects = []
     for b in range(LSH_BANDS):
         cols = [f"mh{b * LSH_ROWS + r}" for r in range(LSH_ROWS)]
-        key = " || '_' || ".join(f"CAST({c} AS VARCHAR)" for c in cols)
-        band_selects.append(
-            f"SELECT doc_id, {b} AS band, {key} AS bandkey FROM sig"
-        )
+        keys = ", ".join(f"{c} AS k{r}" for r, c in enumerate(cols))
+        band_selects.append(f"SELECT doc_id, {b} AS band, {keys} FROM sig")
     bands_sql = "\n      UNION ALL\n      ".join(band_selects)
+    on = " AND ".join(f"l.{k} = r.{k}" for k in _BAND_KEYS)
     return f"""
-    WITH sig AS ({minhash_signatures_sql()}),
+    WITH sig AS ({minhash_signatures_sql(table)}),
     bands AS (
       {bands_sql}
     )
     SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
     FROM bands l JOIN bands r
-      ON l.band = r.band AND l.bandkey = r.bandkey AND l.doc_id < r.doc_id
+      ON {on} AND l.doc_id < r.doc_id
+    """
+
+
+# --- planted-near-duplicate recall (LSH quality gate) -----------------------
+
+PLANT_EVERY = 10          # plant a twin for every PLANT_EVERY-th eligible doc
+PLANT_OFFSET = 10_000_000  # twin doc_id = original + PLANT_OFFSET
+PLANT_MIN_TOKENS = 10     # only docs with >= this many distinct tokens
+PLANT_SUFFIX = "zzplanteddup"
+
+
+def _planted_docs(docs: DataFrame) -> DataFrame:
+    """documents ∪ planted near-duplicate twins (append one token —
+    Jaccard n/(n+1) >= 10/11 for eligible docs)."""
+    ntok = F.size(F.array_distinct(F.split(F.lower("text"), " ")))
+    twins = (
+        docs.filter((F.col("doc_id") % PLANT_EVERY == 0) & (ntok >= PLANT_MIN_TOKENS))
+        .select(
+            (F.col("doc_id") + PLANT_OFFSET).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" " + PLANT_SUFFIX)).alias("text"),
+        )
+    )
+    return docs.select("doc_id", "text").unionByName(twins)
+
+
+def _planted_docs_sql(table: str = "documents") -> str:
+    return f"""
+  SELECT doc_id, text FROM {table}
+  UNION ALL
+  SELECT doc_id + {PLANT_OFFSET} AS doc_id, text || ' {PLANT_SUFFIX}' AS text
+  FROM {table}
+  WHERE doc_id % {PLANT_EVERY} = 0
+    AND len(list_distinct(string_split(lower(text), ' '))) >= {PLANT_MIN_TOKENS}
+"""
+
+
+def lsh_planted_recall(docs: DataFrame) -> DataFrame:
+    """Recall of LSH candidate generation on planted near-duplicates: what
+    fraction of (doc, twin) pairs show up as candidates? The oracle runs the
+    identical construction in SQL, so this is both a correctness check and a
+    quality gate (recall must stay high while candidates stay O(dups))."""
+    aug = _planted_docs(docs)
+    pairs = lsh_candidate_pairs(aug)
+    planted = aug.filter(F.col("doc_id") >= PLANT_OFFSET).select(
+        (F.col("doc_id") - PLANT_OFFSET).alias("doc_a"),
+        F.col("doc_id").alias("doc_b"),
+    )
+    found = planted.join(pairs, ["doc_a", "doc_b"], "left_semi")
+    return planted.agg(F.count("*").alias("n_planted")).crossJoin(
+        found.agg(F.count("*").alias("n_found"))
+    ).select(
+        "n_planted",
+        "n_found",
+        (F.col("n_found") / F.col("n_planted")).alias("recall"),
+    )
+
+
+def lsh_planted_recall_sql(table: str = "documents") -> str:
+    return f"""
+    WITH aug AS ({_planted_docs_sql(table)}),
+    pairs AS ({lsh_candidate_pairs_sql('aug')}),
+    planted AS (
+      SELECT doc_id - {PLANT_OFFSET} AS doc_a, doc_id AS doc_b
+      FROM aug WHERE doc_id >= {PLANT_OFFSET}
+    ),
+    found AS (
+      SELECT p.* FROM planted p
+      WHERE EXISTS (
+        SELECT 1 FROM pairs c WHERE c.doc_a = p.doc_a AND c.doc_b = p.doc_b
+      )
+    )
+    SELECT (SELECT count(*) FROM planted) AS n_planted,
+           (SELECT count(*) FROM found) AS n_found,
+           CAST((SELECT count(*) FROM found) AS DOUBLE)
+             / (SELECT count(*) FROM planted) AS recall
     """
 
 
 def simhash(docs: DataFrame) -> DataFrame:
     """SIMHASH_BITS-bit SimHash: per bit, sign of the sum of ±1 token votes."""
-    h = _H28_SPARK(F.col("tok"))
-    toks = _tokens(docs).select("doc_id", h.alias("hv"))
+    toks = _tokens(docs).select("doc_id", F.col("h").alias("hv"))
     bit_votes = [
         F.sum(
             (F.shiftright(F.col("hv"), j).bitwiseAND(F.lit(1)) * 2 - 1)
@@ -166,9 +298,8 @@ def simhash(docs: DataFrame) -> DataFrame:
 
 
 def simhash_sql() -> str:
-    h = _H28_SQL.format(c="tok")
     votes = ",\n           ".join(
-        f"sum(((({h} >> {j}) & 1) * 2 - 1)) AS v{j}" for j in range(SIMHASH_BITS)
+        f"sum((((h >> {j}) & 1) * 2 - 1)) AS v{j}" for j in range(SIMHASH_BITS)
     )
     bits = " + ".join(
         f"CASE WHEN v{j} > 0 THEN {1 << j} ELSE 0 END" for j in range(SIMHASH_BITS)
@@ -177,7 +308,7 @@ def simhash_sql() -> str:
     WITH votes AS (
       SELECT doc_id,
            {votes}
-      FROM ({_TOKENS_SQL})
+      FROM ({_tokens_sql()})
       GROUP BY doc_id
     )
     SELECT doc_id, CAST({bits} AS BIGINT) AS simhash FROM votes

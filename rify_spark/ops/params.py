@@ -17,12 +17,28 @@ MINHASH_PERMS = [
     (1593571597, 43210),
     (1616161627, 32109),
     (1818181811, 21098),
+    (1923456791, 19283),
+    (2046913579, 28374),
+    (2111111123, 37465),
+    (2135792469, 46556),
+    (1246813579, 55647),
+    (1369258147, 64738),
+    (1482736455, 73829),
+    (1595959597, 82910),
 ]
-MERSENNE_P = (1 << 61) - 1
+# modulus must WRAP for (A*h + B) % P to be a universal hash family: with a
+# 2^61-1 modulus the product A*h (< 2^59) never wraps, making every
+# "permutation" order-preserving in h — all signatures pick the same
+# min-hash feature (perfectly correlated). 2^31-1 > 2^28 (the h universe)
+# and A*h >> P, so each (A_i, B_i) is a genuinely independent permutation.
+MERSENNE_P = (1 << 31) - 1
 
-# LSH banding over the 8 minhashes: 4 bands x 2 rows
+# LSH banding over the 16 minhashes: 4 bands x 4 rows.
+# Band-collision probability at Jaccard s is 1-(1-s^4)^4: ~0.9% at s=0.3,
+# ~99% at s=0.9 — candidates stay O(near-duplicates) instead of the ~all-pairs
+# blowup the old 4x2 banding produced (s^2 collides 31% of 0.3-similar pairs).
 LSH_BANDS = 4
-LSH_ROWS = 2
+LSH_ROWS = 4
 
 SIMHASH_BITS = 16
 
