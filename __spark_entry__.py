@@ -257,6 +257,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_bruteforce": lambda s, d: similarity.knn_bruteforce(_emb(s, d)),
         "knn_lsh_buckets": lambda s, d: similarity.knn_lsh_buckets(_emb(s, d)),
         "knn_lsh": lambda s, d: similarity.knn_lsh(_emb(s, d)),
+        "knn_lsh_recall": lambda s, d: similarity.knn_lsh_recall(_emb(s, d)),
         # event windows / sessionization (batch forms)
         "events_windowed": lambda s, d: events.windowed_counts(_events(s, d)),
         "events_sessionize": lambda s, d: events.sessionize(_events(s, d)),
@@ -305,6 +306,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_bruteforce": similarity.knn_bruteforce_sql(),
         "knn_lsh_buckets": similarity.knn_lsh_buckets_sql(),
         "knn_lsh": similarity.knn_lsh_sql(),
+        "knn_lsh_recall": similarity.knn_lsh_recall_sql(),
         "events_windowed": events.windowed_counts_sql(),
         "events_sessionize": events.sessionize_sql(),
         "multimodal_features": multimodal.media_features_sql(),

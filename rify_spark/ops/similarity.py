@@ -123,18 +123,42 @@ def knn_lsh_buckets_sql() -> str:
     """
 
 
+def _probe_buckets(qbucket_col):
+    """Multi-probe list: the query's own bucket plus every Hamming-1
+    neighbor (flip each hyperplane bit once). 1 + N_HYPERPLANES probes —
+    the standard multi-probe LSH trick: probing adjacent buckets buys the
+    recall that would otherwise need many independent hash tables, at zero
+    extra index size."""
+    from .params import N_HYPERPLANES
+
+    return F.array(
+        qbucket_col,
+        *[qbucket_col.bitwiseXOR(F.lit(1 << b)) for b in range(N_HYPERPLANES)],
+    )
+
+
 def knn_lsh(emb: DataFrame, n_queries: int = KNN_N_QUERIES, k: int = KNN_K) -> DataFrame:
-    """Approximate top-k: candidates share the query's bucket, exact rerank
-    inside the bucket. At corpus scale the bucket join replaces the cross
-    join — candidates per query ≈ n / 2^bits."""
+    """Approximate top-k with multi-probe: candidates come from the query's
+    bucket and all Hamming-1 neighbor buckets, exact rerank inside. At
+    corpus scale the bucket join replaces the cross join — candidates per
+    query ≈ n * (1 + bits) / 2^bits (~3.5% of the corpus at 8 bits).
+
+    Recall caveat, measured not guessed: on uniform-random embeddings (this
+    synthetic corpus) the true top-k sit near cosine 0.3 where NO sublinear
+    method retains them — recall vs knn_bruteforce is structurally low.
+    knn_lsh_recall gates recall on planted genuinely-near neighbors
+    (cosine ~1), where multi-probe holds recall ≈ 1."""
     buckets = knn_lsh_buckets(emb)
     withb = emb.join(buckets, "vec_id").select(
         "vec_id", "bucket", _quantized(F.col("embedding")).alias("ce")
     )
-    q = withb.filter(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("bucket").alias("qbucket"),
-        F.col("ce").alias("qe"),
+    q = (
+        withb.filter(F.col("vec_id") < n_queries)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.explode(_probe_buckets(F.col("bucket"))).alias("qbucket"),
+            F.col("ce").alias("qe"),
+        )
     )
     cand = withb.join(
         F.broadcast(q),
@@ -152,6 +176,13 @@ def knn_lsh(emb: DataFrame, n_queries: int = KNN_N_QUERIES, k: int = KNN_K) -> D
     )
 
 
+def _probe_list_sql(col: str) -> str:
+    from .params import N_HYPERPLANES
+
+    probes = ", ".join(f"xor({col}, {1 << b})" for b in range(N_HYPERPLANES))
+    return f"[{col}, {probes}]"
+
+
 def knn_lsh_sql(n_queries: int = KNN_N_QUERIES, k: int = KNN_K) -> str:
     return f"""
     WITH b AS ({knn_lsh_buckets_sql()}),
@@ -161,7 +192,10 @@ def knn_lsh_sql(n_queries: int = KNN_N_QUERIES, k: int = KNN_K) -> str:
       FROM embeddings e JOIN b ON e.vec_id = b.vec_id
     ),
     q AS (
-      SELECT vec_id AS query_id, bucket AS qbucket, ce AS qe FROM c WHERE vec_id < {n_queries}
+      SELECT vec_id AS query_id,
+             unnest({_probe_list_sql('bucket')}) AS qbucket,
+             ce AS qe
+      FROM c WHERE vec_id < {n_queries}
     ),
     scored AS (
       SELECT q.query_id, c.vec_id,
@@ -175,6 +209,114 @@ def knn_lsh_sql(n_queries: int = KNN_N_QUERIES, k: int = KNN_K) -> str:
     )
     SELECT query_id, vec_id, CAST(dot AS BIGINT) AS dot, CAST(rank AS BIGINT) AS rank
     FROM ranked WHERE rank <= {k}
+    """
+
+
+# --- planted-near-neighbor recall (ANN quality gate) -------------------------
+
+ANN_PLANT_EVERY = 10
+ANN_PLANT_OFFSET = 10_000_000
+
+
+def _planted_emb(emb: DataFrame) -> DataFrame:
+    """embeddings ∪ planted near-neighbor twins. The twin perturbs the
+    QUANTIZED vector (ce[0] += 50, integer math — bit-exact in both
+    engines), giving cosine ≈ 0.999 to its original. Emitted columns are
+    already-quantized (vec_id, ce)."""
+    base = emb.select("vec_id", _quantized(F.col("embedding")).alias("ce"))
+    twins = (
+        base.filter(F.col("vec_id") % ANN_PLANT_EVERY == 0)
+        .select(
+            (F.col("vec_id") + ANN_PLANT_OFFSET).alias("vec_id"),
+            F.concat(
+                F.array(F.element_at("ce", 1) + F.lit(50).cast("long")),
+                F.slice("ce", 2, EMB_DIM - 1),
+            ).alias("ce"),
+        )
+    )
+    return base.unionByName(twins)
+
+
+def _planted_emb_sql() -> str:
+    return f"""
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(round(x::DOUBLE * {KNN_QUANT}) AS BIGINT)) AS ce
+  FROM embeddings
+  UNION ALL
+  SELECT vec_id + {ANN_PLANT_OFFSET} AS vec_id,
+         [ce[1] + 50] || ce[2:{EMB_DIM}] AS ce
+  FROM (
+    SELECT vec_id,
+           list_transform(embedding, x -> CAST(round(x::DOUBLE * {KNN_QUANT}) AS BIGINT)) AS ce
+    FROM embeddings WHERE vec_id % {ANN_PLANT_EVERY} = 0
+  )
+"""
+
+
+def _bucketed(quantized: DataFrame) -> DataFrame:
+    return quantized.select(
+        "vec_id", "ce", _bucket_expr(F.col("ce")).alias("bucket")
+    )
+
+
+def knn_lsh_recall(emb: DataFrame) -> DataFrame:
+    """Recall of multi-probe LSH on planted near neighbors: for each planted
+    twin (query), is its original (the true nearest neighbor by construction)
+    retrieved through the probe join? One summary row; exact DuckDB twin."""
+    withb = _bucketed(_planted_emb(emb))
+    q = (
+        withb.filter(F.col("vec_id") >= ANN_PLANT_OFFSET)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.explode(_probe_buckets(F.col("bucket"))).alias("qbucket"),
+        )
+    )
+    hits = (
+        withb.join(
+            F.broadcast(q),
+            (F.col("bucket") == F.col("qbucket"))
+            & (F.col("vec_id") == F.col("query_id") - ANN_PLANT_OFFSET),
+        )
+        .select("query_id")
+        .distinct()
+    )
+    n_planted = withb.filter(F.col("vec_id") >= ANN_PLANT_OFFSET).agg(
+        F.count("*").alias("n_planted")
+    )
+    n_found = hits.agg(F.count("*").alias("n_found"))
+    return n_planted.crossJoin(n_found).select(
+        "n_planted",
+        "n_found",
+        (F.col("n_found") / F.col("n_planted")).alias("recall"),
+    )
+
+
+def knn_lsh_recall_sql() -> str:
+    cases = []
+    for b, plane in enumerate(HYPERPLANES):
+        terms = " + ".join(f"({v}) * ce[{d + 1}]" for d, v in enumerate(plane))
+        cases.append(f"CASE WHEN ({terms}) > 0 THEN {1 << b} ELSE 0 END")
+    bucket = " + ".join(cases)
+    return f"""
+    WITH pe AS ({_planted_emb_sql()}),
+    withb AS (
+      SELECT vec_id, ce, CAST({bucket} AS BIGINT) AS bucket FROM pe
+    ),
+    q AS (
+      SELECT vec_id AS query_id,
+             unnest({_probe_list_sql('bucket')}) AS qbucket
+      FROM withb WHERE vec_id >= {ANN_PLANT_OFFSET}
+    ),
+    hits AS (
+      SELECT DISTINCT q.query_id
+      FROM withb c JOIN q
+        ON c.bucket = q.qbucket
+       AND c.vec_id = q.query_id - {ANN_PLANT_OFFSET}
+    )
+    SELECT (SELECT count(*) FROM withb WHERE vec_id >= {ANN_PLANT_OFFSET}) AS n_planted,
+           (SELECT count(*) FROM hits) AS n_found,
+           CAST((SELECT count(*) FROM hits) AS DOUBLE)
+             / (SELECT count(*) FROM withb WHERE vec_id >= {ANN_PLANT_OFFSET}) AS recall
     """
 
 
