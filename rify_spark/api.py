@@ -9,7 +9,8 @@ Front half shared by all entry points, mirroring the reference lifecycle
      non-string terms are mapped through a driver-side bijection — only
      meaningful for list-sized inputs, which is the only place non-string
      terms can occur);
-  2. optional dictionary encoding: strings -> xxhash64 ids (dictionary.py);
+  2. optional dictionary encoding: strings -> 128-bit (h, l) ids
+     (dictionary.py);
   3. rule lowering (rules.py: lower_rule);
   4. fixpoint (infer.py / prove.py);
   5. decode back.
@@ -125,7 +126,7 @@ def _lower_inputs(
             lower_rule(r, i, lambda t: const_ids[codec.encode(t)])
             for i, r in enumerate(rules)
         ]
-        dtype_str = "long"
+        dtype_str = D.ID_TYPE
     else:
         facts_in = premises_df
         dict_df = None
@@ -184,7 +185,7 @@ def infer_df(
         if cfg.collision_audit:
             D.audit_collisions(dict_df)
         lrules = [lower_rule(r, i, lambda t: const_ids[t]) for i, r in enumerate(rules)]
-        dtype_str = "long"
+        dtype_str = D.ID_TYPE
     else:
         dict_df = None
         lrules = [lower_rule(r, i, lambda t: t) for i, r in enumerate(rules)]
@@ -230,7 +231,10 @@ def prove(
     if cfg.encode_terms:
         gids = D.hash_terms(spark, [x for q in goals_str for x in q])
         goal_quads = [tuple(gids[x] for x in q) for q in goals_str]
-        goals_df = spark.createDataFrame(goal_quads, "s long, p long, o long, g long")
+        goals_df = spark.createDataFrame(
+            goal_quads,
+            f"s {D.ID_TYPE}, p {D.ID_TYPE}, o {D.ID_TYPE}, g {D.ID_TYPE}",
+        )
     else:
         goal_quads = goals_str
         goals_df = spark.createDataFrame(goals_str, _QUAD_STR_SCHEMA)
@@ -251,16 +255,17 @@ def prove(
 
     # raise: engine values -> terms (src/common.rs:52-77)
     if low.dict_df is not None:
-        ids = {v for app in lproof for v in app.instantiations}
+        ids = {tuple(v) for app in lproof for v in app.instantiations}
         if ids:
-            rows = low.dict_df.filter(F.col("id").isin(list(ids))).collect()
-            back = {r["id"]: r["term"] for r in rows}
+            iddf = spark.createDataFrame([(v,) for v in ids], f"id {D.ID_TYPE}")
+            rows = low.dict_df.join(F.broadcast(iddf), "id", "left_semi").collect()
+            back = {tuple(r["id"]): r["term"] for r in rows}
         else:
             back = {}
         return [
             RuleApplication(
                 app.rule_index,
-                tuple(codec.decode(back[v]) for v in app.instantiations),
+                tuple(codec.decode(back[tuple(v)]) for v in app.instantiations),
             )
             for app in lproof
         ]

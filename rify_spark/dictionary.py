@@ -1,20 +1,24 @@
-"""Term dictionary: string terms <-> 64-bit ids.
+"""Term dictionary: string terms <-> 128-bit ids.
 
 Analog of the reference's ``Translator`` (src/translator.rs:14-40), which
 assigns dense ids by sorting and deduplicating all terms. Dense rank ids
 require a global sort + row_number — a full shuffle whose only purpose is id
 density, a property nothing downstream depends on (only bijectivity does).
 
-Spark-first design: ids are ``xxhash64(term)`` computed as a narrow,
-shuffle-free projection. Encoding premises is then embarrassingly parallel
-(no dictionary join at all on the encode path), which is what makes the
-scheme viable at 10^12-row scale: the "dictionary" table (term, id) is
-materialized only for the decode direction and for novel-name checks.
+Spark-first design: ids are two independent ``xxhash64`` lanes packed in a
+``struct<h,l>`` — a narrow, shuffle-free projection. Encoding premises is
+then embarrassingly parallel (no dictionary join at all on the encode path),
+which is what makes the scheme viable at 10^12-row scale: the "dictionary"
+table (term, id) is materialized only for the decode direction and for
+novel-name checks.
 
-Bijectivity is probabilistic (64-bit space) and guarded by
-:func:`audit_collisions` — the salted-hash-id-space collision audit. At test
-scale a collision is effectively impossible; at corpus scale the audit is a
-cheap groupBy that runs alongside dictionary materialization.
+Why 128 bits: at n = 10^12 distinct terms, expected 64-bit birthday
+collisions are n^2 / 2^65 ≈ 27,000 — a guaranteed audit failure. With the
+(xxhash64(t), xxhash64(t, salt)) composite the expectation is
+n^2 / 2^129 ≈ 1.5e-15: collisions are extinct at any realistic corpus size.
+Bijectivity is still guarded by :func:`audit_collisions` — the salted
+hash-id-space collision audit, a cheap groupBy alongside dictionary
+materialization.
 """
 
 from __future__ import annotations
@@ -28,10 +32,23 @@ from .errors import DictionaryCollision
 
 SPOG = ["s", "p", "o", "g"]
 
+# engine value type of an encoded term
+ID_TYPE = "struct<h:bigint,l:bigint>"
+
+
+def term_id(col):
+    """128-bit term id: two independent xxhash64 lanes (the second is the
+    same hash over (term, salt=1), a distinct function of the input)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.struct(
+        F.xxhash64(c).alias("h"), F.xxhash64(c, F.lit(1)).alias("l")
+    )
+
 
 def encode_quads(facts: DataFrame) -> DataFrame:
-    """(s,p,o,g) string columns -> xxhash64 long columns. Narrow, no shuffle."""
-    return facts.select(*[F.xxhash64(F.col(c)).alias(c) for c in SPOG])
+    """(s,p,o,g) string columns -> 128-bit id struct columns. Narrow, no
+    shuffle."""
+    return facts.select(*[term_id(c).alias(c) for c in SPOG])
 
 
 def term_df(facts: DataFrame) -> DataFrame:
@@ -59,11 +76,11 @@ def build_dict(
     if extra:
         parts.append(spark.createDataFrame(extra, "term string").distinct())
     if not parts:
-        return spark.createDataFrame([], "term string, id long")
+        return spark.createDataFrame([], f"term string, id {ID_TYPE}")
     terms = parts[0]
     for p in parts[1:]:
         terms = terms.unionByName(p)
-    return terms.distinct().select("term", F.xxhash64("term").alias("id"))
+    return terms.distinct().select("term", term_id("term").alias("id"))
 
 
 def audit_collisions(dict_df: DataFrame, raise_on_collision: bool = True) -> int:
@@ -79,8 +96,10 @@ def audit_collisions(dict_df: DataFrame, raise_on_collision: bool = True) -> int
     return int(n)
 
 
-def hash_terms(spark: SparkSession, terms: Iterable[str]) -> Mapping[str, int]:
-    """Driver-side map term -> xxhash64 id, computed by one tiny Spark job.
+def hash_terms(spark: SparkSession, terms: Iterable[str]) -> Mapping[str, tuple]:
+    """Driver-side map term -> (h, l) id tuple, computed by one tiny Spark
+    job (Spark's xxhash64 is the source of truth; there is no public Python
+    reimplementation guaranteed to match it).
 
     Used to lower rule constants into the encoded value space (rule tables
     are small by construction, so collecting is safe).
@@ -89,15 +108,15 @@ def hash_terms(spark: SparkSession, terms: Iterable[str]) -> Mapping[str, int]:
     if not terms:
         return {}
     df = spark.createDataFrame([(t,) for t in terms], "term string")
-    rows = df.select("term", F.xxhash64("term").alias("id")).collect()
-    return {r["term"]: r["id"] for r in rows}
+    rows = df.select("term", term_id("term").alias("id")).collect()
+    return {r["term"]: tuple(r["id"]) for r in rows}
 
 
 def decode_quads(enc: DataFrame, dict_df: DataFrame, extra_cols: list[str] | None = None) -> DataFrame:
     """(s,p,o,g) id columns -> term columns via four dictionary joins.
 
     The dictionary side is broadcast when small (left to AQE); at scale these
-    are plain shuffle joins on the id column.
+    are plain shuffle joins on the id struct.
     """
     out = enc
     for c in SPOG:

@@ -37,6 +37,17 @@ from .rules import LoweredRule
 SPOG = ["s", "p", "o", "g"]
 
 
+def term_lit(val, dtype):
+    """Literal column for a lowered constant in the engine value space:
+    plain literal for string/long terms, field-wise struct literal for
+    128-bit (h, l) ids (F.lit does not accept tuples)."""
+    if isinstance(val, tuple):
+        return F.struct(
+            *[F.lit(v).alias(f.name) for v, f in zip(val, dtype.fields)]
+        )
+    return F.lit(val).cast(dtype)
+
+
 def _atom_vars(atom) -> set:
     return {slot[1] for slot in atom if slot[0] == "v"}
 
@@ -113,7 +124,7 @@ def atom_relation(df: DataFrame, atom, tag: int) -> tuple[DataFrame, list]:
     for colname, slot in zip(SPOG, atom):
         kind, val = slot
         if kind == "c":
-            conds.append(F.col(colname) == F.lit(val).cast(dtype))
+            conds.append(F.col(colname) == term_lit(val, dtype))
         else:
             if val in first:
                 conds.append(F.col(colname) == F.col(first[val]))
@@ -210,7 +221,7 @@ def project_heads(
         for colname, slot in zip(SPOG, atom):
             kind, val = slot
             if kind == "c":
-                cols.append(F.lit(val).cast(dtype).alias(colname))
+                cols.append(term_lit(val, dtype).alias(colname))
             else:
                 cols.append(F.col(f"v{val}").alias(colname))
         cols.extend(extra)

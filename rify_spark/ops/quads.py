@@ -85,14 +85,39 @@ TREE_EDGES_SQL = f"""
 
 # --- O1: dictionary build (dense rank ids for cross-engine determinism) ----
 
+DICT_BUILD_PARTS = 16
+
+
 def dict_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed dense-rank dictionary: range-partition terms, rank within
+    each partition, then add per-partition offsets (a tiny collected table).
+    Same result as a global row_number() OVER (ORDER BY term) — which the
+    DuckDB oracle uses — WITHOUT the single-task global sort that plan would
+    force in Spark (at 100x scale every term would funnel through one task).
+    The engine's real dictionary is hash ids (rify_spark.dictionary, o2/o3);
+    dense ranks exist only for Translator parity (src/translator.rs:14-40).
+    """
     quads = tpch_quads(spark, sf_dir)
     terms = quads.select(
         F.explode(F.array("s", "p", "o", "g")).alias("term")
     ).distinct()
-    return terms.select(
-        "term",
-        F.row_number().over(Window.orderBy("term")).cast("long").alias("id"),
+    ranged = (
+        terms.repartitionByRange(DICT_BUILD_PARTS, "term")
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)  # pin sampled range boundaries
+    )
+    w = Window.partitionBy("pid").orderBy("term")
+    local = ranged.withColumn("rn", F.row_number().over(w))
+    counts = sorted(
+        ranged.groupBy("pid").count().collect(), key=lambda r: r["pid"]
+    )
+    offsets, acc = [], 0
+    for r in counts:
+        offsets.append((r["pid"], acc))
+        acc += r["count"]
+    odf = spark.createDataFrame(offsets, "pid int, off long")
+    return local.join(F.broadcast(odf), "pid").select(
+        "term", (F.col("rn") + F.col("off")).cast("long").alias("id")
     )
 
 

@@ -17,7 +17,7 @@ def test_encode_decode_roundtrip(spark):
     ]
     facts = spark.createDataFrame(rows, SCHEMA)
     enc = D.encode_quads(facts)
-    assert [f.dataType.simpleString() for f in enc.schema.fields] == ["bigint"] * 4
+    assert [f.dataType.simpleString() for f in enc.schema.fields] == [D.ID_TYPE] * 4
     d = D.build_dict(spark, facts)
     dec = {tuple(r) for r in D.decode_quads(enc, d).collect()}
     assert dec == set(rows)
@@ -58,8 +58,21 @@ def test_hash_terms_matches_spark_hash(spark):
     m = D.hash_terms(spark, terms)
     df = spark.createDataFrame([(t,) for t in terms], "term string")
     expected = {
-        r["term"]: r["h"]
-        for r in df.select("term", F.xxhash64("term").alias("h")).collect()
+        r["term"]: (r["h"], r["l"])
+        for r in df.select(
+            "term",
+            F.xxhash64("term").alias("h"),
+            F.xxhash64("term", F.lit(1)).alias("l"),
+        ).collect()
     }
     assert dict(m) == expected
+    # the two lanes are genuinely independent hash functions
+    assert all(h != l for h, l in m.values())
     assert D.hash_terms(spark, []) == {}
+
+
+def test_128bit_collision_expectation_documented():
+    # design check: expected birthday collisions at 10^12 terms
+    n = 10**12
+    assert n * n / 2 / 2**64 > 1000        # 64-bit ids would fail the audit
+    assert n * n / 2 / 2**128 < 1e-12      # 128-bit ids cannot collide
