@@ -4,15 +4,18 @@ North-rule requirement: every fixpoint iteration checkpoints its derived
 delta (and lineage/arguments table in prove mode) with per-partition metrics
 so a killed job resumes mid-fixpoint instead of recomputing from scratch.
 
-Layout:
+Layout (delta-incremental — the full fact store is NOT rewritten per
+iteration; a compacted base lands every store-compaction interval):
+    <dir>/iter=00001/facts.parquet          (base: full store as of iter 1)
+    <dir>/iter=00001/delta.parquet
     <dir>/iter=00007/delta.parquet
-    <dir>/iter=00007/facts.parquet
     <dir>/iter=00007/arguments.parquet      (prove mode only)
     <dir>/iter=00007/meta.json              (written last = commit marker)
 
-``meta.json`` carries iteration number, row counts, partition counts and
-wall-clock — the per-partition lineage record. An iteration directory
-without meta.json is incomplete and ignored on resume.
+``meta.json`` carries iteration number, row counts, partition counts,
+wall-clock and ``base_iter`` (the newest iteration whose directory holds a
+full facts.parquet) — resume reads that base and unions the deltas after
+it. An iteration directory without meta.json is incomplete and ignored.
 """
 
 from __future__ import annotations
@@ -47,22 +50,25 @@ class CheckpointManager:
     def save_iteration(
         self,
         it: int,
-        facts: DataFrame,
         delta: DataFrame,
         arguments: Optional[DataFrame] = None,
+        facts: Optional[DataFrame] = None,
         extra_meta: Optional[dict] = None,
-    ) -> tuple:
-        """Write iteration state; return (facts, delta, arguments) re-read
-        from parquet so downstream plans have no upstream lineage."""
+    ) -> Optional[DataFrame]:
+        """Write iteration state. ``delta`` is always written; ``facts``
+        (the full store) only at compaction points — per-iteration
+        checkpoint IO stays O(delta), not O(store). Returns the arguments
+        table re-read from parquet (plan truncation for the accumulating
+        lineage union), or None."""
         d = self._iter_dir(it)
         t0 = time.time()
-        facts.write.mode("overwrite").parquet(os.path.join(d, "facts.parquet"))
         delta.write.mode("overwrite").parquet(os.path.join(d, "delta.parquet"))
         if arguments is not None:
             arguments.write.mode("overwrite").parquet(
                 os.path.join(d, "arguments.parquet")
             )
-        facts2 = self.spark.read.parquet(os.path.join(d, "facts.parquet"))
+        if facts is not None:
+            facts.write.mode("overwrite").parquet(os.path.join(d, "facts.parquet"))
         delta2 = self.spark.read.parquet(os.path.join(d, "delta.parquet"))
         args2 = (
             self.spark.read.parquet(os.path.join(d, "arguments.parquet"))
@@ -72,21 +78,22 @@ class CheckpointManager:
         meta = {
             "iteration": it,
             "write_wall_s": round(time.time() - t0, 4),
-            "facts_partitions": facts2.rdd.getNumPartitions(),
             "delta_partitions": delta2.rdd.getNumPartitions(),
             "ts": time.time(),
             "has_arguments": arguments is not None,
+            "has_facts": facts is not None,
             "fingerprint": self.fingerprint,
         }
         if extra_meta:
             meta.update(extra_meta)
         with open(os.path.join(d, "meta.json"), "w") as f:
             json.dump(meta, f)
-        return facts2, delta2, args2
+        return args2
 
     def latest(self) -> Optional[tuple]:
         """(iteration, facts, delta, arguments|None, meta) of the newest
-        complete checkpoint, or None."""
+        complete checkpoint, or None. ``facts`` is reconstructed as the
+        newest base facts.parquet unioned with every delta after it."""
         if not os.path.isdir(self.dir):
             return None
         complete = []
@@ -109,7 +116,16 @@ class CheckpointManager:
                 f"{self.fingerprint!r}); refusing to resume — point "
                 f"checkpoint_dir at a fresh directory or the matching job's"
             )
-        facts = self.spark.read.parquet(os.path.join(d, "facts.parquet"))
+        base = meta.get("base_iter", it if meta.get("has_facts") else None)
+        if base is None:
+            raise ValueError(f"checkpoint at {d} has no facts base to resume from")
+        facts = self.spark.read.parquet(
+            os.path.join(self._iter_dir(base), "facts.parquet")
+        )
+        for j in range(base + 1, it + 1):
+            facts = facts.unionByName(
+                self.spark.read.parquet(os.path.join(self._iter_dir(j), "delta.parquet"))
+            )
         delta = self.spark.read.parquet(os.path.join(d, "delta.parquet"))
         args = None
         if meta.get("has_arguments"):

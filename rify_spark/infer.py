@@ -23,10 +23,18 @@ batch. Only per-quad first-derivation attribution can differ on ties; see
 prove.py for the deterministic tie-break.
 
 Scale design:
-  * each iteration's delta is checkpointed (local or parquet) — mandatory,
-    otherwise iterative-join lineage grows without bound;
-  * `facts` is kept as a union of checkpointed deltas (no recompute risk,
-    no extra materialization pass per iteration);
+  * each iteration's delta is checkpointed (local + optional parquet) —
+    mandatory, otherwise iterative-join lineage grows without bound;
+  * `facts` lives in a :class:`FactStore`: SPOG-hash-partitioned, sorted,
+    cached blocks with periodic prefix compaction. The novelty anti-join
+    chains through the blocks with ZERO exchange/sort on the facts side
+    (cache preserves partitioning + ordering — verified in PLANS.md), so
+    per-iteration facts-side shuffle bytes are FLAT in store size;
+    compaction also drops superseded delta checkpoints, bounding executor
+    memory at ~O(store) instead of O(all history);
+  * parquet checkpoints are delta-incremental: O(delta) write per
+    iteration, a full base every compaction interval (resume = base ∪
+    subsequent deltas);
   * the delta side of every join is broadcast while it fits
     (`broadcast_delta_max_rows`), turning the hot inner joins into
     shuffle-free broadcast-hash joins against the large fact set;
@@ -42,6 +50,7 @@ import time
 from dataclasses import dataclass, field
 from typing import Optional
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -50,6 +59,134 @@ from .matcher import bindings, lineage_cols, project_heads
 from .rules import LoweredRule
 
 SPOG = ["s", "p", "o", "g"]
+
+
+class FactStore:
+    """The accumulated fact set as SPOG-hash-partitioned, sorted, cached
+    blocks — the "bucketed fact store".
+
+    Why blocks instead of a grow-forever union of checkpoints:
+      * every block is ``repartition(P, s,p,o,g).sortWithinPartitions``
+        then persisted; Spark's cache PRESERVES that partitioning and
+        ordering, so the per-iteration novelty anti-join chains through the
+        blocks with ZERO exchange and ZERO sort on the facts side — only
+        the (small) candidate side shuffles. This is the local-mode analog
+        of a bucketBy(spog) table; at cluster scale the same blocks map to
+        bucketed parquet;
+      * blocks are periodically compacted (union → one shuffle → one
+        block), which bounds plan depth, bounds the anti-join chain length,
+        and drops the superseded delta checkpoints so executor memory holds
+        ~O(store) instead of O(sum of all historical plans);
+      * blocks spill to disk (MEMORY_AND_DISK), so a store larger than
+        executor memory degrades to IO instead of OOM.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        fixed_partitions: Optional[int] = None,
+        compact_every: int = 8,
+        rows_per_partition: int = 200_000,
+    ):
+        self.spark = spark
+        self.fixed_partitions = fixed_partitions
+        self.max_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        self.rows_per_partition = rows_per_partition
+        self.compact_every = max(2, compact_every)
+        self.blocks: list = []
+        self.partitions: Optional[int] = None  # fixed at seed time
+        self.total_rows = 0
+        self.just_compacted = False
+
+    def _pick_partitions(self, rows: int) -> int:
+        """Block partition count: enough that a partition stays comfortably
+        in memory, capped at the session's shuffle width. All blocks share
+        one count — co-partitioned joins require it."""
+        return max(1, min(self.max_partitions, rows // self.rows_per_partition + 1))
+
+    def _mk_block(self, checkpointed_df: DataFrame) -> DataFrame:
+        """Cached, SPOG-partitioned, sorted block over a CHECKPOINT-BACKED
+        input. The checkpoint bounds the logical plan (consumers would
+        otherwise nest every prior iteration's plan — exponential plan
+        trees and driver OOM in plan stringification); the cache on top
+        preserves the (hash-partition, sort) layout that checkpointing
+        alone loses. The cache fills lazily inside the next job that reads
+        the block — no extra per-iteration barrier."""
+        return (
+            checkpointed_df.repartition(self.partitions, *SPOG)
+            .sortWithinPartitions(*SPOG)
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+
+    def seed(self, df: DataFrame, rows_hint: Optional[int] = None) -> tuple:
+        """Initial store contents (one block); fixes the store partition
+        count from the seed size (the fixpoint typically grows the store
+        ~10x, so the sizing allows for growth; pass cfg.store_partitions to
+        pin it on clusters). The seed plan is checkpointed BEFORE sizing so
+        an expensive input (e.g. an extraction pipeline) computes once.
+        Returns (seed checkpoint df, row count)."""
+        lc = df.localCheckpoint(eager=True)
+        rows = rows_hint if rows_hint is not None else lc.count()
+        self.partitions = self.fixed_partitions or self._pick_partitions(
+            max(rows, 1) * 8
+        )
+        self.blocks = [self._mk_block(lc)]
+        self.total_rows = rows
+        self.just_compacted = False
+        return lc, rows
+
+    def add(self, checkpointed_delta: DataFrame, rows: int = 0) -> None:
+        """Append a (non-empty, checkpoint-backed) delta block; compact the
+        prefix when the chain grows — the newest block is never folded, so
+        :meth:`union_except_last` (the semi-naive F_old) stays a cached
+        block prefix."""
+        self.blocks.append(self._mk_block(checkpointed_delta))
+        self.total_rows += rows
+        self.just_compacted = False
+        if len(self.blocks) > self.compact_every:
+            self._compact_prefix()
+
+    def _compact_prefix(self) -> None:
+        """Fold all blocks but the newest into one. The fold goes through a
+        fresh checkpoint, which unpins every superseded per-delta
+        checkpoint (executor memory drops back to ~O(store)); the old block
+        caches are unpersisted explicitly."""
+        prefix, last = self.blocks[:-1], self.blocks[-1]
+        flat = _union_all(prefix).localCheckpoint(eager=True)
+        merged = self._mk_block(flat)
+        for b in prefix:
+            b.unpersist()
+        self.blocks = [merged, last]
+        self.just_compacted = True
+
+    def union(self) -> DataFrame:
+        return _union_all(self.blocks)
+
+    def union_except_last(self) -> DataFrame:
+        if len(self.blocks) == 1:
+            return self.blocks[0].limit(0)
+        return _union_all(self.blocks[:-1])
+
+    # below this store size a single anti against the union wins: the whole
+    # store broadcasts once, instead of paying per-block join/broadcast
+    # latency. Above it, the chained form keeps the facts side in place.
+    single_anti_max_rows: int = 4_000_000
+
+    def anti(self, cand: DataFrame) -> DataFrame:
+        """cand minus the store.
+
+        Small store: one left_anti against the union (AQE broadcasts the
+        whole store as a single relation — minimal per-iteration latency).
+        Large store: chained left_anti joins, one per block — the candidate
+        side shuffles once, every block side is scanned in place
+        (pre-partitioned + pre-sorted cache), so facts-side shuffle bytes
+        stay FLAT as the store grows."""
+        if self.total_rows <= self.single_anti_max_rows:
+            return cand.join(self.union(), SPOG, "left_anti")
+        out = cand
+        for b in self.blocks:
+            out = out.join(b, SPOG, "left_anti")
+        return out
 
 
 @dataclass
@@ -73,6 +210,11 @@ class InferConfig:
     stats_max_predicates: int = 10_000
     # collect threshold for driver-side proof argument recall
     collect_arguments_max_rows: int = 1_000_000
+    # fact-store block chain length before prefix compaction; also the
+    # cadence (in iterations) of full-facts checkpoint bases in parquet mode
+    store_compact_every: int = 8
+    # partition count of the bucketed fact store; None -> shuffle partitions
+    store_partitions: Optional[int] = None
 
 
 @dataclass
@@ -169,30 +311,39 @@ def fixpoint(
     metrics: list = []
     arguments: Optional[DataFrame] = None
     it = 0
+    store = FactStore(
+        spark,
+        fixed_partitions=cfg.store_partitions,
+        compact_every=cfg.store_compact_every,
+    )
+    last_base = 0  # iteration of the newest full-facts parquet base
 
     resumed = None
     if ckpt and cfg.resume:
         resumed = ckpt.latest()
     if resumed is not None:
-        it, facts, delta, arguments, meta = resumed
-        facts_rows = meta.get("facts_rows", facts.count())
+        it, facts_df, delta_df, arguments, meta = resumed
+        seed_lc, facts_rows = store.seed(facts_df, rows_hint=meta.get("facts_rows"))
+        delta = delta_df.localCheckpoint(eager=True)
         delta_rows = meta.get("delta_rows", delta.count())
+        last_base = meta.get("base_iter", it)
         # F_old for the next round (non-redundant decomposition)
-        facts_old = facts.join(delta, SPOG, "left_anti").localCheckpoint(eager=True)
+        facts_old = seed_lc.join(delta, SPOG, "left_anti").localCheckpoint(
+            eager=True
+        )
         metrics.append({"iteration": it, "resumed": True, "delta_rows": delta_rows})
     else:
-        facts = facts0.localCheckpoint(eager=True)
-        facts_rows = facts.count()
+        seed_lc, facts_rows = store.seed(facts0)
         if delta0 is not None:
             delta = delta0.localCheckpoint(eager=True)
             delta_rows = delta.count()
-            facts_old = facts.join(delta, SPOG, "left_anti").localCheckpoint(
+            facts_old = seed_lc.join(delta, SPOG, "left_anti").localCheckpoint(
                 eager=True
             )
         else:
-            delta = facts
+            delta = seed_lc
             delta_rows = facts_rows
-            facts_old = facts.limit(0)
+            facts_old = seed_lc.limit(0)
         if lineage:
             # iteration-0 arguments (unconditional-rule heads) come from the
             # caller; see prove.py.
@@ -212,9 +363,9 @@ def fixpoint(
     def goals_met() -> bool:
         if goals is None or goals_n == 0:
             return goals is not None
-        return goals.join(facts, SPOG, "left_anti").count() == 0
+        return goals.join(store.union(), SPOG, "left_anti").count() == 0
 
-    stats = _predicate_stats(facts, cfg) if cond_rules else None
+    stats = _predicate_stats(store.union(), cfg) if cond_rules else None
 
     while delta_rows > 0 and cond_rules:
         if goals is not None and goals_met():
@@ -229,6 +380,7 @@ def fixpoint(
             if delta_rows <= cfg.broadcast_delta_max_rows
             else delta
         )
+        facts = store.union()
         plans = []
         for r in cond_rules:
             extra = lineage_cols(r, dtype) if lineage else ()
@@ -245,7 +397,7 @@ def fixpoint(
         cand = _union_all(plans)
 
         if lineage:
-            novel = cand.join(facts, SPOG, "left_anti")
+            novel = store.anti(cand)
             w = Window.partitionBy(*SPOG).orderBy("rule_index", "inst")
             picked = (
                 novel.withColumn("__rn", F.row_number().over(w))
@@ -263,11 +415,7 @@ def fixpoint(
                 if it % 16 == 0:
                     arguments = arguments.localCheckpoint(eager=True)
         else:
-            new = (
-                cand.dropDuplicates(SPOG)
-                .join(facts, SPOG, "left_anti")
-                .localCheckpoint(eager=True)
-            )
+            new = store.anti(cand.dropDuplicates(SPOG)).localCheckpoint(eager=True)
             delta_rows = new.count()
 
         if delta_rows == 0:
@@ -276,8 +424,8 @@ def fixpoint(
             )
             break
 
-        facts_old = facts
-        facts = facts.unionByName(new)
+        store.add(new, rows=delta_rows)
+        facts_old = store.union_except_last()
         facts_rows += delta_rows
         delta = new
         m = {
@@ -286,19 +434,30 @@ def fixpoint(
             "facts_rows": facts_rows,
             "wall_s": round(time.time() - t0, 4),
             "delta_partitions": new.rdd.getNumPartitions(),
+            "store_blocks": len(store.blocks),
+            "compacted": store.just_compacted,
         }
         metrics.append(m)
         if ckpt:
-            facts, delta, arguments = ckpt.save_iteration(
+            write_base = it == 1 or (it - last_base) >= cfg.store_compact_every
+            if write_base:
+                last_base = it
+            args2 = ckpt.save_iteration(
                 it,
-                facts,
                 delta,
                 arguments,
-                extra_meta={"facts_rows": facts_rows, "delta_rows": delta_rows},
+                facts=store.union() if write_base else None,
+                extra_meta={
+                    "facts_rows": facts_rows,
+                    "delta_rows": delta_rows,
+                    "base_iter": last_base,
+                },
             )
+            if args2 is not None:
+                arguments = args2
 
     return FixpointResult(
-        facts=facts,
+        facts=store.union(),
         arguments=arguments,
         metrics=metrics,
         iterations=it,
