@@ -62,17 +62,17 @@ SPOG = ["s", "p", "o", "g"]
 
 
 class FactStore:
-    """The accumulated fact set as SPOG-hash-partitioned, sorted, cached
+    """The accumulated fact set as s-hash-partitioned, sorted, cached
     blocks — the "bucketed fact store".
 
     Why blocks instead of a grow-forever union of checkpoints:
-      * every block is ``repartition(P, s,p,o,g).sortWithinPartitions``
+      * every block is ``repartition(P, s).sortWithinPartitions(s,p,o,g)``
         then persisted; Spark's cache PRESERVES that partitioning and
         ordering, so the per-iteration novelty anti-join chains through the
-        blocks with ZERO exchange and ZERO sort on the facts side — only
-        the (small) candidate side shuffles. This is the local-mode analog
-        of a bucketBy(spog) table; at cluster scale the same blocks map to
-        bucketed parquet;
+        blocks with ZERO exchange on the facts side (sorts stay local) —
+        only the (small) candidate side shuffles. This is the local-mode
+        analog of a bucketBy(s) table; at cluster scale the same blocks
+        map to bucketed parquet;
       * blocks are periodically compacted (union → one shuffle → one
         block), which bounds plan depth, bounds the anti-join chain length,
         and drops the superseded delta checkpoints so executor memory holds
@@ -105,18 +105,38 @@ class FactStore:
         return max(1, min(self.max_partitions, rows // self.rows_per_partition + 1))
 
     def _mk_block(self, checkpointed_df: DataFrame) -> DataFrame:
-        """Cached, SPOG-partitioned, sorted block over a CHECKPOINT-BACKED
+        """Cached, s-hash-partitioned, sorted block over a CHECKPOINT-BACKED
         input. The checkpoint bounds the logical plan (consumers would
         otherwise nest every prior iteration's plan — exponential plan
         trees and driver OOM in plan stringification); the cache on top
         preserves the (hash-partition, sort) layout that checkpointing
         alone loses. The cache fills lazily inside the next job that reads
-        the block — no extra per-iteration barrier."""
+        the block — no extra per-iteration barrier.
+
+        Partitioning is by ``s`` ALONE, not all of SPOG: rule-head
+        candidates carry literal p/g columns, and Catalyst folds constants
+        out of equi-join keys — a store partitioned on (s,p,o,g) would
+        never satisfy the folded (s, o)-key join and re-exchange every
+        iteration. s is a variable in every range-restricted head, and a
+        single-column subset satisfies any folded key set (requires
+        spark.sql.requireAllClusterKeysForCoPartition=false, set in
+        session.py)."""
         return (
-            checkpointed_df.repartition(self.partitions, *SPOG)
+            checkpointed_df.repartition(self.partitions, "s")
             .sortWithinPartitions(*SPOG)
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
+
+    def _finalize_if_chained(self, block: DataFrame) -> None:
+        """In chained (large-store) mode, materialize the block NOW: an
+        unfilled cache compiles as an unfinalized adaptive plan whose
+        output partitioning is unknown, so consumer joins would plan an
+        exchange anyway — the co-location property only holds against
+        materialized blocks. In small-store (broadcast-anti) mode the fill
+        stays lazy: partitioning is irrelevant there and the extra
+        per-iteration job is pure overhead."""
+        if self.total_rows > self.single_anti_max_rows:
+            block.count()
 
     def seed(self, df: DataFrame, rows_hint: Optional[int] = None) -> tuple:
         """Initial store contents (one block); fixes the store partition
@@ -132,6 +152,7 @@ class FactStore:
         )
         self.blocks = [self._mk_block(lc)]
         self.total_rows = rows
+        self._finalize_if_chained(self.blocks[0])
         self.just_compacted = False
         return lc, rows
 
@@ -142,6 +163,7 @@ class FactStore:
         block prefix."""
         self.blocks.append(self._mk_block(checkpointed_delta))
         self.total_rows += rows
+        self._finalize_if_chained(self.blocks[-1])
         self.just_compacted = False
         if len(self.blocks) > self.compact_every:
             self._compact_prefix()
@@ -154,6 +176,7 @@ class FactStore:
         prefix, last = self.blocks[:-1], self.blocks[-1]
         flat = _union_all(prefix).localCheckpoint(eager=True)
         merged = self._mk_block(flat)
+        self._finalize_if_chained(merged)
         for b in prefix:
             b.unpersist()
         self.blocks = [merged, last]

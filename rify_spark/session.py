@@ -30,6 +30,11 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # allow co-partitioned joins on a SUBSET of the join keys: the
+        # bucketed fact store partitions by s (p/g literals fold out of
+        # join keys in rule-head candidates), and with this off Spark 4
+        # would re-exchange the store side every fixpoint iteration
+        .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")

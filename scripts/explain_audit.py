@@ -98,6 +98,50 @@ def main() -> None:
         ],
     )
 
+    # 5. FactStore novelty anti-join (large-store mode): the candidate side
+    # pays exactly ONE requirement exchange; every block side is read in
+    # place from the partitioned+sorted cache (zero ENSURE_REQUIREMENTS
+    # exchanges, zero sorts above the InMemoryTableScans). This is THE
+    # property that keeps per-iteration facts-side shuffle bytes flat at
+    # 100x store growth.
+    from rify_spark.infer import FactStore, SPOG
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        # pin P = spark.sql.shuffle.partitions: a large store always rides
+        # at the conf cap (rows/200k >> conf), and EnsureRequirements only
+        # reuses an existing child partitioning at the conf width; P=1
+        # blocks would collapse to SinglePartition and defeat the check
+        store = FactStore(spark, fixed_partitions=16, compact_every=8)
+        store.single_anti_max_rows = 0  # force chained (large-store) mode
+        base = quads.tpch_quads(spark, SF_DIR)
+        store.seed(base)
+        for i in range(2):
+            blk = base.limit(500 + i).localCheckpoint(eager=True)
+            store.add(blk, rows=500 + i)
+        cand = quads.tree_edges(spark, SF_DIR)
+        anti = store.anti(cand)
+        top = anti._jdf.queryExecution().executedPlan().toString()
+        top_level = top.split("InMemoryRelation")[0]
+        n_ensure = top.count("ENSURE_REQUIREMENTS")
+        sections.append(("factstore_anti_join", top[:6000]))
+        checks.append(
+            (
+                "factstore_anti_join",
+                "facts side exchange-free (1 requirement exchange total, cand only)",
+                n_ensure == 1,
+            )
+        )
+        checks.append(
+            (
+                "factstore_anti_join",
+                "blocks read from partitioned cache (InMemoryTableScan present)",
+                "InMemoryTableScan" in top_level or "InMemoryTableScan" in top,
+            )
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64m")
+
     lines = ["# PLANS — physical-plan audit", ""]
     lines.append("| query | property | status |")
     lines.append("|---|---|---|")
