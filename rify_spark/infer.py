@@ -256,6 +256,28 @@ def _union_all(dfs: list) -> DataFrame:
     return out
 
 
+def _heap_mb(spark: SparkSession) -> int:
+    """Driver/executor JVM heap in MB (local mode: one JVM)."""
+    try:
+        v = spark.sparkContext.getConf().get("spark.driver.memory", "8g")
+    except Exception:
+        v = "8g"
+    v = v.strip().lower()
+    mult = {"k": 1 / 1024, "m": 1, "g": 1024, "t": 1024 * 1024}
+    if v[-1] in mult:
+        return int(float(v[:-1]) * mult[v[-1]])
+    return int(int(v) / (1024 * 1024))
+
+
+def _broadcast_cutoff_rows(spark: SparkSession, cfg: InferConfig) -> int:
+    """Effective delta-broadcast cutoff: the configured row cap, clamped by
+    heap (a broadcast HashedRelation over 128-bit quad keys costs ~2 KB/row
+    all-in across build + driver copy; ~500 rows/MB keeps the build well
+    under a quarter of the heap). A 4 GB two-core executor clamps to ~2M
+    rows where the fixed 5M default OOMed; 16 GB+ keeps the full default."""
+    return min(cfg.broadcast_delta_max_rows, _heap_mb(spark) * 500)
+
+
 def _predicate_stats(facts: DataFrame, cfg: InferConfig) -> Optional[dict]:
     if not cfg.use_stats:
         return None
@@ -381,6 +403,7 @@ def fixpoint(
                 )
             )
 
+    broadcast_cutoff = _broadcast_cutoff_rows(spark, cfg)
     goals_n = goals.count() if goals is not None else 0
 
     def goals_met() -> bool:
@@ -400,7 +423,7 @@ def fixpoint(
 
         delta_src = (
             F.broadcast(delta)
-            if delta_rows <= cfg.broadcast_delta_max_rows
+            if delta_rows <= broadcast_cutoff
             else delta
         )
         facts = store.union()

@@ -265,3 +265,16 @@ def test_disconnected_body_cross_product(spark):
         ("1", "pq", "4", DG),
         ("1", "pq", "6", DG),
     ]
+
+
+def test_broadcast_cutoff_is_memory_aware(spark):
+    from rify_spark.infer import InferConfig, _broadcast_cutoff_rows, _heap_mb
+
+    heap = _heap_mb(spark)
+    assert heap > 0
+    cfg = InferConfig()
+    cut = _broadcast_cutoff_rows(spark, cfg)
+    assert cut <= cfg.broadcast_delta_max_rows
+    assert cut == min(cfg.broadcast_delta_max_rows, heap * 500)
+    # a 4 GB heap must clamp below the 5M default (the 2-core OOM case)
+    assert min(cfg.broadcast_delta_max_rows, 4096 * 500) < cfg.broadcast_delta_max_rows
