@@ -238,6 +238,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "o16_validate_roundtrip": _q_validate_roundtrip,
         "o17_rule_lowering": quads.rule_lowering,
         "o18_rule_validation": quads.rule_validation,
+        # skew: hot-key-salted shuffle joins through the whole fixpoint
+        "skew_salted_closure": quads.skew_salted_closure,
         # KG construction
         "kg_extract_mentions": _q_kg_mentions,
         "kg_pipeline_derived": _q_kg_pipeline,
@@ -287,6 +289,7 @@ def oracle_sql() -> dict[str, str]:
         "o15_proof_raise": quads.PROOF_SQL,
         "o17_rule_lowering": quads.RULE_LOWERING_SQL,
         "o18_rule_validation": quads.RULE_VALIDATION_SQL,
+        "skew_salted_closure": quads.SKEW_SALTED_CLOSURE_SQL,
         "kg_extract_mentions": """
             SELECT DISTINCT doc_id, tok AS mention FROM (
               SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok

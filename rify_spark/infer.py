@@ -217,12 +217,17 @@ class InferConfig:
     encode_terms: bool = True
     collision_audit: bool = True
     # delta-side broadcast cutoff (rows); above it joins fall back to
-    # shuffle joins with AQE skew handling. Measured on the 1M-node-tree
-    # closure: broadcasting a 4M-row delta cut its iteration 67s -> 21s
-    # (bindings joins stop shuffling the fact side); an 8M-row delta
-    # regressed, so the cutoff sits between. ~5M quad rows ≈ 160 MB — a
-    # routine broadcast on cluster-class executors.
-    broadcast_delta_max_rows: int = 5_000_000
+    # shuffle joins with AQE skew handling. The broadcast hash-table build
+    # is SERIAL (driver collect + HashedRelation), so its relative cost
+    # grows with parallelism (Amdahl): on the 1M-node-tree closure
+    # (scripts/profile_fixpoint.py, local[8]/16g) an all-shuffle run beat
+    # all-broadcast 147s vs 159s and raised 2->8-core scaling efficiency
+    # 0.49 -> 0.70, while iterations with <=1M-row deltas still ran
+    # slightly faster broadcast. 1M rows (~32 MB) keeps the tail-latency
+    # win for small deltas and lets big deltas scale with cores; raise it
+    # on clusters where facts >> delta makes avoiding the facts-side
+    # exchange dominant.
+    broadcast_delta_max_rows: int = 1_000_000
     # persistent checkpoints (resumable); None -> localCheckpoint only
     checkpoint_dir: Optional[str] = None
     resume: bool = False
@@ -238,6 +243,15 @@ class InferConfig:
     store_compact_every: int = 8
     # partition count of the bucketed fact store; None -> shuffle partitions
     store_partitions: Optional[int] = None
+    # explicit hot-key salting for shuffle-joined iterations: term values
+    # holding >= hot_value_min_share of the seed's s/o occurrences are
+    # salted in every single-variable bindings join (skew.py). Broadcast
+    # iterations are skew-immune and skip it; AQE skew-join still covers
+    # undetected / emergent hot keys.
+    salt_hot_values: bool = True
+    hot_value_min_share: float = 0.2
+    hot_value_top: int = 5
+    hot_salt_n: int = 8
 
 
 @dataclass
@@ -276,6 +290,36 @@ def _broadcast_cutoff_rows(spark: SparkSession, cfg: InferConfig) -> int:
     under a quarter of the heap). A 4 GB two-core executor clamps to ~2M
     rows where the fixed 5M default OOMed; 16 GB+ keeps the full default."""
     return min(cfg.broadcast_delta_max_rows, _heap_mb(spark) * 500)
+
+
+def _hot_values(facts: DataFrame, facts_rows: int, cfg: InferConfig) -> list:
+    """Driver-side list of hot term literals: values holding at least
+    ``hot_value_min_share`` of the seed facts' join-position (s/o)
+    occurrences. One groupBy at seed time; the result feeds
+    ``matcher.bindings``'s targeted salting for iterations whose delta is
+    too large to broadcast. Detection is seed-time-only by design — a key
+    that becomes hot late is AQE skew-join's job."""
+    from .matcher import term_lit
+
+    if not cfg.salt_hot_values:
+        return []
+    dtype = facts.schema["s"].dataType
+    occ = facts.select(F.col("s").alias("k")).unionByName(
+        facts.select(F.col("o").alias("k"))
+    )
+    top = (
+        occ.groupBy("k")
+        .count()
+        .orderBy(F.desc("count"))
+        .limit(cfg.hot_value_top)
+        .collect()
+    )
+    total = max(2 * facts_rows, 1)
+    hot = [r["k"] for r in top if r["count"] / total >= cfg.hot_value_min_share]
+    return [
+        (term_lit(tuple(v) if not isinstance(v, (str, int)) else v, dtype),)
+        for v in hot
+    ]
 
 
 def _predicate_stats(facts: DataFrame, cfg: InferConfig) -> Optional[dict]:
@@ -412,6 +456,7 @@ def fixpoint(
         return goals.join(store.union(), SPOG, "left_anti").count() == 0
 
     stats = _predicate_stats(store.union(), cfg) if cond_rules else None
+    hot_lits = _hot_values(seed_lc, facts_rows, cfg) if cond_rules else []
 
     while delta_rows > 0 and cond_rules:
         if goals is not None and goals_met():
@@ -421,11 +466,11 @@ def fixpoint(
         it += 1
         t0 = time.time()
 
-        delta_src = (
-            F.broadcast(delta)
-            if delta_rows <= broadcast_cutoff
-            else delta
-        )
+        broadcast_delta = delta_rows <= broadcast_cutoff
+        delta_src = F.broadcast(delta) if broadcast_delta else delta
+        # broadcast-hash joins stream the big side, so hot keys cost nothing
+        # extra; explicit salting applies only to shuffle-joined iterations
+        hot = hot_lits if (hot_lits and not broadcast_delta) else None
         facts = store.union()
         plans = []
         for r in cond_rules:
@@ -438,6 +483,8 @@ def fixpoint(
                     seed_pos=i,
                     stats=stats,
                     facts_old=facts_old,
+                    hot_values=hot,
+                    salt_n=cfg.hot_salt_n,
                 )
                 plans.append(project_heads(b, r, dtype, extra))
         cand = _union_all(plans)

@@ -148,6 +148,8 @@ def bindings(
     seed_pos: Optional[int] = None,
     stats: Optional[Mapping] = None,
     facts_old: Optional[DataFrame] = None,
+    hot_values: Optional[Sequence] = None,
+    salt_n: int = 8,
 ) -> DataFrame:
     """All assignments of ``lrule``'s variables satisfying its body.
 
@@ -161,6 +163,16 @@ def bindings(
     quads is produced by exactly one seed plan (the one whose seed is its
     first delta atom) instead of once per delta atom. Same fixpoint, strictly
     fewer candidate rows through the dedup/anti-join shuffles.
+
+    With ``hot_values`` (driver-detected hot term ids, see
+    ``infer._hot_values``) every single-variable inner join is a
+    :func:`rify_spark.skew.targeted_salted_join`: the facts-atom side is
+    salted, the accumulated (delta-seeded, smaller) side's hot rows are
+    exploded over ``salt_n`` salts — the explicit "skew-salted joins on hot
+    predicates" path for when the delta is too large to broadcast (a
+    broadcast join is skew-immune, so the fixpoint passes hot_values only
+    for shuffle-joined iterations). Multiplicity is unchanged; multi-variable
+    join keys are left to AQE (a composite key spreads hot single terms).
 
     Raises ValueError for an empty body — unconditional rules are seeded by
     the fixpoint driver, mirroring the reference's special-casing
@@ -190,7 +202,15 @@ def bindings(
             continue
         shared = sorted(acc_vars & set(rel_vars))
         if shared:
-            acc = acc.join(rel, on=[f"v{v}" for v in shared], how="inner")
+            keys = [f"v{v}" for v in shared]
+            if hot_values and len(keys) == 1:
+                from .skew import targeted_salted_join
+
+                acc = targeted_salted_join(
+                    rel, acc, keys, hot_values, n_salts=salt_n
+                )
+            else:
+                acc = acc.join(rel, on=keys, how="inner")
         else:
             acc = acc.crossJoin(rel)
         acc_vars |= set(rel_vars)

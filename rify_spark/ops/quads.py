@@ -721,3 +721,62 @@ RULE_VALIDATION_SQL = """
     ('unconditional_const_head', 'ok')
   ) t(rule_name, status)
 """
+
+
+# --- skew: salted shuffle-join closure over a planted-hot-key star ----------
+# Gate query for the explicit skew path (skew.py targeted_salted_join wired
+# into matcher.bindings): every customer node points at one hub, so the hub
+# term holds ~50% of all s/o occurrences — far past hot_value_min_share. The
+# config forces every iteration onto shuffle joins (broadcast cutoff 0), so
+# each single-variable bindings join runs SALTED. The oracle is the plain
+# (unsalted) closure — salting must be invisible in the result.
+
+def skew_salted_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..api import infer_df
+    from ..infer import InferConfig
+    from ..rules import Bound as B, Rule, Unbound as U
+
+    nodes = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") >= 1)
+    edges = nodes.select(
+        F.concat(F.lit("node:"), F.col("c_custkey")).alias("s"),
+        F.lit("parent").alias("p"),
+        F.lit("hub").alias("o"),
+        F.lit(TREE_G).alias("g"),
+    ).unionByName(
+        spark.createDataFrame(
+            [("hub", "parent", "root", TREE_G)],
+            "s string, p string, o string, g string",
+        )
+    )
+    rules = [
+        Rule.create(
+            [[U("a"), B("parent"), U("b"), U("g")]],
+            [[U("a"), B("ancestor"), U("b"), U("g")]],
+        ),
+        Rule.create(
+            [
+                [U("a"), B("ancestor"), U("b"), U("g")],
+                [U("b"), B("ancestor"), U("c"), U("g")],
+            ],
+            [[U("a"), B("ancestor"), U("c"), U("g")]],
+        ),
+    ]
+    cfg = InferConfig(
+        broadcast_delta_max_rows=0,  # force the shuffle-join (salted) path
+        salt_hot_values=True,
+        hot_value_min_share=0.1,
+        hot_salt_n=8,
+    )
+    derived, _ = infer_df(spark, edges, rules, cfg)
+    return derived
+
+
+SKEW_SALTED_CLOSURE_SQL = f"""
+  WITH nodes AS (SELECT c_custkey AS k FROM customer WHERE c_custkey >= 1)
+  SELECT 'node:' || k AS s, 'ancestor' AS p, 'hub' AS o, '{TREE_G}' AS g
+  FROM nodes
+  UNION ALL
+  SELECT 'node:' || k, 'ancestor', 'root', '{TREE_G}' FROM nodes
+  UNION ALL
+  SELECT 'hub', 'ancestor', 'root', '{TREE_G}'
+"""

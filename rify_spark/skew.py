@@ -25,7 +25,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 _SALT = "__salt"
@@ -71,6 +71,74 @@ def salted_join(
         out = left.join(right, [*on, _SALT], how)
         return out.drop(_SALT) if _SALT in out.columns else out
     raise ValueError(f"salted_join does not support how={how!r}")
+
+
+def targeted_salted_join(
+    skewed: DataFrame,
+    other: DataFrame,
+    on: Sequence[str],
+    hot_values: Sequence,
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join that salts ONLY rows whose key is in ``hot_values``.
+
+    The blanket :func:`salted_join` replicates the entire ``other`` side
+    ``n_salts`` times — fine for a dimension table, ruinous for a fact-fact
+    join. The targeted form replicates only ``other``'s hot-key rows:
+
+      * ``skewed`` rows with a hot key get salt = hash(row) % n_salts
+        (spreading the hot key over n_salts partitions); cold rows salt 0;
+      * ``other`` rows with a hot key are exploded over all salts (so every
+        salted fragment of the hot key still sees all its matches); cold
+        rows get salt 0.
+
+    Result multiplicity is identical to the plain join. ``hot_values`` is a
+    small driver-side list: one entry per hot key, each a tuple aligned with
+    ``on`` whose elements are plain values or prebuilt literal Columns (use
+    a struct literal for composite id types). Extra shuffle cost is
+    |other ∩ hot| × (n_salts - 1) rows — pick ``other`` as the side with
+    FEWER hot rows.
+    """
+    if not (how == "inner" or how.startswith("left")):
+        raise ValueError(f"targeted_salted_join does not support how={how!r}")
+    if not hot_values:
+        return skewed.join(other, list(on), how)
+
+    def _lit(v):
+        return v if isinstance(v, Column) else F.lit(v)
+
+    def is_hot(df: DataFrame):
+        conds = []
+        for hv in hot_values:
+            hv = hv if isinstance(hv, (tuple, list)) else (hv,)
+            eq = F.lit(True)
+            for c, v in zip(on, hv):
+                eq = eq & (df[c] == _lit(v))
+            conds.append(eq)
+        out = conds[0]
+        for c in conds[1:]:
+            out = out | c
+        return out
+
+    left = skewed.withColumn(
+        _SALT,
+        F.when(
+            is_hot(skewed),
+            F.pmod(F.xxhash64(*skewed.columns), F.lit(n_salts)).cast("int"),
+        ).otherwise(F.lit(0).cast("int")),
+    )
+    all_salts = F.array(*[F.lit(i).cast("int") for i in range(n_salts)])
+    right = other.withColumn(
+        _SALT,
+        F.explode(
+            F.when(is_hot(other), all_salts).otherwise(
+                F.array(F.lit(0).cast("int"))
+            )
+        ),
+    )
+    out = left.join(right, [*on, _SALT], how)
+    return out.drop(_SALT) if _SALT in out.columns else out
 
 
 def key_skew_stats(df: DataFrame, on: Sequence[str], top: int = 5) -> list:

@@ -276,5 +276,7 @@ def test_broadcast_cutoff_is_memory_aware(spark):
     cut = _broadcast_cutoff_rows(spark, cfg)
     assert cut <= cfg.broadcast_delta_max_rows
     assert cut == min(cfg.broadcast_delta_max_rows, heap * 500)
-    # a 4 GB heap must clamp below the 5M default (the 2-core OOM case)
-    assert min(cfg.broadcast_delta_max_rows, 4096 * 500) < cfg.broadcast_delta_max_rows
+    # a small heap must clamp below a raised cutoff (the 2-core OOM case:
+    # a 4 GB executor cannot absorb a multi-million-row broadcast build)
+    big = InferConfig(broadcast_delta_max_rows=5_000_000)
+    assert min(big.broadcast_delta_max_rows, 4096 * 500) < big.broadcast_delta_max_rows
