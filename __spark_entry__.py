@@ -259,6 +259,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_bruteforce": lambda s, d: similarity.knn_bruteforce(_emb(s, d)),
         "knn_lsh_buckets": lambda s, d: similarity.knn_lsh_buckets(_emb(s, d)),
         "knn_lsh": lambda s, d: similarity.knn_lsh(_emb(s, d)),
+        "knn_ivf_cells": lambda s, d: similarity.knn_ivf_cells(_emb(s, d)),
+        "knn_ivf": lambda s, d: similarity.knn_ivf(_emb(s, d)),
+        "knn_ivf_recall": lambda s, d: similarity.knn_ivf_recall(_emb(s, d)),
         "knn_lsh_recall": lambda s, d: similarity.knn_lsh_recall(_emb(s, d)),
         # event windows / sessionization (batch forms)
         "events_windowed": lambda s, d: events.windowed_counts(_events(s, d)),
@@ -309,6 +312,9 @@ def oracle_sql() -> dict[str, str]:
         "knn_bruteforce": similarity.knn_bruteforce_sql(),
         "knn_lsh_buckets": similarity.knn_lsh_buckets_sql(),
         "knn_lsh": similarity.knn_lsh_sql(),
+        "knn_ivf_cells": similarity.knn_ivf_cells_sql(),
+        "knn_ivf": similarity.knn_ivf_sql(),
+        "knn_ivf_recall": similarity.knn_ivf_recall_sql(),
         "knn_lsh_recall": similarity.knn_lsh_recall_sql(),
         "events_windowed": events.windowed_counts_sql(),
         "events_sessionize": events.sessionize_sql(),

@@ -350,3 +350,250 @@ def cosine_topk(emb: DataFrame, n_queries: int = KNN_N_QUERIES, k: int = KNN_K) 
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+# --- IVF (inverted-file) ANN: coarse-quantizer cells + nprobe search ---------
+# The second scale path beside sign-LSH. Index build: every vector is
+# assigned to its nearest coarse centroid (one broadcast of NLIST centroids
+# against the corpus — n x NLIST integer distance evaluations, the standard
+# IVF cost; with NLIST ~ sqrt(n) the build is n^1.5 work and the search
+# touches ~ n * NPROBE / NLIST candidates per query). Search: score the
+# query against the centroid table, probe its NPROBE nearest cells, exact
+# integer rerank inside. Centroids here are a deterministic sample (the
+# first NLIST vectors) so the DuckDB oracle is exact; production would
+# refine them with pyspark.ml.clustering.KMeans — the cell/probe/rerank
+# plumbing (what this gate grades) is identical either way, and
+# ivf_refine_centroids below implements one integer Lloyd step for tests.
+
+IVF_NLIST = 16
+IVF_NPROBE = 4
+
+
+def _int_l2(a, b):
+    """Integer squared L2 distance (exact in both engines)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _ivf_centroids(quantized: DataFrame) -> DataFrame:
+    """(cent_id, cvec): deterministic sample centroids."""
+    return quantized.filter(F.col("vec_id") < IVF_NLIST).select(
+        F.col("vec_id").alias("cent_id"), F.col("ce").alias("cvec")
+    )
+
+
+def _ivf_rank_cells(quantized: DataFrame, cents: DataFrame) -> DataFrame:
+    """(vec_id, ce, cent_id, cell_rank): every vector's cells by distance."""
+    scored = quantized.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "ce",
+        "cent_id",
+        _int_l2(F.col("ce"), F.col("cvec")).alias("d"),
+    )
+    w = Window.partitionBy("vec_id").orderBy("d", "cent_id")
+    return scored.withColumn("cell_rank", F.row_number().over(w))
+
+
+def knn_ivf_cells(emb: DataFrame) -> DataFrame:
+    """The IVF index: (vec_id, cell) nearest-centroid assignment."""
+    quant = emb.select("vec_id", _quantized(F.col("embedding")).alias("ce"))
+    ranked = _ivf_rank_cells(quant, _ivf_centroids(quant))
+    return ranked.filter(F.col("cell_rank") == 1).select(
+        "vec_id", F.col("cent_id").cast("long").alias("cell")
+    )
+
+
+def knn_ivf(emb: DataFrame, n_queries: int = KNN_N_QUERIES, k: int = KNN_K) -> DataFrame:
+    """Approximate top-k via IVF: probe the query's IVF_NPROBE nearest
+    cells, exact integer rerank within. Same output shape as knn_bruteforce
+    / knn_lsh."""
+    quant = emb.select("vec_id", _quantized(F.col("embedding")).alias("ce"))
+    cents = _ivf_centroids(quant)
+    ranked = _ivf_rank_cells(quant, cents)
+    corpus = ranked.filter(F.col("cell_rank") == 1).select(
+        "vec_id", "ce", F.col("cent_id").alias("cell")
+    )
+    probes = (
+        ranked.filter(
+            (F.col("vec_id") < n_queries) & (F.col("cell_rank") <= IVF_NPROBE)
+        )
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("ce").alias("qe"),
+            F.col("cent_id").alias("qcell"),
+        )
+    )
+    cand = corpus.join(
+        F.broadcast(probes),
+        (F.col("cell") == F.col("qcell")) & (F.col("vec_id") != F.col("query_id")),
+    )
+    scored = cand.select(
+        "query_id", "vec_id", _int_dot(F.col("ce"), F.col("qe")).alias("dot")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("dot"), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "dot", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+_IVF_QUANT_SQL = f"""
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(round(x::DOUBLE * {KNN_QUANT}) AS BIGINT)) AS ce
+      FROM embeddings
+"""
+
+_IVF_RANKED_SQL = f"""
+    quant AS ({_IVF_QUANT_SQL}),
+    cents AS (
+      SELECT vec_id AS cent_id, ce AS cvec FROM quant WHERE vec_id < {IVF_NLIST}
+    ),
+    ranked AS (
+      SELECT q.vec_id, q.ce, c.cent_id,
+             row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY list_sum(list_transform(range(1, {EMB_DIM} + 1),
+                                 i -> (q.ce[i] - c.cvec[i]) * (q.ce[i] - c.cvec[i]))),
+                        c.cent_id
+             ) AS cell_rank
+      FROM quant q, cents c
+    )
+"""
+
+
+def knn_ivf_cells_sql() -> str:
+    return f"""
+    WITH {_IVF_RANKED_SQL}
+    SELECT vec_id, CAST(cent_id AS BIGINT) AS cell
+    FROM ranked WHERE cell_rank = 1
+    """
+
+
+def knn_ivf_sql(n_queries: int = KNN_N_QUERIES, k: int = KNN_K) -> str:
+    return f"""
+    WITH {_IVF_RANKED_SQL},
+    corpus AS (
+      SELECT vec_id, ce, cent_id AS cell FROM ranked WHERE cell_rank = 1
+    ),
+    probes AS (
+      SELECT vec_id AS query_id, ce AS qe, cent_id AS qcell
+      FROM ranked WHERE vec_id < {n_queries} AND cell_rank <= {IVF_NPROBE}
+    ),
+    scored AS (
+      SELECT p.query_id, c.vec_id,
+             list_sum(list_transform(range(1, {EMB_DIM} + 1), i -> c.ce[i] * p.qe[i])) AS dot
+      FROM corpus c JOIN probes p
+        ON c.cell = p.qcell AND c.vec_id != p.query_id
+    ),
+    topk AS (
+      SELECT query_id, vec_id, dot,
+             row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, vec_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, vec_id, CAST(dot AS BIGINT) AS dot, CAST(rank AS BIGINT) AS rank
+    FROM topk WHERE rank <= {k}
+    """
+
+
+def knn_ivf_recall(emb: DataFrame) -> DataFrame:
+    """Recall of IVF nprobe search on planted near-neighbor twins (same
+    planting as knn_lsh_recall): is each twin's original reachable through
+    the twin's probed cells? One summary row; exact DuckDB twin."""
+    planted = _planted_emb(emb)
+    cents = _ivf_centroids(planted.filter(F.col("vec_id") < ANN_PLANT_OFFSET))
+    ranked = _ivf_rank_cells(planted, cents)
+    corpus = ranked.filter(F.col("cell_rank") == 1).select(
+        "vec_id", F.col("cent_id").alias("cell")
+    )
+    probes = ranked.filter(
+        (F.col("vec_id") >= ANN_PLANT_OFFSET) & (F.col("cell_rank") <= IVF_NPROBE)
+    ).select(F.col("vec_id").alias("query_id"), F.col("cent_id").alias("qcell"))
+    hits = (
+        corpus.join(
+            F.broadcast(probes),
+            (F.col("cell") == F.col("qcell"))
+            & (F.col("vec_id") == F.col("query_id") - ANN_PLANT_OFFSET),
+        )
+        .select("query_id")
+        .distinct()
+    )
+    n_planted = planted.filter(F.col("vec_id") >= ANN_PLANT_OFFSET).agg(
+        F.count("*").alias("n_planted")
+    )
+    n_found = hits.agg(F.count("*").alias("n_found"))
+    return n_planted.crossJoin(n_found).select(
+        "n_planted",
+        "n_found",
+        (F.col("n_found") / F.col("n_planted")).alias("recall"),
+    )
+
+
+def knn_ivf_recall_sql() -> str:
+    return f"""
+    WITH pe AS ({_planted_emb_sql()}),
+    cents AS (
+      SELECT vec_id AS cent_id, ce AS cvec FROM pe
+      WHERE vec_id < {IVF_NLIST}
+    ),
+    ranked AS (
+      SELECT p.vec_id, c.cent_id,
+             row_number() OVER (
+               PARTITION BY p.vec_id
+               ORDER BY list_sum(list_transform(range(1, {EMB_DIM} + 1),
+                                 i -> (p.ce[i] - c.cvec[i]) * (p.ce[i] - c.cvec[i]))),
+                        c.cent_id
+             ) AS cell_rank
+      FROM pe p, cents c
+    ),
+    corpus AS (
+      SELECT vec_id, cent_id AS cell FROM ranked WHERE cell_rank = 1
+    ),
+    probes AS (
+      SELECT vec_id AS query_id, cent_id AS qcell
+      FROM ranked WHERE vec_id >= {ANN_PLANT_OFFSET} AND cell_rank <= {IVF_NPROBE}
+    ),
+    hits AS (
+      SELECT DISTINCT p.query_id
+      FROM corpus c JOIN probes p
+        ON c.cell = p.qcell AND c.vec_id = p.query_id - {ANN_PLANT_OFFSET}
+    )
+    SELECT (SELECT count(*) FROM pe WHERE vec_id >= {ANN_PLANT_OFFSET}) AS n_planted,
+           (SELECT count(*) FROM hits) AS n_found,
+           CAST((SELECT count(*) FROM hits) AS DOUBLE)
+             / (SELECT count(*) FROM pe WHERE vec_id >= {ANN_PLANT_OFFSET}) AS recall
+    """
+
+
+def ivf_refine_centroids(emb: DataFrame, iters: int = 1) -> DataFrame:
+    """Integer Lloyd refinement of the sample centroids (tests/production;
+    the oracle gate uses the unrefined sample for cross-engine exactness).
+    Element-wise integer mean per cell via posexplode -> (cell, pos) avg ->
+    re-assemble; each iteration is two shuffles, both keyed small."""
+    quant = emb.select("vec_id", _quantized(F.col("embedding")).alias("ce"))
+    cents = _ivf_centroids(quant)
+    for _ in range(iters):
+        assign = (
+            _ivf_rank_cells(quant, cents)
+            .filter(F.col("cell_rank") == 1)
+            .select("ce", F.col("cent_id").alias("cell"))
+        )
+        cents = (
+            assign.select("cell", F.posexplode("ce").alias("pos", "v"))
+            .groupBy("cell", "pos")
+            .agg(F.avg("v").cast("long").alias("m"))
+            .groupBy("cell")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", "m"))
+                ).alias("pm")
+            )
+            .select(
+                F.col("cell").alias("cent_id"),
+                F.transform(F.col("pm"), lambda s: s["m"]).alias("cvec"),
+            )
+        )
+    return cents
