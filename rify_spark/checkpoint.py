@@ -4,12 +4,14 @@ North-rule requirement: every fixpoint iteration checkpoints its derived
 delta (and lineage/arguments table in prove mode) with per-partition metrics
 so a killed job resumes mid-fixpoint instead of recomputing from scratch.
 
-Layout (delta-incremental — the full fact store is NOT rewritten per
-iteration; a compacted base lands every store-compaction interval):
+Layout (delta-incremental — neither the full fact store nor the full
+lineage table is rewritten per iteration; compacted bases land every
+store-compaction interval):
     <dir>/iter=00001/facts.parquet          (base: full store as of iter 1)
+    <dir>/iter=00001/arguments.parquet      (base: full lineage, prove mode)
     <dir>/iter=00001/delta.parquet
     <dir>/iter=00007/delta.parquet
-    <dir>/iter=00007/arguments.parquet      (prove mode only)
+    <dir>/iter=00007/args_delta.parquet     (this iteration's lineage rows)
     <dir>/iter=00007/meta.json              (written last = commit marker)
 
 ``meta.json`` carries iteration number, row counts, partition counts,
@@ -54,12 +56,14 @@ class CheckpointManager:
         arguments: Optional[DataFrame] = None,
         facts: Optional[DataFrame] = None,
         extra_meta: Optional[dict] = None,
-    ) -> Optional[DataFrame]:
+        arguments_delta: Optional[DataFrame] = None,
+    ) -> None:
         """Write iteration state. ``delta`` is always written; ``facts``
-        (the full store) only at compaction points — per-iteration
-        checkpoint IO stays O(delta), not O(store). Returns the arguments
-        table re-read from parquet (plan truncation for the accumulating
-        lineage union), or None."""
+        (the full store) and ``arguments`` (the full lineage table) only at
+        compaction/base points; ``arguments_delta`` (this iteration's new
+        lineage rows) at every other prove-mode iteration — per-iteration
+        checkpoint IO stays O(delta) in both plain and prove mode, not
+        O(store)/O(lineage)."""
         d = self._iter_dir(it)
         t0 = time.time()
         delta.write.mode("overwrite").parquet(os.path.join(d, "delta.parquet"))
@@ -67,20 +71,20 @@ class CheckpointManager:
             arguments.write.mode("overwrite").parquet(
                 os.path.join(d, "arguments.parquet")
             )
+        elif arguments_delta is not None:
+            arguments_delta.write.mode("overwrite").parquet(
+                os.path.join(d, "args_delta.parquet")
+            )
         if facts is not None:
             facts.write.mode("overwrite").parquet(os.path.join(d, "facts.parquet"))
         delta2 = self.spark.read.parquet(os.path.join(d, "delta.parquet"))
-        args2 = (
-            self.spark.read.parquet(os.path.join(d, "arguments.parquet"))
-            if arguments is not None
-            else None
-        )
         meta = {
             "iteration": it,
             "write_wall_s": round(time.time() - t0, 4),
             "delta_partitions": delta2.rdd.getNumPartitions(),
             "ts": time.time(),
             "has_arguments": arguments is not None,
+            "has_args_delta": arguments is None and arguments_delta is not None,
             "has_facts": facts is not None,
             "fingerprint": self.fingerprint,
         }
@@ -88,7 +92,6 @@ class CheckpointManager:
             meta.update(extra_meta)
         with open(os.path.join(d, "meta.json"), "w") as f:
             json.dump(meta, f)
-        return args2
 
     def latest(self) -> Optional[tuple]:
         """(iteration, facts, delta, arguments|None, meta) of the newest
@@ -128,6 +131,16 @@ class CheckpointManager:
             )
         delta = self.spark.read.parquet(os.path.join(d, "delta.parquet"))
         args = None
-        if meta.get("has_arguments"):
-            args = self.spark.read.parquet(os.path.join(d, "arguments.parquet"))
+        if meta.get("has_arguments") or meta.get("has_args_delta"):
+            # arguments bases land at the same iterations as facts bases;
+            # resume = base arguments ∪ per-iteration args_delta after it
+            args = self.spark.read.parquet(
+                os.path.join(self._iter_dir(base), "arguments.parquet")
+            )
+            for j in range(base + 1, it + 1):
+                args = args.unionByName(
+                    self.spark.read.parquet(
+                        os.path.join(self._iter_dir(j), "args_delta.parquet")
+                    )
+                )
         return it, facts, delta, args, meta

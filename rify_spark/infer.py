@@ -407,6 +407,12 @@ def fixpoint(
     )
     last_base = 0  # iteration of the newest full-facts parquet base
 
+    # prove-mode lineage accumulates as a list of checkpoint-backed blocks
+    # (iteration-0 seed + one localCheckpoint per iteration): the plan of
+    # the final union is a flat N-leaf scan, so no periodic full-table
+    # re-checkpoint is needed, and parquet persistence is per-block O(delta)
+    arg_blocks: list = []
+
     resumed = None
     if ckpt and cfg.resume:
         resumed = ckpt.latest()
@@ -446,6 +452,8 @@ def fixpoint(
                     f"rule_index long, inst array<{dtype.simpleString()}>, iteration long",
                 )
             )
+    if arguments is not None:
+        arg_blocks.append(arguments)
 
     broadcast_cutoff = _broadcast_cutoff_rows(spark, cfg)
     goals_n = goals.count() if goals is not None else 0
@@ -502,11 +510,8 @@ def fixpoint(
             delta_rows = new_full.count()
             new = new_full.select(*SPOG)
             if delta_rows:
-                arguments = arguments.unionByName(new_full)
-                # flatten the accumulating union periodically so long prove
-                # fixpoints keep bounded plan depth
-                if it % 16 == 0:
-                    arguments = arguments.localCheckpoint(eager=True)
+                arg_blocks.append(new_full)
+                arguments = _union_all(arg_blocks)
         else:
             new = store.anti(cand.dropDuplicates(SPOG)).localCheckpoint(eager=True)
             delta_rows = new.count()
@@ -535,10 +540,11 @@ def fixpoint(
             write_base = it == 1 or (it - last_base) >= cfg.store_compact_every
             if write_base:
                 last_base = it
-            args2 = ckpt.save_iteration(
+            ckpt.save_iteration(
                 it,
                 delta,
-                arguments,
+                arguments=arguments if (lineage and write_base) else None,
+                arguments_delta=new_full if lineage else None,
                 facts=store.union() if write_base else None,
                 extra_meta={
                     "facts_rows": facts_rows,
@@ -546,8 +552,6 @@ def fixpoint(
                     "base_iter": last_base,
                 },
             )
-            if args2 is not None:
-                arguments = args2
 
     return FixpointResult(
         facts=store.union(),

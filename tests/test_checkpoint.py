@@ -102,3 +102,29 @@ def test_resume_refuses_mismatched_fingerprint(spark, tmp_path):
     resume_cfg = InferConfig(encode_terms=False, checkpoint_dir=ckdir, resume=True)
     with pytest.raises(ValueError, match="different job"):
         fixpoint(spark, seed_facts(spark, facts, other, "string"), other, resume_cfg)
+
+
+def test_prove_mode_resume_reconstructs_arguments(spark, tmp_path):
+    """Lineage checkpoints are delta-incremental: full arguments.parquet only
+    at base iterations, args_delta.parquet elsewhere; resume reconstructs
+    the complete lineage (one argument row per derived quad)."""
+    ckdir = str(tmp_path / "ck")
+    facts, lrules, expected = _chain_setup(spark)
+    facts0 = seed_facts(spark, facts, lrules, "string")
+
+    partial_cfg = InferConfig(
+        encode_terms=False, checkpoint_dir=ckdir, max_iterations=2
+    )
+    partial = fixpoint(spark, facts0, lrules, partial_cfg, lineage=True)
+    assert partial.iterations == 2
+
+    # layout: base lineage at iter 1, per-iteration lineage deltas after
+    assert os.path.exists(os.path.join(ckdir, "iter=00001", "arguments.parquet"))
+    assert os.path.exists(os.path.join(ckdir, "iter=00002", "args_delta.parquet"))
+    assert not os.path.exists(os.path.join(ckdir, "iter=00002", "arguments.parquet"))
+
+    resume_cfg = InferConfig(encode_terms=False, checkpoint_dir=ckdir, resume=True)
+    res = fixpoint(spark, facts0, lrules, resume_cfg, lineage=True)
+    args = {tuple(r)[:4] for r in res.arguments.collect()}
+    assert args == expected  # exactly one argument row per derived quad
+    assert res.arguments.count() == len(expected)
