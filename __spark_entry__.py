@@ -253,6 +253,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash": lambda s, d: dedup.minhash_signatures(_docs(s, d)),
         "dedup_lsh_pairs": lambda s, d: dedup.lsh_candidate_pairs(_docs(s, d)),
         "dedup_lsh_recall": lambda s, d: dedup.lsh_planted_recall(_docs(s, d)),
+        "dedup_embedding_pairs": lambda s, d: dedup.embedding_neardup_pairs(_emb(s, d)),
         "dedup_simhash": lambda s, d: dedup.simhash(_docs(s, d)),
         "dedup_ngram_jaccard": lambda s, d: dedup.ngram_jaccard_pairs(_docs(s, d)),
         # similarity search
@@ -307,6 +308,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash": dedup.minhash_signatures_sql(),
         "dedup_lsh_pairs": dedup.lsh_candidate_pairs_sql(),
         "dedup_lsh_recall": dedup.lsh_planted_recall_sql(),
+        "dedup_embedding_pairs": dedup.embedding_neardup_pairs_sql(),
         "dedup_simhash": dedup.simhash_sql(),
         "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs_sql(),
         "knn_bruteforce": similarity.knn_bruteforce_sql(),

@@ -410,3 +410,103 @@ def ngram_jaccard_pairs_sql() -> str:
     FROM inter
     WHERE inter / (na + nb - inter) >= {JACCARD_THRESHOLD}
     """
+
+
+# --- embedding-cosine near-duplicate pairs -----------------------------------
+# The fifth dedup modality (exact / minhash / simhash / ngram-jaccard /
+# embedding): vectors whose cosine similarity clears COS_NEARDUP_THRESHOLD
+# are duplicate candidates. Blocking reuses the sign-LSH buckets of the ANN
+# index with Hamming-1 probe expansion — a bucket equi-join, never all
+# pairs — and verification is EXACT integer math so the DuckDB oracle
+# matches bit-for-bit: with quantized vectors a, b and threshold t = T/1000,
+#     cos(a,b) >= t  <=>  dot >= 0 and 1e6 * dot^2 >= T^2 * |a|^2 * |b|^2.
+# Magnitude audit: |quantized component| <= ~1000, dim 64 -> dot <= ~6.4e7,
+# dot^2 <= ~4.1e15, * 1e6 overflows int64 — so the comparison is done in
+# DECIMAL(38,0) on both engines (Spark and DuckDB agree exactly on int128
+# products; floats are never compared).
+
+COS_NEARDUP_MILLI = 990  # cosine threshold in millis (0.990)
+
+
+def embedding_neardup_pairs(emb: DataFrame) -> DataFrame:
+    """(vec_a, vec_b, dot) pairs with cosine >= threshold, vec_a < vec_b,
+    discovered through the multi-probe LSH bucket join. On the synthetic
+    corpus true near-dups are the planted twins (see
+    similarity._planted_emb), which this op plants itself so the gate has
+    positives to find."""
+    from .similarity import (
+        _bucketed,
+        _int_dot,
+        _planted_emb,
+        _probe_buckets,
+    )
+
+    withb = _bucketed(_planted_emb(emb))
+    left = withb.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("ce").alias("ea"),
+        F.explode(_probe_buckets(F.col("bucket"))).alias("pbucket"),
+    )
+    right = withb.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("ce").alias("eb"),
+        F.col("bucket").alias("pbucket"),
+    )
+    pairs = left.join(right, "pbucket").filter(F.col("vec_a") < F.col("vec_b"))
+    dec = "decimal(38,0)"
+    scored = pairs.select(
+        "vec_a",
+        "vec_b",
+        _int_dot(F.col("ea"), F.col("eb")).alias("dot"),
+        _int_dot(F.col("ea"), F.col("ea")).alias("na2"),
+        _int_dot(F.col("eb"), F.col("eb")).alias("nb2"),
+    ).dropDuplicates(["vec_a", "vec_b"])
+    t2 = COS_NEARDUP_MILLI * COS_NEARDUP_MILLI
+    keep = (F.col("dot") >= 0) & (
+        F.lit(1_000_000).cast(dec) * F.col("dot").cast(dec) * F.col("dot").cast(dec)
+        >= F.lit(t2).cast(dec) * F.col("na2").cast(dec) * F.col("nb2").cast(dec)
+    )
+    return scored.filter(keep).select("vec_a", "vec_b", "dot")
+
+
+def embedding_neardup_pairs_sql() -> str:
+    from .similarity import _planted_emb_sql, knn_lsh_buckets_sql  # noqa: F401
+    from .params import EMB_DIM, HYPERPLANES, N_HYPERPLANES
+
+    cases = []
+    for b, plane in enumerate(HYPERPLANES):
+        terms = " + ".join(f"({v}) * ce[{d + 1}]" for d, v in enumerate(plane))
+        cases.append(f"CASE WHEN ({terms}) > 0 THEN {1 << b} ELSE 0 END")
+    bucket = " + ".join(cases)
+    probes = ", ".join(f"xor(bucket, {1 << b})" for b in range(N_HYPERPLANES))
+    dot = f"list_sum(list_transform(range(1, {EMB_DIM} + 1), i -> l.ea[i] * r.eb[i]))"
+    na2 = f"list_sum(list_transform(range(1, {EMB_DIM} + 1), i -> l.ea[i] * l.ea[i]))"
+    nb2 = f"list_sum(list_transform(range(1, {EMB_DIM} + 1), i -> r.eb[i] * r.eb[i]))"
+    t2 = COS_NEARDUP_MILLI * COS_NEARDUP_MILLI
+    from .similarity import _planted_emb_sql as _pe
+
+    return f"""
+    WITH pe AS ({_pe()}),
+    withb AS (
+      SELECT vec_id, ce, CAST({bucket} AS BIGINT) AS bucket FROM pe
+    ),
+    lhs AS (
+      SELECT vec_id AS vec_a, ce AS ea,
+             unnest([bucket, {probes}]) AS pbucket
+      FROM withb
+    ),
+    rhs AS (
+      SELECT vec_id AS vec_b, ce AS eb, bucket AS pbucket FROM withb
+    ),
+    scored AS (
+      SELECT DISTINCT ON (vec_a, vec_b) vec_a, vec_b,
+             {dot} AS dot, {na2} AS na2, {nb2} AS nb2
+      FROM lhs l JOIN rhs r USING (pbucket)
+      WHERE l.vec_a < r.vec_b
+    )
+    SELECT vec_a, vec_b, CAST(dot AS BIGINT) AS dot
+    FROM scored
+    WHERE dot >= 0
+      AND 1000000::HUGEINT * dot::HUGEINT * dot::HUGEINT
+          >= {t2}::HUGEINT * na2::HUGEINT * nb2::HUGEINT
+    """
