@@ -142,6 +142,37 @@ def main() -> None:
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64m")
 
+    # 6. targeted salted join (the matcher's hot-key path): the hot side is
+    # replicated via explode (Generate node), the join key set is extended
+    # by the salt, and the plan stays an equi-join — no cartesian blowup.
+    from rify_spark.skew import targeted_salted_join
+
+    lq = quads.tree_edges(spark, SF_DIR).select("s", "o")
+    rq = quads.tree_edges(spark, SF_DIR).select(F.col("s").alias("s2"), "o")
+    sj = targeted_salted_join(lq, rq, ["o"], hot_values=[("node:1",)], n_salts=8)
+    audit(
+        "targeted_salted_join",
+        sj,
+        [
+            ("hot rows replicated via explode", r"Generate.*\n|explode", True),
+            ("join keyed on salt", r"__salt", True),
+            ("no cartesian product", r"CartesianProduct", False),
+        ],
+    )
+
+    # 7. IVF cell assignment: the NLIST-row centroid table is broadcast
+    # against the corpus (the deliberate n x NLIST small cross), and the
+    # integer distance math is JVM-side
+    ivf = similarity.knn_ivf(emb)
+    audit(
+        "knn_ivf",
+        ivf,
+        [
+            ("centroid/probe side broadcast", r"BroadcastExchange", True),
+            ("no python UDF in plan", r"(BatchEvalPython|ArrowEvalPython)", False),
+        ],
+    )
+
     lines = ["# PLANS — physical-plan audit", ""]
     lines.append("| query | property | status |")
     lines.append("|---|---|---|")
