@@ -252,6 +252,15 @@ class InferConfig:
     hot_value_min_share: float = 0.2
     hot_value_top: int = 5
     hot_salt_n: int = 8
+    # re-detect hot keys when the store compacts (every store_compact_every
+    # iterations): a key that becomes hot mid-fixpoint (e.g. a hub node the
+    # closure keeps reaching) is picked up without paying a per-iteration
+    # scan. Detection samples the store, so the rescan is O(sample), not
+    # O(store).
+    rescan_hot_on_compact: bool = True
+    # occurrence-sample target for hot-key detection; a >=20%-share key is
+    # detected from ~1M sampled occurrences with overwhelming probability
+    hot_scan_sample_rows: int = 1_000_000
 
 
 @dataclass
@@ -285,20 +294,38 @@ def _heap_mb(spark: SparkSession) -> int:
 
 def _broadcast_cutoff_rows(spark: SparkSession, cfg: InferConfig) -> int:
     """Effective delta-broadcast cutoff: the configured row cap, clamped by
-    heap (a broadcast HashedRelation over 128-bit quad keys costs ~2 KB/row
-    all-in across build + driver copy; ~500 rows/MB keeps the build well
-    under a quarter of the heap). A 4 GB two-core executor clamps to ~2M
-    rows where the fixed 5M default OOMed; 16 GB+ keeps the full default."""
-    return min(cfg.broadcast_delta_max_rows, _heap_mb(spark) * 500)
+    heap and by parallelism.
+
+    Heap clamp: a broadcast HashedRelation over 128-bit quad keys costs
+    ~2 KB/row all-in across build + driver copy; ~500 rows/MB keeps the
+    build well under a quarter of the heap. A 4 GB two-core executor clamps
+    to ~2M rows where the fixed 5M default OOMed.
+
+    Cores clamp: the HashedRelation build is SERIAL, so its break-even
+    shrinks as cores grow — the shuffle alternative costs ~rows/cores while
+    the build stays ~rows (scripts/profile_fixpoint.py: all-shuffle beat
+    all-broadcast at both 2 and 8 cores on multi-million-row deltas). The
+    clamp holds the serial build to roughly the work one core does in a
+    shuffled iteration: full cfg cutoff up to 8 cores, scaled down
+    inversely beyond (32 cores -> 250k rows), floored at 64k where
+    broadcast always wins on stage-latency alone."""
+    cores = max(1, spark.sparkContext.defaultParallelism)
+    cores_cap = max(64_000, cfg.broadcast_delta_max_rows * 8 // max(8, cores))
+    return min(cfg.broadcast_delta_max_rows, _heap_mb(spark) * 500, cores_cap)
 
 
 def _hot_values(facts: DataFrame, facts_rows: int, cfg: InferConfig) -> list:
     """Driver-side list of hot term literals: values holding at least
-    ``hot_value_min_share`` of the seed facts' join-position (s/o)
-    occurrences. One groupBy at seed time; the result feeds
-    ``matcher.bindings``'s targeted salting for iterations whose delta is
-    too large to broadcast. Detection is seed-time-only by design — a key
-    that becomes hot late is AQE skew-join's job."""
+    ``hot_value_min_share`` of the facts' join-position (s/o) occurrences.
+    Run at seed time and (when ``rescan_hot_on_compact``) at every store
+    compaction; the result feeds ``matcher.bindings``'s targeted salting
+    for iterations whose delta is too large to broadcast. Keys that turn
+    hot between rescans are AQE skew-join's job.
+
+    Detection samples down to ~``hot_scan_sample_rows`` occurrences when the
+    store is large, so a rescan never shuffles the full store: a key at the
+    0.2 share threshold appears ~200k times in a 1M sample (sampling error
+    is negligible at that scale)."""
     from .matcher import term_lit
 
     if not cfg.salt_hot_values:
@@ -307,6 +334,10 @@ def _hot_values(facts: DataFrame, facts_rows: int, cfg: InferConfig) -> list:
     occ = facts.select(F.col("s").alias("k")).unionByName(
         facts.select(F.col("o").alias("k"))
     )
+    occ_rows = 2 * max(facts_rows, 1)
+    frac = min(1.0, cfg.hot_scan_sample_rows / occ_rows)
+    if frac < 1.0:
+        occ = occ.sample(fraction=frac, seed=7)
     top = (
         occ.groupBy("k")
         .count()
@@ -314,7 +345,7 @@ def _hot_values(facts: DataFrame, facts_rows: int, cfg: InferConfig) -> list:
         .limit(cfg.hot_value_top)
         .collect()
     )
-    total = max(2 * facts_rows, 1)
+    total = max(int(occ_rows * frac), 1)
     hot = [r["k"] for r in top if r["count"] / total >= cfg.hot_value_min_share]
     return [
         (term_lit(tuple(v) if not isinstance(v, (str, int)) else v, dtype),)
@@ -526,6 +557,10 @@ def fixpoint(
         facts_old = store.union_except_last()
         facts_rows += delta_rows
         delta = new
+        if store.just_compacted and cfg.rescan_hot_on_compact:
+            # emergent hot keys: re-detect on the compacted store (sampled —
+            # O(hot_scan_sample_rows), amortized 1/store_compact_every)
+            hot_lits = _hot_values(store.union(), facts_rows, cfg)
         m = {
             "iteration": it,
             "delta_rows": delta_rows,

@@ -49,6 +49,7 @@ def main() -> None:
     out["pipeline_wall_s"] = round(wall, 2)
     out["pipeline_derived"] = derived
     out["pipeline_triples_per_sec"] = round(derived / wall, 1)
+    out["pipeline_stage_walls"] = res.metrics.get("stage_walls", {})
 
     # (b) ancestry fixpoint over a synthetic k -> k//2 tree (same shape as
     # the reference's ancestry bench, scaled)
@@ -79,6 +80,13 @@ def main() -> None:
     out["fixpoint_derived"] = n
     out["fixpoint_iterations"] = fx.iterations
     out["fixpoint_triples_per_sec"] = round(n / wall, 1)
+    # per-iteration walls: the gap between their sum and fixpoint_wall_s is
+    # driver-serial time (plan compile, checkpoint bookkeeping) — the
+    # Amdahl term that caps strong scaling
+    out["fixpoint_iter_walls"] = [m.get("wall_s") for m in fx.metrics]
+    out["fixpoint_iter_wall_sum"] = round(
+        sum(m.get("wall_s", 0) for m in fx.metrics), 2
+    )
 
     # (c) machine control LAST: a raw Spark shuffle (no engine code). Runs
     # after the workloads because its 100M-row shuffle measurably pollutes

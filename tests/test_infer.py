@@ -267,7 +267,7 @@ def test_disconnected_body_cross_product(spark):
     ]
 
 
-def test_broadcast_cutoff_is_memory_aware(spark):
+def test_broadcast_cutoff_is_memory_and_cores_aware(spark):
     from rify_spark.infer import InferConfig, _broadcast_cutoff_rows, _heap_mb
 
     heap = _heap_mb(spark)
@@ -275,8 +275,81 @@ def test_broadcast_cutoff_is_memory_aware(spark):
     cfg = InferConfig()
     cut = _broadcast_cutoff_rows(spark, cfg)
     assert cut <= cfg.broadcast_delta_max_rows
+    # at the test session's <=8 cores the cores clamp is the identity
     assert cut == min(cfg.broadcast_delta_max_rows, heap * 500)
     # a small heap must clamp below a raised cutoff (the 2-core OOM case:
     # a 4 GB executor cannot absorb a multi-million-row broadcast build)
     big = InferConfig(broadcast_delta_max_rows=5_000_000)
     assert min(big.broadcast_delta_max_rows, 4096 * 500) < big.broadcast_delta_max_rows
+    # the cores clamp halves the cap per parallelism doubling beyond 8
+    # (the serial HashedRelation build is the Amdahl term), floored at 64k
+    cap8 = max(64_000, cfg.broadcast_delta_max_rows * 8 // 8)
+    cap32 = max(64_000, cfg.broadcast_delta_max_rows * 8 // 32)
+    assert cap8 == cfg.broadcast_delta_max_rows
+    assert cap32 == cfg.broadcast_delta_max_rows // 4
+    assert max(64_000, cfg.broadcast_delta_max_rows * 8 // 1024) == 64_000
+
+
+def test_hot_values_sampled_detection(spark):
+    """_hot_values must find a dominant key even when sampling kicks in
+    (hot_scan_sample_rows << occurrence count)."""
+    from pyspark.sql import functions as F
+
+    from rify_spark.infer import InferConfig, _hot_values
+
+    n = 4000
+    facts = spark.range(n).select(
+        F.concat(F.lit("n"), F.col("id")).alias("s"),
+        F.lit("p").alias("p"),
+        F.when(F.col("id") % 2 == 0, F.lit("hub"))
+        .otherwise(F.concat(F.lit("m"), F.col("id")))
+        .alias("o"),
+        F.lit("g").alias("g"),
+    )
+    cfg = InferConfig(hot_value_min_share=0.2, hot_scan_sample_rows=500)
+    hot = _hot_values(facts, n, cfg)
+    assert len(hot) == 1  # "hub" holds 25% of s/o occurrences; no one else is close
+    cfg_off = InferConfig(salt_hot_values=False)
+    assert _hot_values(facts, n, cfg_off) == []
+
+
+def test_fixpoint_rescan_hot_on_compact_preserves_results(spark):
+    """A deep linear chain with frequent compaction + hot-key rescan and
+    forced shuffle joins must derive exactly the plain closure."""
+    from rify_spark.api import infer_df
+    from rify_spark.infer import InferConfig
+    from rify_spark.rules import Bound as B, Rule, Unbound as U
+
+    n = 12
+    edges = [(f"c{i}", "parent", f"c{i + 1}", "g") for i in range(n)]
+    facts = spark.createDataFrame(edges, "s string, p string, o string, g string")
+    rules = [
+        Rule.create(
+            [[U("a"), B("parent"), U("b"), U("g")]],
+            [[U("a"), B("anc"), U("b"), U("g")]],
+        ),
+        Rule.create(
+            [
+                [U("a"), B("anc"), U("b"), U("g")],
+                [U("b"), B("parent"), U("c"), U("g")],
+            ],
+            [[U("a"), B("anc"), U("c"), U("g")]],
+        ),
+    ]
+    cfg = InferConfig(
+        broadcast_delta_max_rows=0,
+        store_compact_every=2,
+        rescan_hot_on_compact=True,
+        hot_value_min_share=0.05,
+        hot_salt_n=4,
+    )
+    df, fx = infer_df(spark, facts, rules, config=cfg)
+    got = sorted(map(tuple, df.collect()))
+    want = sorted(
+        (f"c{i}", "anc", f"c{j}", "g")
+        for i in range(n)
+        for j in range(i + 1, n + 1)
+    )
+    assert got == want
+    assert fx.iterations >= n  # linear rule: one hop per iteration
+    assert any(m.get("compacted") for m in fx.metrics)
