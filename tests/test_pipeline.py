@@ -111,3 +111,35 @@ def test_pipeline_end_to_end(spark):
 def test_ontology_rules_are_range_restricted():
     for r in code_ontology_rules():
         assert r.canonical_unbound()  # constructed without UnboundImplied
+
+
+def test_pipeline_stage_checkpoints_and_resume(spark, tmp_path):
+    """With checkpoint_dir every stage lands in parquet (meta.json commit
+    marker, row/partition metrics); a resume run reuses every stage and a
+    mismatched fingerprint is refused."""
+    import json
+    import os
+
+    ckpt = str(tmp_path / "pipe_ckpt")
+    df = code_files_df(spark, n_repos=1, n_modules=3, n_funcs=2)
+    res1 = run_pipeline(spark, df, checkpoint_dir=ckpt)
+    want = sorted(map(tuple, res1.derived.collect()))
+
+    stages = ["triples", "links", "canonical_ids", "canonical"]
+    for s in stages:
+        meta = json.load(open(os.path.join(ckpt, s, "meta.json")))
+        assert meta["rows"] > 0 and meta["partitions"] >= 1
+        assert not meta.get("resumed")
+    assert os.path.isdir(os.path.join(ckpt, "fixpoint"))
+    sm = res1.metrics["stage_checkpoints"]
+    assert set(stages) <= set(sm)
+
+    # resume: all stages + the fixpoint restore from parquet, same result
+    res2 = run_pipeline(spark, df, checkpoint_dir=ckpt, resume=True)
+    assert sorted(map(tuple, res2.derived.collect())) == want
+    assert all(res2.metrics["stage_checkpoints"][s]["resumed"] for s in stages)
+    assert any(m.get("resumed") for m in res2.metrics["iteration_metrics"])
+
+    # a different job (threshold changes the fingerprint) must refuse
+    with pytest.raises(ValueError, match="different"):
+        run_pipeline(spark, df, checkpoint_dir=ckpt, resume=True, link_threshold=0.5)
