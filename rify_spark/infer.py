@@ -261,6 +261,14 @@ class InferConfig:
     # occurrence-sample target for hot-key detection; a >=20%-share key is
     # detected from ~1M sampled occurrences with overwhelming probability
     hot_scan_sample_rows: int = 1_000_000
+    # predicate-level semi-naive refinement: skip delta-seeded join plans
+    # whose seed atom has a constant predicate absent from this iteration's
+    # delta (they are empty by construction). Costs one tiny distinct-p scan
+    # of the checkpointed delta per iteration; saves whole join plans —
+    # after round 1 of the KG pipeline the delta is all `depends_on`, so 4
+    # of 6 seeded plans vanish. Disabled when the delta's predicate
+    # vocabulary exceeds stats_max_predicates.
+    prune_seed_plans: bool = True
 
 
 @dataclass
@@ -351,6 +359,33 @@ def _hot_values(facts: DataFrame, facts_rows: int, cfg: InferConfig) -> list:
         (term_lit(tuple(v) if not isinstance(v, (str, int)) else v, dtype),)
         for v in hot
     ]
+
+
+def _norm_term(v):
+    """Hashable driver-side form of a collected term value (128-bit struct
+    ids arrive as Rows; lowered rule constants are tuples)."""
+    return v if isinstance(v, (str, int)) else tuple(v)
+
+
+def _delta_predicates(delta: DataFrame, cfg: InferConfig) -> Optional[set]:
+    """The set of predicate values present in the (checkpointed) delta, or
+    None when pruning is off / the vocabulary is too large to collect."""
+    if not cfg.prune_seed_plans:
+        return None
+    rows = delta.select("p").distinct().limit(cfg.stats_max_predicates + 1).collect()
+    if len(rows) > cfg.stats_max_predicates:
+        return None
+    return {_norm_term(r["p"]) for r in rows}
+
+
+def _seed_plan_live(atom, delta_preds: Optional[set]) -> bool:
+    """False iff the atom's predicate slot is a constant that no delta row
+    carries — the delta-seeded plan for this position is empty by
+    construction and can be skipped without changing the fixpoint."""
+    if delta_preds is None:
+        return True
+    kind, val = atom[1]
+    return kind != "c" or _norm_term(val) in delta_preds
 
 
 def _predicate_stats(facts: DataFrame, cfg: InferConfig) -> Optional[dict]:
@@ -510,11 +545,14 @@ def fixpoint(
         # broadcast-hash joins stream the big side, so hot keys cost nothing
         # extra; explicit salting applies only to shuffle-joined iterations
         hot = hot_lits if (hot_lits and not broadcast_delta) else None
+        delta_preds = _delta_predicates(delta, cfg)
         facts = store.union()
         plans = []
         for r in cond_rules:
             extra = lineage_cols(r, dtype) if lineage else ()
             for i in range(len(r.body)):
+                if not _seed_plan_live(r.body[i], delta_preds):
+                    continue
                 b = bindings(
                     facts,
                     r,
@@ -526,6 +564,14 @@ def fixpoint(
                     salt_n=cfg.hot_salt_n,
                 )
                 plans.append(project_heads(b, r, dtype, extra))
+        if not plans:
+            # every seeded plan is predicate-dead: nothing in the delta can
+            # fire any rule, so the fixpoint is reached
+            metrics.append(
+                {"iteration": it, "delta_rows": 0, "plans_built": 0,
+                 "wall_s": round(time.time() - t0, 4)}
+            )
+            break
         cand = _union_all(plans)
 
         if lineage:
@@ -565,6 +611,7 @@ def fixpoint(
             "iteration": it,
             "delta_rows": delta_rows,
             "facts_rows": facts_rows,
+            "plans_built": len(plans),
             "wall_s": round(time.time() - t0, 4),
             "delta_partitions": new.rdd.getNumPartitions(),
             "store_blocks": len(store.blocks),

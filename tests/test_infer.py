@@ -290,6 +290,50 @@ def test_broadcast_cutoff_is_memory_and_cores_aware(spark):
     assert max(64_000, cfg.broadcast_delta_max_rows * 8 // 1024) == 64_000
 
 
+def test_seed_plan_pruning_preserves_fixpoint(spark):
+    """Predicate-dead seeded plans are skipped without changing the derived
+    set: once the delta is all `anc`, the parent-seeded and likes-seeded
+    plans must not be built."""
+    from rify_spark.api import infer_df
+    from rify_spark.infer import InferConfig
+    from rify_spark.rules import Bound as B, Rule, Unbound as U
+
+    edges = [(f"n{i}", "parent", f"n{i // 2}", "g") for i in range(1, 32)] + [
+        (f"n{i}", "likes", f"n{(i * 7) % 31}", "g") for i in range(1, 10)
+    ]
+    facts = spark.createDataFrame(edges, "s string, p string, o string, g string")
+    rules = [
+        Rule.create(
+            [[U("a"), B("parent"), U("b"), U("g")]],
+            [[U("a"), B("anc"), U("b"), U("g")]],
+        ),
+        Rule.create(
+            [
+                [U("a"), B("anc"), U("b"), U("g")],
+                [U("b"), B("anc"), U("c"), U("g")],
+            ],
+            [[U("a"), B("anc"), U("c"), U("g")]],
+        ),
+        Rule.create(
+            [[U("a"), B("likes"), U("b"), U("g")]],
+            [[U("b"), B("liked_by"), U("a"), U("g")]],
+        ),
+    ]
+    df_on, fx_on = infer_df(spark, facts, rules, config=InferConfig(prune_seed_plans=True))
+    df_off, fx_off = infer_df(spark, facts, rules, config=InferConfig(prune_seed_plans=False))
+    assert sorted(map(tuple, df_on.collect())) == sorted(map(tuple, df_off.collect()))
+    # 4 seed plans exist (1 + 2 + 1); after iteration 1 the delta carries
+    # only anc (+liked_by in it1's output), so later iterations build fewer
+    on_plans = [m["plans_built"] for m in fx_on.metrics if "plans_built" in m]
+    off_plans = [m["plans_built"] for m in fx_off.metrics if "plans_built" in m]
+    assert off_plans and all(p == 4 for p in off_plans)
+    # iteration 1: seed delta has {parent, likes} but no anc yet -> the two
+    # anc-seeded plans are dead (2 live); iteration 2+: delta is anc (+
+    # liked_by once) -> parent/likes-seeded plans are dead (2 live)
+    assert on_plans and all(0 < p < 4 for p in on_plans)
+    assert sum(on_plans) < sum(off_plans)
+
+
 def test_hot_values_sampled_detection(spark):
     """_hot_values must find a dominant key even when sampling kicks in
     (hot_scan_sample_rows << occurrence count)."""
