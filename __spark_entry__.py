@@ -205,6 +205,12 @@ def _q_kg_mentions(spark, sf_dir):
     )
 
 
+def _q_graph_vertices(spark, sf_dir):
+    from rify_spark.ops.graph import graph_vertices
+
+    return graph_vertices(spark, sf_dir)
+
+
 def _q_multimodal(spark, sf_dir):
     _ship(spark)
     from rify_spark.ops.multimodal import extract_media_features, fake_media_df
@@ -240,6 +246,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "o18_rule_validation": quads.rule_validation,
         # skew: hot-key-salted shuffle joins through the whole fixpoint
         "skew_salted_closure": quads.skew_salted_closure,
+        # graph materialize (north-rule final stage): vertex/degree table
+        "kg_graph_vertices": _q_graph_vertices,
         # KG construction
         "kg_extract_mentions": _q_kg_mentions,
         "kg_pipeline_derived": _q_kg_pipeline,
@@ -273,7 +281,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    from rify_spark.ops import dedup, events, multimodal, quads, similarity, text
+    from rify_spark.ops import dedup, events, graph, multimodal, quads, similarity, text
 
     return {
         "o1_dict_build": quads.DICT_BUILD_SQL,
@@ -294,6 +302,7 @@ def oracle_sql() -> dict[str, str]:
         "o17_rule_lowering": quads.RULE_LOWERING_SQL,
         "o18_rule_validation": quads.RULE_VALIDATION_SQL,
         "skew_salted_closure": quads.SKEW_SALTED_CLOSURE_SQL,
+        "kg_graph_vertices": graph.graph_vertices_sql(),
         "kg_extract_mentions": """
             SELECT DISTINCT doc_id, tok AS mention FROM (
               SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
