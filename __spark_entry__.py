@@ -274,6 +274,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_lsh_recall": lambda s, d: similarity.knn_lsh_recall(_emb(s, d)),
         # event windows / sessionization (batch forms)
         "events_windowed": lambda s, d: events.windowed_counts(_events(s, d)),
+        "events_sliding": lambda s, d: events.sliding_counts(_events(s, d)),
         "events_sessionize": lambda s, d: events.sessionize(_events(s, d)),
         # multimodal plumbing
         "multimodal_features": _q_multimodal,
@@ -328,6 +329,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_ivf_recall": similarity.knn_ivf_recall_sql(),
         "knn_lsh_recall": similarity.knn_lsh_recall_sql(),
         "events_windowed": events.windowed_counts_sql(),
+        "events_sliding": events.sliding_counts_sql(),
         "events_sessionize": events.sessionize_sql(),
         "multimodal_features": multimodal.media_features_sql(),
         # rows-only (non-SQL-expressible): o16_validate_roundtrip (the

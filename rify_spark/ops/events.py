@@ -44,6 +44,54 @@ def windowed_counts_sql() -> str:
     """
 
 
+def sliding_counts(events: DataFrame) -> DataFrame:
+    """Sliding windows (1-hour length, 30-minute slide) per event_type.
+
+    Spark's F.window duplicates each row into length/slide = 2 window
+    assignments before the groupBy — the standard hopping-window plan, one
+    shuffle on (window, event_type). Window starts align to multiples of
+    the slide (epoch-aligned), which the oracle reproduces exactly.
+    """
+    w = F.window("ts", "1 hour", "30 minutes")
+    return (
+        events.groupBy(w.alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.round(F.col("value") * 1000).cast("long")).alias("sum_value_milli"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value_milli",
+        )
+    )
+
+
+def sliding_counts_sql() -> str:
+    """Each event belongs to exactly two hour-long windows whose starts are
+    the two latest 30-minute marks <= ts; enumerate both via UNION ALL."""
+    return """
+    WITH marks AS (
+      SELECT event_type, value,
+             make_timestamp(CAST(floor(epoch(ts) / 1800) * 1800 AS BIGINT) * 1000000)
+               AS mark
+      FROM events
+    ),
+    assigned AS (
+      SELECT event_type, value, mark AS window_start FROM marks
+      UNION ALL
+      SELECT event_type, value, mark - INTERVAL 30 MINUTE AS window_start FROM marks
+    )
+    SELECT strftime(window_start, '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           count(*) AS n_events,
+           CAST(sum(CAST(round(value * 1000) AS BIGINT)) AS BIGINT) AS sum_value_milli
+    FROM assigned
+    GROUP BY 1, 2
+    """
+
+
 def sessionize(events: DataFrame, gap_min: int = SESSION_GAP_MIN) -> DataFrame:
     """Gap-based sessions per user: a new session starts when the gap to the
     previous event exceeds ``gap_min`` minutes.
