@@ -173,6 +173,51 @@ def main() -> None:
         ],
     )
 
+    # 8. graph materialize: vertex degrees in exactly ONE shuffle (the
+    # indicator-union + sum design), pure JVM expressions
+    from rify_spark.ops import graph
+
+    gv = graph.graph_vertices(spark, SF_DIR)
+    gv_exec = gv._jdf.queryExecution().executedPlan().toString()
+    sections.append(("graph_vertices", gv_exec[:4000]))
+    checks.append(
+        (
+            "graph_vertices",
+            "single shuffle (1 Exchange) for out+in degrees",
+            gv_exec.count("Exchange") == 1,
+        )
+    )
+    checks.append(
+        (
+            "graph_vertices",
+            "no python UDF in plan",
+            not re.search(r"(BatchEvalPython|ArrowEvalPython)", gv_exec),
+        )
+    )
+
+    # 9. sliding windows: the hopping-window Expand/Explode feeds a single
+    # aggregate shuffle; no python UDF
+    from rify_spark.ops import events
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    sl = events.sliding_counts(ev)
+    sl_exec = sl._jdf.queryExecution().executedPlan().toString()
+    sections.append(("events_sliding", sl_exec[:4000]))
+    checks.append(
+        (
+            "events_sliding",
+            "single aggregate shuffle (1 Exchange)",
+            sl_exec.count("Exchange") == 1,
+        )
+    )
+    checks.append(
+        (
+            "events_sliding",
+            "no python UDF in plan",
+            not re.search(r"(BatchEvalPython|ArrowEvalPython)", sl_exec),
+        )
+    )
+
     lines = ["# PLANS — physical-plan audit", ""]
     lines.append("| query | property | status |")
     lines.append("|---|---|---|")
