@@ -378,6 +378,20 @@ def _delta_predicates(delta: DataFrame, cfg: InferConfig) -> Optional[set]:
     return {_norm_term(r["p"]) for r in rows}
 
 
+def _count_and_preds(df: DataFrame, cfg: InferConfig) -> tuple:
+    """(row count, predicate set|None) of a checkpoint-backed delta in ONE
+    Spark job: the per-predicate counts give both. Falls back to a plain
+    count when pruning is off or the predicate vocabulary overflows —
+    either way exactly one action runs, so fusing the novelty count with
+    the next iteration's prune set removes a driver barrier per iteration."""
+    if not cfg.prune_seed_plans:
+        return df.count(), None
+    rows = df.groupBy("p").count().limit(cfg.stats_max_predicates + 1).collect()
+    if len(rows) > cfg.stats_max_predicates:
+        return df.count(), None
+    return sum(r["count"] for r in rows), {_norm_term(r["p"]) for r in rows}
+
+
 def _seed_plan_live(atom, delta_preds: Optional[set]) -> bool:
     """False iff the atom's predicate slot is a constant that no delta row
     carries — the delta-seeded plan for this position is empty by
@@ -531,6 +545,9 @@ def fixpoint(
 
     stats = _predicate_stats(store.union(), cfg) if cond_rules else None
     hot_lits = _hot_values(seed_lc, facts_rows, cfg) if cond_rules else []
+    # predicate set of the CURRENT delta (drives seed-plan pruning); one
+    # up-front job here, then maintained for free by _count_and_preds
+    delta_preds = _delta_predicates(delta, cfg) if cond_rules else None
 
     while delta_rows > 0 and cond_rules:
         if goals is not None and goals_met():
@@ -545,7 +562,6 @@ def fixpoint(
         # broadcast-hash joins stream the big side, so hot keys cost nothing
         # extra; explicit salting applies only to shuffle-joined iterations
         hot = hot_lits if (hot_lits and not broadcast_delta) else None
-        delta_preds = _delta_predicates(delta, cfg)
         facts = store.union()
         plans = []
         for r in cond_rules:
@@ -584,14 +600,14 @@ def fixpoint(
                 .withColumn("iteration", F.lit(it).cast("long"))
             )
             new_full = picked.localCheckpoint(eager=True)
-            delta_rows = new_full.count()
+            delta_rows, delta_preds = _count_and_preds(new_full, cfg)
             new = new_full.select(*SPOG)
             if delta_rows:
                 arg_blocks.append(new_full)
                 arguments = _union_all(arg_blocks)
         else:
             new = store.anti(cand.dropDuplicates(SPOG)).localCheckpoint(eager=True)
-            delta_rows = new.count()
+            delta_rows, delta_preds = _count_and_preds(new, cfg)
 
         if delta_rows == 0:
             metrics.append(
