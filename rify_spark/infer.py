@@ -545,9 +545,16 @@ def fixpoint(
 
     stats = _predicate_stats(store.union(), cfg) if cond_rules else None
     hot_lits = _hot_values(seed_lc, facts_rows, cfg) if cond_rules else []
-    # predicate set of the CURRENT delta (drives seed-plan pruning); one
-    # up-front job here, then maintained for free by _count_and_preds
-    delta_preds = _delta_predicates(delta, cfg) if cond_rules else None
+    # predicate set of the CURRENT delta (drives seed-plan pruning),
+    # maintained for free by _count_and_preds after each iteration. When the
+    # first delta IS the seed, the join-order stats already hold its
+    # predicate set — reuse instead of paying another scan.
+    if not cond_rules:
+        delta_preds = None
+    elif delta is seed_lc and stats is not None and cfg.prune_seed_plans:
+        delta_preds = {_norm_term(p) for p in stats}
+    else:
+        delta_preds = _delta_predicates(delta, cfg)
 
     while delta_rows > 0 and cond_rules:
         if goals is not None and goals_met():

@@ -34,6 +34,10 @@ TREE_N = int(os.environ.get("RIFY_SCALING_TREE_N", "100000"))
 CPU_LO = int(os.environ.get("RIFY_SCALING_LO", "2"))
 CPU_HI = int(os.environ.get("RIFY_SCALING_HI", "8"))
 REPEATS = int(os.environ.get("RIFY_SCALING_REPEATS", "3"))
+SKIP_PIPELINE = os.environ.get("RIFY_SCALING_SKIP_PIPELINE") == "1"
+OUT_PATH = os.environ.get(
+    "RIFY_SCALING_OUT", os.path.join(REPO, "SCALING.json")
+)
 
 
 def materialize_corpus(path: str) -> None:
@@ -82,7 +86,8 @@ def main() -> None:
     corpus = os.path.join(
         tempfile.gettempdir(), f"rify_scaling_corpus_{N_REPOS}x{N_MODULES}"
     )
-    materialize_corpus(corpus)
+    if not SKIP_PIPELINE:
+        materialize_corpus(corpus)
 
     samples: dict = {CPU_LO: [], CPU_HI: []}
     for rep in range(REPEATS):
@@ -102,22 +107,23 @@ def main() -> None:
         return round((best(CPU_HI, metric) / best(CPU_LO, metric)) / ratio, 3)
 
     out = {
-        "corpus_files": N_REPOS * N_MODULES,
+        "corpus_files": None if SKIP_PIPELINE else N_REPOS * N_MODULES,
         "tree_nodes": TREE_N,
         "cpus_lo": CPU_LO,
         "cpus_hi": CPU_HI,
         "repeats": REPEATS,
         "samples": {str(k): v for k, v in samples.items()},
-        "best_lo_pipeline_tps": best(CPU_LO, "pipeline_triples_per_sec"),
-        "best_hi_pipeline_tps": best(CPU_HI, "pipeline_triples_per_sec"),
         "best_lo_fixpoint_tps": best(CPU_LO, "fixpoint_triples_per_sec"),
         "best_hi_fixpoint_tps": best(CPU_HI, "fixpoint_triples_per_sec"),
-        "pipeline_scaling_efficiency": eff("pipeline_triples_per_sec"),
         "fixpoint_scaling_efficiency": eff("fixpoint_triples_per_sec"),
         # the machine's own ceiling on this run (raw Spark shuffle control)
         "control_scaling_efficiency": eff("control_rows_per_sec"),
     }
-    with open(os.path.join(REPO, "SCALING.json"), "w") as f:
+    if not SKIP_PIPELINE:
+        out["best_lo_pipeline_tps"] = best(CPU_LO, "pipeline_triples_per_sec")
+        out["best_hi_pipeline_tps"] = best(CPU_HI, "pipeline_triples_per_sec")
+        out["pipeline_scaling_efficiency"] = eff("pipeline_triples_per_sec")
+    with open(OUT_PATH, "w") as f:
         json.dump(out, f, indent=2)
     print(json.dumps(out))
 

@@ -18,8 +18,11 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 CPUS = int(os.environ.get("RIFY_SCALING_CPUS", "32"))
-CORPUS_PATH = os.environ["RIFY_SCALING_CORPUS"]
+CORPUS_PATH = os.environ.get("RIFY_SCALING_CORPUS", "")
 TREE_N = int(os.environ.get("RIFY_SCALING_TREE_N", "1000000"))
+# fixpoint-only mode: skip the KG pipeline (used for the supplementary
+# large-tree measurement where only fixpoint scaling is under test)
+SKIP_PIPELINE = os.environ.get("RIFY_SCALING_SKIP_PIPELINE") == "1"
 
 
 def main() -> None:
@@ -42,14 +45,15 @@ def main() -> None:
     out = {"cpus": CPUS}
 
     # (a) KG pipeline over the shared corpus
-    t0 = time.time()
-    res = run_pipeline(spark, spark.read.parquet(CORPUS_PATH))
-    derived = res.derived.count()
-    wall = time.time() - t0
-    out["pipeline_wall_s"] = round(wall, 2)
-    out["pipeline_derived"] = derived
-    out["pipeline_triples_per_sec"] = round(derived / wall, 1)
-    out["pipeline_stage_walls"] = res.metrics.get("stage_walls", {})
+    if not SKIP_PIPELINE:
+        t0 = time.time()
+        res = run_pipeline(spark, spark.read.parquet(CORPUS_PATH))
+        derived = res.derived.count()
+        wall = time.time() - t0
+        out["pipeline_wall_s"] = round(wall, 2)
+        out["pipeline_derived"] = derived
+        out["pipeline_triples_per_sec"] = round(derived / wall, 1)
+        out["pipeline_stage_walls"] = res.metrics.get("stage_walls", {})
 
     # (b) ancestry fixpoint over a synthetic k -> k//2 tree (same shape as
     # the reference's ancestry bench, scaled)
