@@ -46,12 +46,19 @@ def _node_rank():
 
 
 def connected_components(
-    edges: DataFrame, max_rounds: int = 50
+    edges: DataFrame, max_rounds: int = 50, hops_per_round: int = 2
 ) -> DataFrame:
     """edges(a: string, b: string) -> mapping(node: string, canon: string).
 
     Undirected connected components; each node maps to its component's
     preferred representative (min (rank, node) lexicographically).
+
+    ``hops_per_round`` label-propagation hops run between checkpoints and
+    convergence checks: the check (a join + count action) and the eager
+    checkpoint are the per-round driver barriers, so batching hops halves
+    them for the same total propagation work — entity-link components are
+    star-shaped and converge in 2-3 hops, so 2 hops/round usually means a
+    single convergence check after the propagating round.
     """
     nodes = (
         edges.select(F.col("a").alias("node"))
@@ -68,18 +75,22 @@ def connected_components(
         edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
     )
 
-    changed = 0
-    for _ in range(max_rounds):
-        neighbor_labels = (
-            sym.join(labels, sym["a"] == labels["node"], "inner")
-            .select(F.col("b").alias("node"), F.col("label"))
-        )
-        new_labels = (
-            labels.unionByName(neighbor_labels)
+    def propagate(lab: DataFrame) -> DataFrame:
+        neighbor_labels = sym.join(
+            lab, sym["a"] == lab["node"], "inner"
+        ).select(F.col("b").alias("node"), F.col("label"))
+        return (
+            lab.unionByName(neighbor_labels)
             .groupBy("node")
             .agg(F.min("label").alias("label"))
-            .localCheckpoint(eager=True)
         )
+
+    changed = 0
+    for _ in range(max(1, (max_rounds + hops_per_round - 1) // hops_per_round)):
+        new_labels = labels
+        for _hop in range(hops_per_round):
+            new_labels = propagate(new_labels)
+        new_labels = new_labels.localCheckpoint(eager=True)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "node")
