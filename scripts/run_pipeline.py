@@ -40,7 +40,12 @@ def main() -> None:
     ap.add_argument("--input", help="code_files table path")
     ap.add_argument("--synthetic", help="generate NxM synthetic corpus instead")
     ap.add_argument("--output", required=True)
-    ap.add_argument("--checkpoint-dir")
+    ap.add_argument(
+        "--checkpoint-dir",
+        help="stage-level checkpoints: triples/links/canonical-ID mapping/"
+        "canonical land as commit-marked parquet stages; the fixpoint "
+        "checkpoints per-iteration under <dir>/fixpoint",
+    )
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--link-threshold", type=float, default=0.99)
     ap.add_argument("--master", default=None)
@@ -48,7 +53,6 @@ def main() -> None:
     if not args.input and not args.synthetic:
         ap.error("one of --input / --synthetic is required")
 
-    from rify_spark.infer import InferConfig
     from rify_spark.pipeline import run_pipeline
     from rify_spark.session import get_spark
 
@@ -62,12 +66,13 @@ def main() -> None:
     else:
         code_files = spark.read.parquet(args.input)
 
-    cfg = InferConfig(
-        checkpoint_dir=args.checkpoint_dir, resume=args.resume
-    )
     t0 = time.time()
     res = run_pipeline(
-        spark, code_files, link_threshold=args.link_threshold, infer_config=cfg
+        spark,
+        code_files,
+        link_threshold=args.link_threshold,
+        checkpoint_dir=args.checkpoint_dir,
+        resume=args.resume,
     )
     for name, df in (
         ("triples", res.raw_triples),
