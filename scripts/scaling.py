@@ -35,6 +35,7 @@ CPU_LO = int(os.environ.get("RIFY_SCALING_LO", "2"))
 CPU_HI = int(os.environ.get("RIFY_SCALING_HI", "8"))
 REPEATS = int(os.environ.get("RIFY_SCALING_REPEATS", "3"))
 SKIP_PIPELINE = os.environ.get("RIFY_SCALING_SKIP_PIPELINE") == "1"
+HEAP_PER_CORE = int(os.environ.get("RIFY_SCALING_HEAP_PER_CORE", "2"))
 OUT_PATH = os.environ.get(
     "RIFY_SCALING_OUT", os.path.join(REPO, "SCALING.json")
 )
@@ -62,8 +63,11 @@ def run_one(cpus: int, corpus: str) -> dict:
         RIFY_SCALING_TREE_N=str(TREE_N),
         PYTHONPATH=REPO,
         # heap scales with cores: N vs 4N executors each bring their own
-        # memory; a fixed shared heap would measure memory contention
-        RIFY_DRIVER_MEMORY=f"{max(4, cpus * 2)}g",
+        # memory; a fixed shared heap would measure memory contention.
+        # HEAP_PER_CORE stays identical across the pair — raise it for
+        # workloads whose per-core state exceeds 2 GB (e.g. the 3M-node
+        # tree at 2 cores), which otherwise dies in shuffle writes.
+        RIFY_DRIVER_MEMORY=f"{max(4, cpus * HEAP_PER_CORE)}g",
     )
     proc = subprocess.run(
         [sys.executable, os.path.join(REPO, "scripts", "scaling_job.py")],
