@@ -110,22 +110,22 @@ def main() -> None:
     # two-parallelism scaling evidence (the north rule's N vs 4N criterion,
     # measured by scripts/scaling.py into SCALING.json) rides along so each
     # round's BENCH_r{N}.json is self-contained
-    scaling_path = os.path.join(REPO, "SCALING.json")
-    if os.path.exists(scaling_path):
-        with open(scaling_path) as f:
-            sc = json.load(f)
-        out["scaling"] = {
-            k: sc.get(k)
-            for k in (
-                "cpus_lo",
-                "cpus_hi",
-                "best_lo_fixpoint_tps",
-                "best_hi_fixpoint_tps",
-                "fixpoint_scaling_efficiency",
-                "pipeline_scaling_efficiency",
-                "control_scaling_efficiency",
-            )
-        }
+    keys = (
+        "tree_nodes",
+        "cpus_lo",
+        "cpus_hi",
+        "best_lo_fixpoint_tps",
+        "best_hi_fixpoint_tps",
+        "fixpoint_scaling_efficiency",
+        "pipeline_scaling_efficiency",
+        "control_scaling_efficiency",
+    )
+    for fname, field in (("SCALING.json", "scaling"), ("SCALING_BIG.json", "scaling_big")):
+        p = os.path.join(REPO, fname)
+        if os.path.exists(p):
+            with open(p) as f:
+                sc = json.load(f)
+            out[field] = {k: sc[k] for k in keys if k in sc}
     print(json.dumps(out))
 
 
