@@ -3,9 +3,10 @@
 ``entry(spark)`` runs the flagship query (the ancestry-closure fixpoint —
 the real inference engine — over the customer-key tree at sf0.001).
 ``queries()`` exposes one entry per implemented operator from SURVEY.md §2
-plus the training-data ops; ``oracle_sql()`` provides the DuckDB twin for
-every SQL-expressible one (prove-lineage, validate-roundtrip and the
-pandas-UDF KG pipeline are rows-only by nature).
+plus the training-data ops; ``oracle_sql()`` provides a DuckDB twin for
+EVERY query — recursive SQL for the fixpoints, reference-pinned literals
+for the proof/validate fixtures, and a closed-form derivation over the
+deterministic synthetic corpus for the end-to-end KG pipeline.
 """
 
 from __future__ import annotations
@@ -281,6 +282,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
+# Literal oracle for the prove->validate round trip: the implied set of the
+# Explicit Ethos fixture is pinned by the reference
+# (/root/reference/bindings/js_wasm/binding_tests/test.js:93-146 — same
+# fixture asserted end-to-end in tests/test_prove.py) and consists of the
+# three rule-application heads not among the assumed facts.
+VALIDATE_ROUNDTRIP_SQL = """
+    SELECT * FROM (VALUES
+      ('bobert', 'mayPurchase', 'vso:Vehicle', 'default_graph'),
+      ('root_authority', 'claims', '_:1', 'default_graph'),
+      ('root_authority', 'defersTo', 'issuer', 'default_graph')
+    ) AS t(s, p, o, g)
+"""
+
+# Closed-form oracle for the end-to-end KG pipeline over the deterministic
+# synthetic corpus (3 repos x 4 modules, rify_spark/extract/synthetic.py):
+# module m imports/calls into module m-1, so per-repo depends_on closes to
+# all ordered module pairs a >= b (sibling calls add the self edges); every
+# module transitively reaches the unresolved 'mod://os' import; repos r > 0
+# reach the unresolved cross-repo 'mod://repo_{r-1}.mod_0' mention through
+# module 0 (its link score is 0 < threshold, so it never canonicalizes).
+KG_PIPELINE_SQL = """
+    WITH mods AS (
+      SELECT r.range AS r, m.range AS m,
+             'repo://repo_' || r.range || '/src/mod_' || m.range || '.py' AS iri,
+             'graph://repo_' || r.range AS g
+      FROM range(3) r, range(4) m
+    )
+    SELECT a.iri AS s, 'depends_on' AS p, b.iri AS o, a.g AS g
+    FROM mods a JOIN mods b ON a.r = b.r AND a.m >= b.m
+    UNION ALL
+    SELECT iri AS s, 'depends_on' AS p, 'mod://os' AS o, g FROM mods
+    UNION ALL
+    SELECT iri AS s, 'depends_on' AS p, 'mod://repo_' || (r - 1) || '.mod_0' AS o, g
+    FROM mods WHERE r > 0
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     from rify_spark.ops import dedup, events, graph, multimodal, quads, similarity, text
 
@@ -300,10 +338,12 @@ def oracle_sql() -> dict[str, str]:
         "o13_prove_lineage": quads.PROVE_LINEAGE_SQL,
         "o14_proof_extract": quads.PROOF_SQL,
         "o15_proof_raise": quads.PROOF_SQL,
+        "o16_validate_roundtrip": VALIDATE_ROUNDTRIP_SQL,
         "o17_rule_lowering": quads.RULE_LOWERING_SQL,
         "o18_rule_validation": quads.RULE_VALIDATION_SQL,
         "skew_salted_closure": quads.SKEW_SALTED_CLOSURE_SQL,
         "kg_graph_vertices": graph.graph_vertices_sql(),
+        "kg_pipeline_derived": KG_PIPELINE_SQL,
         "kg_extract_mentions": """
             SELECT DISTINCT doc_id, tok AS mention FROM (
               SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
@@ -332,7 +372,4 @@ def oracle_sql() -> dict[str, str]:
         "events_sliding": events.sliding_counts_sql(),
         "events_sessionize": events.sessionize_sql(),
         "multimodal_features": multimodal.media_features_sql(),
-        # rows-only (non-SQL-expressible): o16_validate_roundtrip (the
-        # implied set exists only after a prove->validate round trip),
-        # kg_pipeline_derived (pandas-UDF extraction)
     }

@@ -53,23 +53,30 @@ def connected_components(
     Undirected connected components; each node maps to its component's
     preferred representative (min (rank, node) lexicographically).
 
-    ``hops_per_round`` label-propagation hops run between checkpoints and
-    convergence checks: the check (a join + count action) and the eager
-    checkpoint are the per-round driver barriers, so batching hops halves
-    them for the same total propagation work — entity-link components are
-    star-shaped and converge in 2-3 hops, so 2 hops/round usually means a
-    single convergence check after the propagating round.
+    Convergence is checked by EDGE CONSISTENCY — count of edges whose
+    endpoints carry different labels — not by label change between rounds.
+    Labels only ever decrease and are always drawn from the component's
+    initial labels, so "every edge agrees" is exactly the fixpoint (each
+    component uniform on its min), and it holds the moment the last hop
+    lands rather than one no-op round later. Entity-link graphs are
+    bipartite mention->entity stars (diameter <=2), so the common case is
+    ONE round: ``hops_per_round`` lazy propagation hops fused into a single
+    plan, one eager checkpoint, one consistency count — two driver barriers
+    total, vs the 5+ of a change-detection loop. Deeper components
+    (ambiguous mentions chaining entities) just take more rounds; the hop
+    budget ``max_rounds`` bounds the total and failure is loud.
     """
     nodes = (
         edges.select(F.col("a").alias("node"))
         .unionByName(edges.select(F.col("b").alias("node")))
         .distinct()
     )
-    # label = (rank, node) struct; min over struct = lexicographic
+    # label = (rank, node) struct; min over struct = lexicographic. Lazy:
+    # the first round's checkpoint materializes it fused with the hops.
     labels = nodes.select(
         "node",
         F.struct(_node_rank().alias("r"), F.col("node").alias("n")).alias("label"),
-    ).localCheckpoint(eager=True)
+    )
 
     sym = edges.select("a", "b").unionByName(
         edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
@@ -85,34 +92,40 @@ def connected_components(
             .agg(F.min("label").alias("label"))
         )
 
-    changed = 0
-    for _ in range(max(1, (max_rounds + hops_per_round - 1) // hops_per_round)):
-        new_labels = labels
-        for _hop in range(hops_per_round):
-            new_labels = propagate(new_labels)
-        new_labels = new_labels.localCheckpoint(eager=True)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
+    def straddling_edges(lab: DataFrame) -> int:
+        la = lab.select(F.col("node").alias("a"), F.col("label").alias("__la"))
+        lb = lab.select(F.col("node").alias("b"), F.col("label").alias("__lb"))
+        return (
+            edges.select("a", "b")
+            .join(la, "a")
+            .join(lb, "b")
+            .filter(F.col("__la") != F.col("__lb"))
             .count()
         )
-        labels = new_labels
-        if changed == 0:
-            break
-    if changed != 0:
-        # a partially-converged mapping would silently split one component
-        # onto multiple representatives — fail loud instead
-        raise RuntimeError(
-            f"connected_components did not converge within {max_rounds} "
-            f"rounds ({changed} labels still changing); the edge graph has "
-            f"a component with diameter > max_rounds — raise max_rounds"
-        )
 
-    return labels.select("node", F.col("label.n").alias("canon"))
+    bad = -1
+    hops_done = 0
+    while hops_done < max_rounds:
+        for _hop in range(hops_per_round):
+            labels = propagate(labels)
+        hops_done += hops_per_round
+        labels = labels.localCheckpoint(eager=True)
+        bad = straddling_edges(labels)
+        if bad == 0:
+            return labels.select("node", F.col("label.n").alias("canon"))
+    # a partially-converged mapping would silently split one component
+    # onto multiple representatives — fail loud instead
+    raise RuntimeError(
+        f"connected_components did not converge within {hops_done} "
+        f"label-propagation hops ({bad} edges still straddling two labels); "
+        f"the edge graph has a component with diameter > {max_rounds} — "
+        f"raise max_rounds (the total hop budget)"
+    )
 
 
-def scoped_components(edges: DataFrame, max_rounds: int = 50) -> DataFrame:
+def scoped_components(
+    edges: DataFrame, max_rounds: int = 50, hops_per_round: int = 2
+) -> DataFrame:
     """Graph-scoped connected components.
 
     edges(g, a, b) -> mapping(g, node, canon): components never straddle
@@ -125,7 +138,7 @@ def scoped_components(edges: DataFrame, max_rounds: int = 50) -> DataFrame:
         F.concat(F.col("g"), F.lit(SCOPE_SEP), F.col("a")).alias("a"),
         F.concat(F.col("g"), F.lit(SCOPE_SEP), F.col("b")).alias("b"),
     )
-    mapping = connected_components(prefixed, max_rounds)
+    mapping = connected_components(prefixed, max_rounds, hops_per_round)
     return mapping.select(
         F.substring_index(F.col("node"), SCOPE_SEP, 1).alias("g"),
         F.substring_index(F.col("node"), SCOPE_SEP, -1).alias("node"),

@@ -380,10 +380,13 @@ def _delta_predicates(delta: DataFrame, cfg: InferConfig) -> Optional[set]:
 
 def _count_and_preds(df: DataFrame, cfg: InferConfig) -> tuple:
     """(row count, predicate set|None) of a checkpoint-backed delta in ONE
-    Spark job: the per-predicate counts give both. Falls back to a plain
-    count when pruning is off or the predicate vocabulary overflows —
-    either way exactly one action runs, so fusing the novelty count with
-    the next iteration's prune set removes a driver barrier per iteration."""
+    Spark job in the common case: the per-predicate counts give both, so
+    fusing the novelty count with the next iteration's prune set removes a
+    driver barrier per iteration. With pruning off a plain count runs
+    instead (still one job). Only the rare overflow case — more than
+    stats_max_predicates distinct predicates in the delta — pays a second
+    job (the truncated groupBy, then a plain count), once per overflowing
+    iteration."""
     if not cfg.prune_seed_plans:
         return df.count(), None
     rows = df.groupBy("p").count().limit(cfg.stats_max_predicates + 1).collect()

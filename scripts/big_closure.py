@@ -94,6 +94,9 @@ def main() -> None:
 
     out = {
         "tree_n": TREE_N,
+        # spark.range(1, TREE_N) covers ids 1..TREE_N-1: one parent edge per
+        # non-root node — report the actual edge count, not the node count
+        "tree_edges": TREE_N - 1,
         "cpus": CPUS,
         "heap": HEAP,
         "derived": n,

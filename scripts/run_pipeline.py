@@ -63,8 +63,10 @@ def main() -> None:
 
         n_repos, n_modules = (int(x) for x in args.synthetic.split("x"))
         code_files = code_files_df_distributed(spark, n_repos, n_modules)
+        input_id = f"synthetic:{n_repos}x{n_modules}"
     else:
         code_files = spark.read.parquet(args.input)
+        input_id = args.input
 
     t0 = time.time()
     res = run_pipeline(
@@ -73,6 +75,7 @@ def main() -> None:
         link_threshold=args.link_threshold,
         checkpoint_dir=args.checkpoint_dir,
         resume=args.resume,
+        input_id=input_id,
     )
     for name, df in (
         ("triples", res.raw_triples),
