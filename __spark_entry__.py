@@ -272,6 +272,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_ivf_cells": lambda s, d: similarity.knn_ivf_cells(_emb(s, d)),
         "knn_ivf": lambda s, d: similarity.knn_ivf(_emb(s, d)),
         "knn_ivf_recall": lambda s, d: similarity.knn_ivf_recall(_emb(s, d)),
+        "knn_ivf_refined_recall": lambda s, d: similarity.knn_ivf_refined_recall(
+            _emb(s, d)
+        ),
         "knn_lsh_recall": lambda s, d: similarity.knn_lsh_recall(_emb(s, d)),
         # event windows / sessionization (batch forms)
         "events_windowed": lambda s, d: events.windowed_counts(_events(s, d)),
@@ -367,6 +370,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_ivf_cells": similarity.knn_ivf_cells_sql(),
         "knn_ivf": similarity.knn_ivf_sql(),
         "knn_ivf_recall": similarity.knn_ivf_recall_sql(),
+        "knn_ivf_refined_recall": similarity.knn_ivf_refined_recall_sql(),
         "knn_lsh_recall": similarity.knn_lsh_recall_sql(),
         "events_windowed": events.windowed_counts_sql(),
         "events_sliding": events.sliding_counts_sql(),

@@ -64,10 +64,16 @@ def main() -> None:
             spark, n_repos=KG_REPOS, n_modules=KG_MODULES, partitions=2 * CPUS
         ).write.mode("overwrite").parquet(corpus_path)
 
+    kg_stage_walls: dict = {}
+
     def kg_pipeline(s, d):
         from rify_spark.pipeline import run_pipeline
 
-        return run_pipeline(s, s.read.parquet(corpus_path)).derived
+        res = run_pipeline(s, s.read.parquet(corpus_path))
+        # stage walls ride into the bench JSON so a pipeline regression is
+        # attributed to extract / link+CC / fixpoint without a rerun
+        kg_stage_walls.update(res.metrics.get("stage_walls", {}))
+        return res.derived
 
     headline = {
         "ancestry_fixpoint": lambda s, d: quads.ancestry_closure(s, d),
@@ -106,6 +112,7 @@ def main() -> None:
         "kg_pipeline_triples_per_sec": round(
             rows["kg_pipeline"] / times["kg_pipeline"], 1
         ),
+        "kg_pipeline_stage_walls": kg_stage_walls,
     }
     # two-parallelism scaling evidence (the north rule's N vs 4N criterion,
     # measured by scripts/scaling.py into SCALING.json) rides along so each

@@ -119,9 +119,12 @@ def _lower_inputs(
     if cfg.encode_terms:
         const_ids = D.hash_terms(spark, bound_strs)
         facts_in = D.encode_quads(premises_df)
-        dict_df = D.build_dict(spark, premises_df if prem_str else None, bound_strs)
-        if cfg.collision_audit:
-            D.audit_collisions(dict_df)
+        dict_df = D.build_dict_audited(
+            spark,
+            premises_df if prem_str else None,
+            bound_strs,
+            audit=cfg.collision_audit,
+        )
         lrules = [
             lower_rule(r, i, lambda t: const_ids[codec.encode(t)])
             for i, r in enumerate(rules)
@@ -181,9 +184,9 @@ def infer_df(
     if cfg.encode_terms:
         const_ids = D.hash_terms(spark, bound_strs)
         facts_in = D.encode_quads(facts_df)
-        dict_df = D.build_dict(spark, facts_df, bound_strs)
-        if cfg.collision_audit:
-            D.audit_collisions(dict_df)
+        dict_df = D.build_dict_audited(
+            spark, facts_df, bound_strs, audit=cfg.collision_audit
+        )
         lrules = [lower_rule(r, i, lambda t: const_ids[t]) for i, r in enumerate(rules)]
         dtype_str = D.ID_TYPE
     else:

@@ -83,6 +83,57 @@ def build_dict(
     return terms.distinct().select("term", term_id("term").alias("id"))
 
 
+def build_dict_audited(
+    spark: SparkSession,
+    facts: DataFrame | None = None,
+    extra_terms: Iterable[str] = (),
+    audit: bool = True,
+) -> DataFrame:
+    """One-shuffle, persisted, collision-audited dictionary.
+
+    :func:`build_dict` + :func:`audit_collisions` pay a term-distinct
+    shuffle, then an id-groupBy shuffle, and every decode join recomputes
+    the whole plan again. This variant does ONE ``groupBy(id)`` over the
+    exploded terms with min/max(term) aggregates — fully map-side
+    combinable, so shuffle bytes are ~distinct terms — and a collision is
+    exactly ``min(term) != max(term)`` within an id group, so the audit is
+    a filter-count over the SAME aggregation. The result persists
+    (MEMORY_AND_DISK), so the audit's materialization is what every decode
+    join reads: total one wide shuffle for dictionary + audit + decode,
+    instead of three.
+
+    With ``audit=False`` nothing is materialized here; the persisted plan
+    fills inside the first decode that reads it.
+    """
+    from pyspark import StorageLevel
+
+    parts = []
+    if facts is not None:
+        parts.append(
+            facts.select(
+                F.explode(F.array(*[F.col(c) for c in SPOG])).alias("term")
+            )
+        )
+    extra = [(t,) for t in extra_terms]
+    if extra:
+        parts.append(spark.createDataFrame(extra, "term string"))
+    if not parts:
+        return spark.createDataFrame([], f"term string, id {ID_TYPE}")
+    terms = parts[0]
+    for p in parts[1:]:
+        terms = terms.unionByName(p)
+    grouped = (
+        terms.groupBy(term_id("term").alias("id"))
+        .agg(F.min("term").alias("term"), F.max("term").alias("__term_max"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    if audit:
+        n = grouped.filter(F.col("term") != F.col("__term_max")).count()
+        if n:
+            raise DictionaryCollision(f"{n} colliding ids in term dictionary")
+    return grouped.select("term", "id")
+
+
 def audit_collisions(dict_df: DataFrame, raise_on_collision: bool = True) -> int:
     """Count id collisions (distinct terms sharing an id). 0 is the invariant."""
     n = (

@@ -94,9 +94,13 @@ class FactStore:
         self.rows_per_partition = rows_per_partition
         self.compact_every = max(2, compact_every)
         self.blocks: list = []
-        self.partitions: Optional[int] = None  # fixed at seed time
+        self.partitions: Optional[int] = None  # picked at seed, grown at compaction
         self.total_rows = 0
         self.just_compacted = False
+        # checkpoint backing the newest block, kept so the block can be
+        # re-built at a new partition width when the store outgrows the one
+        # picked at seed time (all blocks must share one width)
+        self.last_src: Optional[DataFrame] = None
 
     def _pick_partitions(self, rows: int) -> int:
         """Block partition count: enough that a partition stays comfortably
@@ -152,21 +156,50 @@ class FactStore:
         )
         self.blocks = [self._mk_block(lc)]
         self.total_rows = rows
+        self.last_src = lc
         self._finalize_if_chained(self.blocks[0])
         self.just_compacted = False
         return lc, rows
 
-    def add(self, checkpointed_delta: DataFrame, rows: int = 0) -> None:
-        """Append a (non-empty, checkpoint-backed) delta block; compact the
+    def stage_block(self, checkpointed_delta: DataFrame) -> DataFrame:
+        """Build (but do not append) the next block over a checkpoint-backed
+        delta. The caller runs the per-iteration novelty count ON this block
+        — one job both fills the block cache (the materialization
+        :meth:`_finalize_if_chained` used to pay a separate job for) and
+        yields the count + predicate set. An empty delta just unpersists the
+        staged block instead of appending it."""
+        return self._mk_block(checkpointed_delta)
+
+    def add_block(self, block: DataFrame, rows: int, src: DataFrame) -> None:
+        """Append a staged (non-empty, cache-filled) block; compact the
         prefix when the chain grows — the newest block is never folded, so
         :meth:`union_except_last` (the semi-naive F_old) stays a cached
-        block prefix."""
-        self.blocks.append(self._mk_block(checkpointed_delta))
+        block prefix. ``src`` is the checkpoint backing the block (kept for
+        re-blocking at a grown partition width)."""
+        self.blocks.append(block)
         self.total_rows += rows
-        self._finalize_if_chained(self.blocks[-1])
+        self.last_src = src
         self.just_compacted = False
         if len(self.blocks) > self.compact_every:
             self._compact_prefix()
+
+    def _maybe_grow_partitions(self) -> bool:
+        """Re-pick the block width when the store outgrew it. Seed-time
+        sizing allows ~8x growth; a closure that grows further (BIGRUN grew
+        ~22x over its seed) would otherwise keep per-partition rows climbing
+        without bound, gated only by spill. Called at compaction — where
+        every prefix block re-shuffles anyway, so the wider merged block is
+        free — with 2x headroom so a steadily-growing store re-blocks at
+        most every other compaction. Deliberately NOT capped by the session
+        shuffle width: bounded per-partition rows matter more than matching
+        spark.sql.shuffle.partitions, and consumer joins simply exchange the
+        (small) candidate side to the store's width."""
+        if self.fixed_partitions is not None:
+            return False
+        if self.total_rows <= self.partitions * self.rows_per_partition:
+            return False
+        self.partitions = self.total_rows * 2 // self.rows_per_partition + 1
+        return True
 
     def _compact_prefix(self) -> None:
         """Fold all blocks but the newest into one. The fold goes through a
@@ -175,6 +208,15 @@ class FactStore:
         caches are unpersisted explicitly."""
         prefix, last = self.blocks[:-1], self.blocks[-1]
         flat = _union_all(prefix).localCheckpoint(eager=True)
+        if self._maybe_grow_partitions():
+            # co-partitioned joins need every block at one width, so the
+            # newest block is re-built from its checkpoint at the new width
+            # (one extra cache-fill job, amortized over compact_every
+            # iterations and only on growth compactions)
+            relast = self._mk_block(self.last_src)
+            self._finalize_if_chained(relast)
+            last.unpersist()
+            last = relast
         merged = self._mk_block(flat)
         self._finalize_if_chained(merged)
         for b in prefix:
@@ -278,6 +320,11 @@ class FixpointResult:
     metrics: list = field(default_factory=list)
     iterations: int = 0
     facts_rows: int = 0
+    # checkpoint-backed per-iteration deltas, populated only with
+    # track_deltas=True (streaming IVM needs "what did this batch add"
+    # without an O(store) diff; holding the refs pins the checkpoints, so
+    # batch callers must drop the result when done)
+    delta_dfs: list = field(default_factory=list)
 
 
 def _union_all(dfs: list) -> DataFrame:
@@ -414,6 +461,65 @@ def _predicate_stats(facts: DataFrame, cfg: InferConfig) -> Optional[dict]:
     return {r["p"]: r["count"] for r in rows}
 
 
+def _seed_scan(facts: DataFrame, facts_rows: int, cfg: InferConfig) -> tuple:
+    """Join-order predicate stats AND hot-key detection in ONE Spark job.
+
+    Run separately these are two full passes over the seed with two driver
+    barriers — pure fixed overhead that caps strong scaling (constant in
+    data size at a given seed, serial-ish at high core counts). Fused: one
+    union of (p-occurrences | sampled s/o-occurrences) tagged by kind, one
+    groupBy, and the two driver-side limits read the SAME aggregation (AQE
+    reuses the exchange between the branches), collected in one action.
+    Semantics match :func:`_predicate_stats` + :func:`_hot_values` exactly;
+    the latter stays for the compaction-time rescan."""
+    from .matcher import term_lit
+
+    want_stats = cfg.use_stats
+    want_hot = cfg.salt_hot_values
+    if not (want_stats or want_hot):
+        return None, []
+    dtype = facts.schema["s"].dataType
+    branches = []
+    frac = 1.0
+    occ_rows = 2 * max(facts_rows, 1)
+    if want_stats:
+        branches.append(
+            facts.select(F.lit(False).alias("so"), F.col("p").alias("k"))
+        )
+    if want_hot:
+        occ = facts.select(F.col("s").alias("k")).unionByName(
+            facts.select(F.col("o").alias("k"))
+        )
+        frac = min(1.0, cfg.hot_scan_sample_rows / occ_rows)
+        if frac < 1.0:
+            occ = occ.sample(fraction=frac, seed=7)
+        branches.append(occ.select(F.lit(True).alias("so"), "k"))
+    cnt = _union_all(branches).groupBy("so", "k").count()
+    parts = []
+    if want_stats:
+        parts.append(cnt.filter(~F.col("so")).limit(cfg.stats_max_predicates + 1))
+    if want_hot:
+        parts.append(
+            cnt.filter(F.col("so")).orderBy(F.desc("count")).limit(cfg.hot_value_top)
+        )
+    rows = _union_all(parts).collect()
+    stats = None
+    if want_stats:
+        prows = [r for r in rows if not r["so"]]
+        if len(prows) <= cfg.stats_max_predicates:
+            stats = {r["k"]: r["count"] for r in prows}
+    hot = []
+    if want_hot:
+        total = max(int(occ_rows * frac), 1)
+        hrows = sorted((r for r in rows if r["so"]), key=lambda r: -r["count"])
+        hot = [
+            (term_lit(_norm_term(r["k"]), dtype),)
+            for r in hrows[: cfg.hot_value_top]
+            if r["count"] / total >= cfg.hot_value_min_share
+        ]
+    return stats, hot
+
+
 def job_fingerprint(lrules: list, dtype_str: str, lineage: bool) -> str:
     """Deterministic identity of a fixpoint job: the lowered rule set (body/
     head slot structure and constant values), the engine value type, and
@@ -456,6 +562,8 @@ def fixpoint(
     goals: Optional[DataFrame] = None,
     initial_arguments: Optional[DataFrame] = None,
     delta0: Optional[DataFrame] = None,
+    reuse_store: Optional[FactStore] = None,
+    track_deltas: bool = False,
 ) -> FixpointResult:
     """Run rules to fixpoint over an already-deduplicated quad DataFrame.
 
@@ -466,6 +574,13 @@ def fixpoint(
     first round's worklist (incremental mode: ``facts0`` minus ``delta0``
     is already a fixpoint, so only derivations touching ``delta0`` can be
     new); by default the whole of ``facts0`` is the first worklist.
+
+    ``reuse_store``: an already-seeded live :class:`FactStore` (streaming
+    IVM keeps one across micro-batches so per-batch cost reads cached
+    blocks, never the full persisted store). When given, ``facts0`` is
+    ignored apart from its schema and ``delta0`` MUST carry the novel
+    quads (already present in the store); new derivations are appended to
+    the store in place.
     """
     cfg = cfg or InferConfig()
     dtype = facts0.schema["s"].dataType
@@ -483,7 +598,7 @@ def fixpoint(
     metrics: list = []
     arguments: Optional[DataFrame] = None
     it = 0
-    store = FactStore(
+    store = reuse_store or FactStore(
         spark,
         fixed_partitions=cfg.store_partitions,
         compact_every=cfg.store_compact_every,
@@ -510,6 +625,20 @@ def fixpoint(
             eager=True
         )
         metrics.append({"iteration": it, "resumed": True, "delta_rows": delta_rows})
+    elif reuse_store is not None:
+        seed_lc = store.union()
+        facts_rows = store.total_rows
+        if delta0 is None:
+            delta = seed_lc
+            delta_rows = facts_rows
+            facts_old = seed_lc.limit(0)
+        else:
+            delta = delta0.localCheckpoint(eager=True)
+            delta_rows = delta.count()
+            # the caller appended the delta as the store's newest block, so
+            # the semi-naive F_old is exactly the cached block prefix — no
+            # O(store) anti-join/checkpoint per micro-batch
+            facts_old = store.union_except_last()
     else:
         seed_lc, facts_rows = store.seed(facts0)
         if delta0 is not None:
@@ -538,6 +667,7 @@ def fixpoint(
     if arguments is not None:
         arg_blocks.append(arguments)
 
+    tracked_deltas: list = []
     broadcast_cutoff = _broadcast_cutoff_rows(spark, cfg)
     goals_n = goals.count() if goals is not None else 0
 
@@ -546,8 +676,9 @@ def fixpoint(
             return goals is not None
         return goals.join(store.union(), SPOG, "left_anti").count() == 0
 
-    stats = _predicate_stats(store.union(), cfg) if cond_rules else None
-    hot_lits = _hot_values(seed_lc, facts_rows, cfg) if cond_rules else []
+    stats, hot_lits = (
+        _seed_scan(seed_lc, facts_rows, cfg) if cond_rules else (None, [])
+    )
     # predicate set of the CURRENT delta (drives seed-plan pruning),
     # maintained for free by _count_and_preds after each iteration. When the
     # first delta IS the seed, the join-order stats already hold its
@@ -600,6 +731,14 @@ def fixpoint(
             break
         cand = _union_all(plans)
 
+        # ONE explicit exchange for the whole post-candidate pipeline: the
+        # candidate set is hash-partitioned by s at the store's width, which
+        # (a) satisfies the SPOG dedup / first-wins-window clustering
+        # requirement via subset satisfaction (verified: zero added
+        # exchange), and (b) co-partitions the anti-join with every store
+        # block (zero exchange either side). Without it the delta pays a
+        # spog-dedup exchange AND an s-exchange at the anti-join.
+        cand = cand.repartition(store.partitions, "s")
         if lineage:
             novel = store.anti(cand)
             w = Window.partitionBy(*SPOG).orderBy("rule_index", "inst")
@@ -610,22 +749,30 @@ def fixpoint(
                 .withColumn("iteration", F.lit(it).cast("long"))
             )
             new_full = picked.localCheckpoint(eager=True)
-            delta_rows, delta_preds = _count_and_preds(new_full, cfg)
             new = new_full.select(*SPOG)
-            if delta_rows:
-                arg_blocks.append(new_full)
-                arguments = _union_all(arg_blocks)
         else:
+            new_full = None
             new = store.anti(cand.dropDuplicates(SPOG)).localCheckpoint(eager=True)
-            delta_rows, delta_preds = _count_and_preds(new, cfg)
+        # the novelty count runs ON the staged store block: one job fills the
+        # block's (s-partitioned, sorted) cache AND yields the count + next
+        # prune set — the block materialization used to be its own
+        # per-iteration job in chained mode
+        block = store.stage_block(new)
+        delta_rows, delta_preds = _count_and_preds(block, cfg)
+        if lineage and delta_rows:
+            arg_blocks.append(new_full)
+            arguments = _union_all(arg_blocks)
 
         if delta_rows == 0:
+            block.unpersist()
             metrics.append(
                 {"iteration": it, "delta_rows": 0, "wall_s": round(time.time() - t0, 4)}
             )
             break
 
-        store.add(new, rows=delta_rows)
+        store.add_block(block, rows=delta_rows, src=new)
+        if track_deltas:
+            tracked_deltas.append(new)
         facts_old = store.union_except_last()
         facts_rows += delta_rows
         delta = new
@@ -641,6 +788,7 @@ def fixpoint(
             "wall_s": round(time.time() - t0, 4),
             "delta_partitions": new.rdd.getNumPartitions(),
             "store_blocks": len(store.blocks),
+            "store_partitions": store.partitions,
             "compacted": store.just_compacted,
         }
         metrics.append(m)
@@ -667,6 +815,7 @@ def fixpoint(
         metrics=metrics,
         iterations=it,
         facts_rows=facts_rows,
+        delta_dfs=tracked_deltas,
     )
 
 

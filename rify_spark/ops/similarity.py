@@ -359,14 +359,27 @@ def cosine_topk(emb: DataFrame, n_queries: int = KNN_N_QUERIES, k: int = KNN_K) 
 # IVF cost; with NLIST ~ sqrt(n) the build is n^1.5 work and the search
 # touches ~ n * NPROBE / NLIST candidates per query). Search: score the
 # query against the centroid table, probe its NPROBE nearest cells, exact
-# integer rerank inside. Centroids here are a deterministic sample (the
-# first NLIST vectors) so the DuckDB oracle is exact; production would
-# refine them with pyspark.ml.clustering.KMeans — the cell/probe/rerank
-# plumbing (what this gate grades) is identical either way, and
-# ivf_refine_centroids below implements one integer Lloyd step for tests.
+# integer rerank inside. The pinned IVF_NLIST/IVF_NPROBE constants exist
+# ONLY so the basic gate queries stay byte-stable across scale factors;
+# every function takes explicit nlist/nprobe, ivf_auto_params derives the
+# production default (NLIST ~ sqrt(n)), and knn_ivf_refined_recall gates
+# the auto-sized, Lloyd-refined configuration with a full DuckDB twin.
 
 IVF_NLIST = 16
 IVF_NPROBE = 4
+IVF_NLIST_MAX = 65_536
+
+
+def ivf_auto_params(n: int) -> tuple:
+    """Production IVF sizing from the corpus size: NLIST ~ sqrt(n) balances
+    quantizer cost (n * NLIST) against per-query probe cost
+    (n * NPROBE / NLIST); NPROBE = NLIST/8 keeps the probed fraction
+    constant as the index grows. Floors keep tiny test corpora meaningful;
+    the cap bounds the broadcast centroid table (~64k x EMB_DIM longs)."""
+    import math
+
+    nlist = max(16, min(IVF_NLIST_MAX, math.isqrt(max(n, 1))))
+    return nlist, max(4, nlist // 8)
 
 
 def _int_l2(a, b):
@@ -378,9 +391,9 @@ def _int_l2(a, b):
     )
 
 
-def _ivf_centroids(quantized: DataFrame) -> DataFrame:
+def _ivf_centroids(quantized: DataFrame, nlist: int = IVF_NLIST) -> DataFrame:
     """(cent_id, cvec): deterministic sample centroids."""
-    return quantized.filter(F.col("vec_id") < IVF_NLIST).select(
+    return quantized.filter(F.col("vec_id") < nlist).select(
         F.col("vec_id").alias("cent_id"), F.col("ce").alias("cvec")
     )
 
@@ -397,28 +410,34 @@ def _ivf_rank_cells(quantized: DataFrame, cents: DataFrame) -> DataFrame:
     return scored.withColumn("cell_rank", F.row_number().over(w))
 
 
-def knn_ivf_cells(emb: DataFrame) -> DataFrame:
+def knn_ivf_cells(emb: DataFrame, nlist: int = IVF_NLIST) -> DataFrame:
     """The IVF index: (vec_id, cell) nearest-centroid assignment."""
     quant = emb.select("vec_id", _quantized(F.col("embedding")).alias("ce"))
-    ranked = _ivf_rank_cells(quant, _ivf_centroids(quant))
+    ranked = _ivf_rank_cells(quant, _ivf_centroids(quant, nlist))
     return ranked.filter(F.col("cell_rank") == 1).select(
         "vec_id", F.col("cent_id").cast("long").alias("cell")
     )
 
 
-def knn_ivf(emb: DataFrame, n_queries: int = KNN_N_QUERIES, k: int = KNN_K) -> DataFrame:
-    """Approximate top-k via IVF: probe the query's IVF_NPROBE nearest
+def knn_ivf(
+    emb: DataFrame,
+    n_queries: int = KNN_N_QUERIES,
+    k: int = KNN_K,
+    nlist: int = IVF_NLIST,
+    nprobe: int = IVF_NPROBE,
+) -> DataFrame:
+    """Approximate top-k via IVF: probe the query's ``nprobe`` nearest
     cells, exact integer rerank within. Same output shape as knn_bruteforce
     / knn_lsh."""
     quant = emb.select("vec_id", _quantized(F.col("embedding")).alias("ce"))
-    cents = _ivf_centroids(quant)
+    cents = _ivf_centroids(quant, nlist)
     ranked = _ivf_rank_cells(quant, cents)
     corpus = ranked.filter(F.col("cell_rank") == 1).select(
         "vec_id", "ce", F.col("cent_id").alias("cell")
     )
     probes = (
         ranked.filter(
-            (F.col("vec_id") < n_queries) & (F.col("cell_rank") <= IVF_NPROBE)
+            (F.col("vec_id") < n_queries) & (F.col("cell_rank") <= nprobe)
         )
         .select(
             F.col("vec_id").alias("query_id"),
@@ -499,20 +518,17 @@ def knn_ivf_sql(n_queries: int = KNN_N_QUERIES, k: int = KNN_K) -> str:
     """
 
 
-def knn_ivf_recall(emb: DataFrame) -> DataFrame:
-    """Recall of IVF nprobe search on planted near-neighbor twins (same
-    planting as knn_lsh_recall): is each twin's original reachable through
-    the twin's probed cells? One summary row; exact DuckDB twin."""
-    planted = _planted_emb(emb)
-    cents = _ivf_centroids(planted.filter(F.col("vec_id") < ANN_PLANT_OFFSET))
+def _ivf_planted_hits(planted: DataFrame, cents: DataFrame, nprobe: int) -> DataFrame:
+    """(query_id) of planted twins whose original is reachable through the
+    twin's probed cells, given a centroid table."""
     ranked = _ivf_rank_cells(planted, cents)
     corpus = ranked.filter(F.col("cell_rank") == 1).select(
         "vec_id", F.col("cent_id").alias("cell")
     )
     probes = ranked.filter(
-        (F.col("vec_id") >= ANN_PLANT_OFFSET) & (F.col("cell_rank") <= IVF_NPROBE)
+        (F.col("vec_id") >= ANN_PLANT_OFFSET) & (F.col("cell_rank") <= nprobe)
     ).select(F.col("vec_id").alias("query_id"), F.col("cent_id").alias("qcell"))
-    hits = (
+    return (
         corpus.join(
             F.broadcast(probes),
             (F.col("cell") == F.col("qcell"))
@@ -521,6 +537,17 @@ def knn_ivf_recall(emb: DataFrame) -> DataFrame:
         .select("query_id")
         .distinct()
     )
+
+
+def knn_ivf_recall(
+    emb: DataFrame, nlist: int = IVF_NLIST, nprobe: int = IVF_NPROBE
+) -> DataFrame:
+    """Recall of IVF nprobe search on planted near-neighbor twins (same
+    planting as knn_lsh_recall): is each twin's original reachable through
+    the twin's probed cells? One summary row; exact DuckDB twin."""
+    planted = _planted_emb(emb)
+    cents = _ivf_centroids(planted.filter(F.col("vec_id") < ANN_PLANT_OFFSET), nlist)
+    hits = _ivf_planted_hits(planted, cents, nprobe)
     n_planted = planted.filter(F.col("vec_id") >= ANN_PLANT_OFFSET).agg(
         F.count("*").alias("n_planted")
     )
@@ -529,6 +556,41 @@ def knn_ivf_recall(emb: DataFrame) -> DataFrame:
         "n_planted",
         "n_found",
         (F.col("n_found") / F.col("n_planted")).alias("recall"),
+    )
+
+
+def knn_ivf_refined_recall(emb: DataFrame) -> DataFrame:
+    """The PRODUCTION IVF configuration under the planted-recall gate:
+    auto-sized NLIST ~ sqrt(n) / NPROBE = NLIST/8 (ivf_auto_params) and one
+    integer Lloyd refinement of the sample centroids. One summary row
+    carrying both the refined and the sample-centroid recall at the same
+    (nlist, nprobe), so 'refined is not worse than the sample quantizer' is
+    oracle-checked, not asserted. Exact DuckDB twin (integer centroids,
+    truncating average)."""
+    n = emb.count()
+    nlist, nprobe = ivf_auto_params(n)
+    planted = _planted_emb(emb)
+    base = planted.filter(F.col("vec_id") < ANN_PLANT_OFFSET)
+    cents0 = _ivf_centroids(base, nlist)
+    cents1 = _lloyd_step(base, cents0)
+    hits0 = _ivf_planted_hits(planted, cents0, nprobe)
+    hits1 = _ivf_planted_hits(planted, cents1, nprobe)
+    n_planted = planted.filter(F.col("vec_id") >= ANN_PLANT_OFFSET).agg(
+        F.count("*").alias("n_planted")
+    )
+    return (
+        n_planted.crossJoin(hits0.agg(F.count("*").alias("n_found_sample")))
+        .crossJoin(hits1.agg(F.count("*").alias("n_found_refined")))
+        .select(
+            F.lit(nlist).cast("long").alias("nlist"),
+            F.lit(nprobe).cast("long").alias("nprobe"),
+            "n_planted",
+            "n_found_sample",
+            "n_found_refined",
+            (F.col("n_found_sample") / F.col("n_planted")).alias("recall_sample"),
+            (F.col("n_found_refined") / F.col("n_planted")).alias("recall_refined"),
+            (F.col("n_found_refined") >= F.col("n_found_sample")).alias("not_worse"),
+        )
     )
 
 
@@ -568,32 +630,111 @@ def knn_ivf_recall_sql() -> str:
     """
 
 
-def ivf_refine_centroids(emb: DataFrame, iters: int = 1) -> DataFrame:
-    """Integer Lloyd refinement of the sample centroids (tests/production;
-    the oracle gate uses the unrefined sample for cross-engine exactness).
-    Element-wise integer mean per cell via posexplode -> (cell, pos) avg ->
-    re-assemble; each iteration is two shuffles, both keyed small."""
+def _lloyd_step(quantized: DataFrame, cents: DataFrame) -> DataFrame:
+    """One integer Lloyd step: assign every vector to its nearest centroid,
+    replace each centroid with the element-wise truncating integer mean of
+    its cell (posexplode -> (cell, pos) avg -> re-assemble; two shuffles,
+    both keyed small). Truncation (not rounding) matches DuckDB's
+    CAST(trunc(avg(..)) AS BIGINT), keeping the oracle exact."""
+    assign = (
+        _ivf_rank_cells(quantized, cents)
+        .filter(F.col("cell_rank") == 1)
+        .select("ce", F.col("cent_id").alias("cell"))
+    )
+    return (
+        assign.select("cell", F.posexplode("ce").alias("pos", "v"))
+        .groupBy("cell", "pos")
+        .agg(F.avg("v").cast("long").alias("m"))
+        .groupBy("cell")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+        .select(
+            F.col("cell").alias("cent_id"),
+            F.transform(F.col("pm"), lambda s: s["m"]).alias("cvec"),
+        )
+    )
+
+
+def knn_ivf_refined_recall_sql() -> str:
+    l2 = (
+        f"list_sum(list_transform(range(1, {EMB_DIM} + 1), "
+        f"i -> (x.ce[i] - c.cvec[i]) * (x.ce[i] - c.cvec[i])))"
+    )
+
+    def ranked(cents: str) -> str:
+        return f"""
+      SELECT x.vec_id, c.cent_id,
+             row_number() OVER (
+               PARTITION BY x.vec_id ORDER BY {l2}, c.cent_id
+             ) AS cell_rank
+      FROM pe x, {cents} c
+    """
+
+    def hits(rk: str) -> str:
+        return f"""
+      SELECT DISTINCT p.query_id
+      FROM (SELECT vec_id, cent_id AS cell FROM {rk} WHERE cell_rank = 1) c
+      JOIN (SELECT vec_id AS query_id, cent_id AS qcell FROM {rk}
+            WHERE vec_id >= {ANN_PLANT_OFFSET}
+              AND cell_rank <= (SELECT nprobe FROM par)) p
+        ON c.cell = p.qcell AND c.vec_id = p.query_id - {ANN_PLANT_OFFSET}
+    """
+
+    return f"""
+    WITH pe AS ({_planted_emb_sql()}),
+    par AS (
+      SELECT nlist, GREATEST(4, nlist // 8) AS nprobe FROM (
+        SELECT GREATEST(16, LEAST({IVF_NLIST_MAX},
+                 CAST(floor(sqrt(count(*))) AS BIGINT))) AS nlist
+        FROM embeddings
+      )
+    ),
+    base AS (SELECT * FROM pe WHERE vec_id < {ANN_PLANT_OFFSET}),
+    cents0 AS (
+      SELECT vec_id AS cent_id, ce AS cvec FROM base
+      WHERE vec_id < (SELECT nlist FROM par)
+    ),
+    assign0 AS (
+      SELECT vec_id, ce, cent_id AS cell FROM (
+        SELECT x.vec_id, x.ce, c.cent_id,
+               row_number() OVER (
+                 PARTITION BY x.vec_id ORDER BY {l2}, c.cent_id
+               ) AS rk
+        FROM base x, cents0 c
+      ) WHERE rk = 1
+    ),
+    cents1 AS (
+      SELECT cell AS cent_id, list(m ORDER BY pos) AS cvec FROM (
+        SELECT a.cell, i.range AS pos,
+               CAST(trunc(avg(a.ce[i.range])) AS BIGINT) AS m
+        FROM assign0 a CROSS JOIN range(1, {EMB_DIM} + 1) i
+        GROUP BY a.cell, i.range
+      ) GROUP BY cell
+    ),
+    ranked0 AS ({ranked('cents0')}),
+    ranked1 AS ({ranked('cents1')}),
+    hits0 AS ({hits('ranked0')}),
+    hits1 AS ({hits('ranked1')}),
+    np AS (SELECT count(*) AS n_planted FROM pe WHERE vec_id >= {ANN_PLANT_OFFSET})
+    SELECT (SELECT nlist FROM par) AS nlist,
+           (SELECT nprobe FROM par) AS nprobe,
+           (SELECT n_planted FROM np) AS n_planted,
+           (SELECT count(*) FROM hits0) AS n_found_sample,
+           (SELECT count(*) FROM hits1) AS n_found_refined,
+           CAST((SELECT count(*) FROM hits0) AS DOUBLE)
+             / (SELECT n_planted FROM np) AS recall_sample,
+           CAST((SELECT count(*) FROM hits1) AS DOUBLE)
+             / (SELECT n_planted FROM np) AS recall_refined,
+           (SELECT count(*) FROM hits1) >= (SELECT count(*) FROM hits0) AS not_worse
+    """
+
+
+def ivf_refine_centroids(
+    emb: DataFrame, iters: int = 1, nlist: int = IVF_NLIST
+) -> DataFrame:
+    """Integer Lloyd refinement of the sample centroids (the production
+    quantizer build; knn_ivf_refined_recall gates its quality)."""
     quant = emb.select("vec_id", _quantized(F.col("embedding")).alias("ce"))
-    cents = _ivf_centroids(quant)
+    cents = _ivf_centroids(quant, nlist)
     for _ in range(iters):
-        assign = (
-            _ivf_rank_cells(quant, cents)
-            .filter(F.col("cell_rank") == 1)
-            .select("ce", F.col("cent_id").alias("cell"))
-        )
-        cents = (
-            assign.select("cell", F.posexplode("ce").alias("pos", "v"))
-            .groupBy("cell", "pos")
-            .agg(F.avg("v").cast("long").alias("m"))
-            .groupBy("cell")
-            .agg(
-                F.array_sort(
-                    F.collect_list(F.struct("pos", "m"))
-                ).alias("pm")
-            )
-            .select(
-                F.col("cell").alias("cent_id"),
-                F.transform(F.col("pm"), lambda s: s["m"]).alias("cvec"),
-            )
-        )
+        cents = _lloyd_step(quant, cents)
     return cents

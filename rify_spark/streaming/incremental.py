@@ -8,29 +8,49 @@ incremental-view-maintenance step. This module wires that up:
 
     readStream (file source / any source producing s,p,o,g)
       -> foreachBatch(IncrementalReasoner.process_batch)
-          batch quads = Δ; run the fixpoint seeded with Δ against the
-          accumulated fact store; append novel facts to the store sink
+          batch quads = Δ; append novel quads to the LIVE FactStore; run
+          the delta-restricted fixpoint against it; append this batch's
+          additions to the durable bucketed parquet store
 
-State = the accumulated facts parquet directory (readable between batches,
-atomically appended), which doubles as the resume checkpoint: restarting
-the stream re-reads the store and Spark's own checkpointLocation replays
-unprocessed source files. Use ``trigger(availableNow=True)`` for
-catch-up-then-stop semantics (tested), or a processing-time trigger for
-continuous operation.
+Scale design (what keeps per-batch wall flat in store size):
+  * the FactStore persists ACROSS micro-batches (``fixpoint(reuse_store=)``)
+    — the novelty anti-join and the semi-naive joins read the store's
+    cached s-partitioned blocks in place; nothing re-reads the parquet
+    store per batch (the round-2 design re-read + anti-joined the whole
+    persisted store every batch);
+  * the durable parquet store is hash-BUCKETED on s
+    (``bucket=pmod(xxhash64(s), n_buckets)`` directory partitions), so a
+    cold restart can prune its recovery scan and offline consumers join
+    bucket-wise; per-batch appends write only this batch's additions
+    (O(delta) files);
+  * appends accumulate small files; :meth:`compact_store` rewrites each
+    bucket into one file (atomic directory swap), auto-triggered every
+    ``compact_files_every`` batches — amortized O(store / interval);
+  * per-batch join-order stats / hot-key scans are OFF by default here:
+    they re-scan the whole store each fixpoint call, which is exactly the
+    per-batch O(store) work this design removes (streaming rule sets are
+    fixed and small; the static join-order heuristic suffices).
+
+State recovery: restart re-seeds the live store from the parquet store and
+Spark's own checkpointLocation replays unprocessed source files. Use
+``trigger(availableNow=True)`` for catch-up-then-stop semantics (tested),
+or a processing-time trigger for continuous operation.
 """
 
 from __future__ import annotations
 
 import os
+import shutil
 from typing import Optional
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..infer import SPOG, InferConfig, fixpoint, seed_facts
+from ..infer import SPOG, FactStore, InferConfig, _union_all, fixpoint, seed_facts
 from ..rules import Rule, lower_rule
 
 QUAD_SCHEMA = "s string, p string, o string, g string"
+BUCKET_COL = "bucket"
 
 
 class IncrementalReasoner:
@@ -38,8 +58,8 @@ class IncrementalReasoner:
 
     Monotone (inserts only) — the natural streaming analog of a
     forward-chaining engine. The per-batch cost is the semi-naive step:
-    joins of the batch delta against the accumulated store, never a full
-    recompute.
+    joins of the batch delta against the accumulated store's cached blocks,
+    never a full recompute and never a full re-read of persisted state.
     """
 
     def __init__(
@@ -48,50 +68,131 @@ class IncrementalReasoner:
         rules: list,
         store_dir: str,
         config: Optional[InferConfig] = None,
+        n_buckets: int = 64,
+        compact_files_every: int = 16,
     ):
         self.spark = spark
         self.rules = list(rules)
         self.store_dir = store_dir
-        self.cfg = config or InferConfig(encode_terms=False)
+        self.n_buckets = n_buckets
+        self.compact_files_every = max(1, compact_files_every)
+        self._batches_since_compact = 0
+        if config is None:
+            # stats/hot-key scans are per-fixpoint-call full-store scans —
+            # exactly the O(store)-per-batch work the live store removes
+            config = InferConfig(
+                encode_terms=False, use_stats=False, salt_hot_values=False
+            )
+        self.cfg = config
         if self.cfg.encode_terms:
             # the stream store keeps raw string quads; encoding is an
             # inner detail of each batch's fixpoint
             raise ValueError("IncrementalReasoner stores string quads; use encode_terms=False")
         self.lrules = [lower_rule(r, i, lambda t: t) for i, r in enumerate(self.rules)]
+        self._store: Optional[FactStore] = None
+
+    # --- durable bucketed parquet ----------------------------------------
+
+    def _has_parquet(self) -> bool:
+        return os.path.isdir(self.store_dir) and any(
+            not e.startswith(".") for e in os.listdir(self.store_dir)
+        )
 
     def facts(self) -> DataFrame:
-        if os.path.exists(os.path.join(self.store_dir, "_SUCCESS")) or (
-            os.path.isdir(self.store_dir) and os.listdir(self.store_dir)
-        ):
-            return self.spark.read.schema(QUAD_SCHEMA).parquet(self.store_dir)
+        """The durable store (cold-read path: restart recovery / offline
+        consumers). Bucket directory partitions allow bucket-pruned scans."""
+        if self._has_parquet():
+            return (
+                self.spark.read.schema(f"{QUAD_SCHEMA}, {BUCKET_COL} int")
+                .parquet(self.store_dir)
+                .select(*SPOG)
+            )
         return self.spark.createDataFrame([], QUAD_SCHEMA)
+
+    def _append_parquet(self, df: DataFrame) -> None:
+        (
+            df.withColumn(
+                BUCKET_COL,
+                F.pmod(F.xxhash64("s"), F.lit(self.n_buckets)).cast("int"),
+            )
+            .write.mode("append")
+            .partitionBy(BUCKET_COL)
+            .parquet(self.store_dir)
+        )
+
+    def compact_store(self) -> None:
+        """Rewrite the bucketed store with one file per bucket (atomic swap:
+        write aside, then replace). Appends leave O(batches) small files per
+        bucket; compaction returns the store to O(n_buckets) files."""
+        if not self._has_parquet():
+            return
+        tmp = self.store_dir.rstrip("/") + ".__compact__"
+        shutil.rmtree(tmp, ignore_errors=True)
+        (
+            self.spark.read.schema(f"{QUAD_SCHEMA}, {BUCKET_COL} int")
+            .parquet(self.store_dir)
+            .repartition(self.n_buckets, BUCKET_COL)
+            .write.mode("overwrite")
+            .partitionBy(BUCKET_COL)
+            .parquet(tmp)
+        )
+        old = self.store_dir.rstrip("/") + ".__old__"
+        shutil.rmtree(old, ignore_errors=True)
+        os.rename(self.store_dir, old)
+        os.rename(tmp, self.store_dir)
+        shutil.rmtree(old, ignore_errors=True)
+
+    # --- live store -------------------------------------------------------
+
+    def _live_store(self) -> FactStore:
+        """The cross-batch FactStore, seeded once (from the durable store on
+        restart, empty otherwise)."""
+        if self._store is None:
+            self._store = FactStore(
+                self.spark,
+                fixed_partitions=self.cfg.store_partitions,
+                compact_every=self.cfg.store_compact_every,
+            )
+            self._store.seed(self.facts())
+        return self._store
 
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         """foreachBatch body: treat the micro-batch as the worklist delta."""
+        store = self._live_store()
         batch = batch_df.select(*SPOG).dropDuplicates(SPOG)
-        if batch.isEmpty():
+        if store.total_rows == 0:
+            # first facts: unconditional heads are not yet materialized —
+            # run a full first round over seed_facts
+            seed = seed_facts(self.spark, batch, self.lrules, "string")
+            novel = seed.localCheckpoint(eager=True)
+        else:
+            # novelty against cached blocks (arrivals may repeat facts
+            # already present or derived) — no parquet re-read
+            novel = store.anti(
+                batch.repartition(store.partitions, "s")
+            ).localCheckpoint(eager=True)
+        blk = store.stage_block(novel)
+        n_novel = blk.count()
+        if n_novel == 0:
+            blk.unpersist()
             return
-        store = self.facts()
-        # novel premises only (arrivals may repeat facts already derived)
-        novel = batch.join(store, SPOG, "left_anti")
-        if novel.isEmpty():
-            return
-        combined = store.unionByName(novel)
-        # incremental semi-naive: the store is already a fixpoint, so seed
-        # the first round's worklist with only the novel arrivals. On the
-        # very first batch the store is empty and unconditional-rule heads
-        # are not yet materialized, so run a full first round instead.
-        # (Rules are fixed for the lifetime of a stream.)
-        first_batch = store.isEmpty()
+        store.add_block(blk, rows=n_novel, src=novel)
         res = fixpoint(
             self.spark,
-            seed_facts(self.spark, combined, self.lrules, "string"),
+            novel,  # schema source only (reuse_store is authoritative)
             self.lrules,
             self.cfg,
-            delta0=None if first_batch else novel,
+            delta0=novel,
+            reuse_store=store,
+            track_deltas=True,
         )
-        additions = res.facts.join(store, SPOG, "left_anti")
-        additions.write.mode("append").parquet(self.store_dir)
+        # durable append: exactly this batch's additions (novel premises +
+        # tracked per-iteration deltas) — O(delta), never O(store)
+        self._append_parquet(_union_all([novel] + res.delta_dfs))
+        self._batches_since_compact += 1
+        if self._batches_since_compact >= self.compact_files_every:
+            self.compact_store()
+            self._batches_since_compact = 0
 
     def start_file_stream(
         self,

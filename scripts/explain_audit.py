@@ -118,7 +118,9 @@ def main() -> None:
         store.seed(base)
         for i in range(2):
             blk = base.limit(500 + i).localCheckpoint(eager=True)
-            store.add(blk, rows=500 + i)
+            staged = store.stage_block(blk)
+            staged.count()  # fill the block cache (the fused count job's role)
+            store.add_block(staged, rows=500 + i, src=blk)
         cand = quads.tree_edges(spark, SF_DIR)
         anti = store.anti(cand)
         top = anti._jdf.queryExecution().executedPlan().toString()

@@ -397,3 +397,59 @@ def test_fixpoint_rescan_hot_on_compact_preserves_results(spark):
     assert got == want
     assert fx.iterations >= n  # linear rule: one hop per iteration
     assert any(m.get("compacted") for m in fx.metrics)
+
+
+def test_store_partitions_grow_at_compaction(spark):
+    """A store that outgrows its seed-time width must re-pick the block
+    partition count at compaction (all blocks re-blocked to ONE width) and
+    still derive the exact closure."""
+    from rify_spark.api import infer_df
+    from rify_spark.infer import InferConfig
+    from rify_spark.rules import Bound as B, Rule, Unbound as U
+
+    n = 14
+    edges = [(f"c{i}", "parent", f"c{i + 1}", "g") for i in range(n)]
+    facts = spark.createDataFrame(edges, "s string, p string, o string, g string")
+    rules = [
+        Rule.create(
+            [[U("a"), B("parent"), U("b"), U("g")]],
+            [[U("a"), B("anc"), U("b"), U("g")]],
+        ),
+        Rule.create(
+            [
+                [U("a"), B("anc"), U("b"), U("g")],
+                [U("b"), B("parent"), U("c"), U("g")],
+            ],
+            [[U("a"), B("anc"), U("c"), U("g")]],
+        ),
+    ]
+
+    # rows_per_partition is a FactStore ctor arg, not an InferConfig knob:
+    # patch the ctor default so a ~100-quad closure triggers growth
+    # (rify_spark.__init__ re-exports the infer *function*, shadowing the
+    # module attribute — resolve the module via sys.modules)
+    import sys
+
+    inf = sys.modules["rify_spark.infer"]
+
+    orig = inf.FactStore.__init__
+
+    def patched(self, spark_, fixed_partitions=None, compact_every=8,
+                rows_per_partition=200_000):
+        orig(self, spark_, fixed_partitions=fixed_partitions,
+             compact_every=2, rows_per_partition=8)
+
+    inf.FactStore.__init__ = patched
+    try:
+        df, fx = infer_df(spark, facts, rules, config=InferConfig())
+        got = sorted(map(tuple, df.collect()))
+    finally:
+        inf.FactStore.__init__ = orig
+    want = sorted(
+        (f"c{i}", "anc", f"c{j}", "g")
+        for i in range(n)
+        for j in range(i + 1, n + 1)
+    )
+    assert got == want
+    widths = [m["store_partitions"] for m in fx.metrics if "store_partitions" in m]
+    assert widths and widths[-1] > widths[0], f"no growth: {widths}"

@@ -100,3 +100,54 @@ def test_encode_terms_config_rejected(spark, tmp_path):
         IncrementalReasoner(
             spark, _rules(), str(tmp_path / "s"), InferConfig(encode_terms=True)
         )
+
+
+def test_restart_recovers_from_bucketed_store(spark, tmp_path):
+    """A NEW reasoner over the same durable store must continue exactly
+    where the old one stopped (cold-start recovery path), and the durable
+    store must be laid out in s-hash bucket partitions."""
+    src = str(tmp_path / "src")
+    store = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+    ckpt2 = str(tmp_path / "ckpt2")
+    os.makedirs(src, exist_ok=True)
+
+    r1 = IncrementalReasoner(spark, _rules(), store)
+    _write_batch(spark, src, [("a", "parent", "b", DG)], "b1")
+    r1.start_file_stream(src, ckpt, available_now=True).awaitTermination(120)
+    assert any(e.startswith("bucket=") for e in os.listdir(store))
+
+    # simulated restart: fresh reasoner (empty live store), fresh source
+    src2 = str(tmp_path / "src2")
+    os.makedirs(src2, exist_ok=True)
+    r2 = IncrementalReasoner(spark, _rules(), store)
+    _write_batch(spark, src2, [("b", "parent", "c", DG)], "b2")
+    r2.start_file_stream(src2, ckpt2, available_now=True).awaitTermination(120)
+    s = _store_set(r2)
+    assert ("a", "anc", "c", DG) in s  # joins recovered facts with new delta
+    assert len(s) == 5
+
+
+def test_store_compaction_bounds_files(spark, tmp_path):
+    """With compact_files_every=1 every batch triggers compaction: the
+    store ends with at most one data file per bucket, content unchanged."""
+    import glob
+
+    src = str(tmp_path / "src")
+    store = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src, exist_ok=True)
+    r = IncrementalReasoner(
+        spark, _rules(), store, n_buckets=4, compact_files_every=1
+    )
+    for i, edge in enumerate(
+        [("a", "parent", "b", DG), ("b", "parent", "c", DG), ("c", "parent", "d", DG)]
+    ):
+        _write_batch(spark, src, [edge], f"b{i}")
+        r.start_file_stream(src, ckpt, available_now=True).awaitTermination(120)
+    s = _store_set(r)
+    assert ("a", "anc", "d", DG) in s
+    assert len(s) == 9  # 3 premises + 6 closure edges
+    for bdir in glob.glob(os.path.join(store, "bucket=*")):
+        files = [f for f in os.listdir(bdir) if f.endswith(".parquet")]
+        assert len(files) <= 1, f"{bdir} not compacted: {files}"
