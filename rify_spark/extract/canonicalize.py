@@ -109,7 +109,9 @@ def connected_components(
         for _hop in range(hops_per_round):
             labels = propagate(labels)
         hops_done += hops_per_round
-        labels = labels.localCheckpoint(eager=True)
+        # lazy checkpoint: the consistency count materializes it, so a
+        # whole round (hops + checkpoint + convergence check) is ONE job
+        labels = labels.localCheckpoint(eager=False)
         bad = straddling_edges(labels)
         if bad == 0:
             return labels.select("node", F.col("label.n").alias("canon"))

@@ -148,8 +148,10 @@ class FactStore:
         ~10x, so the sizing allows for growth; pass cfg.store_partitions to
         pin it on clusters). The seed plan is checkpointed BEFORE sizing so
         an expensive input (e.g. an extraction pipeline) computes once.
-        Returns (seed checkpoint df, row count)."""
-        lc = df.localCheckpoint(eager=True)
+        Returns (seed checkpoint df, row count). The checkpoint is lazy —
+        the sizing count (or, under rows_hint, the first consumer)
+        materializes it, one job instead of two."""
+        lc = df.localCheckpoint(eager=False)
         rows = rows_hint if rows_hint is not None else lc.count()
         self.partitions = self.fixed_partitions or self._pick_partitions(
             max(rows, 1) * 8
@@ -207,7 +209,9 @@ class FactStore:
         checkpoint (executor memory drops back to ~O(store)); the old block
         caches are unpersisted explicitly."""
         prefix, last = self.blocks[:-1], self.blocks[-1]
-        flat = _union_all(prefix).localCheckpoint(eager=True)
+        # lazy: the merged block's finalize count (chained mode) or first
+        # consumer materializes the fold in the same job
+        flat = _union_all(prefix).localCheckpoint(eager=False)
         if self._maybe_grow_partitions():
             # co-partitioned joins need every block at one width, so the
             # newest block is re-built from its checkpoint at the new width
@@ -748,15 +752,17 @@ def fixpoint(
                 .drop("__rn")
                 .withColumn("iteration", F.lit(it).cast("long"))
             )
-            new_full = picked.localCheckpoint(eager=True)
+            new_full = picked.localCheckpoint(eager=False)
             new = new_full.select(*SPOG)
         else:
             new_full = None
-            new = store.anti(cand.dropDuplicates(SPOG)).localCheckpoint(eager=True)
-        # the novelty count runs ON the staged store block: one job fills the
-        # block's (s-partitioned, sorted) cache AND yields the count + next
-        # prune set — the block materialization used to be its own
-        # per-iteration job in chained mode
+            new = store.anti(cand.dropDuplicates(SPOG)).localCheckpoint(eager=False)
+        # LAZY checkpoint + count-on-block = ONE Spark job per iteration for
+        # the whole candidate->anti->checkpoint->block->count pipeline: the
+        # count materializes the checkpoint (lineage truncation) and fills
+        # the block's (s-partitioned, sorted) cache as side effects, and
+        # yields the count + next prune set. Eager checkpoint + separate
+        # count + separate block fill was three driver barriers.
         block = store.stage_block(new)
         delta_rows, delta_preds = _count_and_preds(block, cfg)
         if lineage and delta_rows:
