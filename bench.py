@@ -127,12 +127,26 @@ def main() -> None:
         "pipeline_scaling_efficiency",
         "control_scaling_efficiency",
     )
-    for fname, field in (("SCALING.json", "scaling"), ("SCALING_BIG.json", "scaling_big")):
+    weak_keys = (
+        "tree_lo",
+        "tree_hi",
+        "cpus_lo",
+        "cpus_hi",
+        "best_percore_lo_tps",
+        "best_percore_hi_tps",
+        "weak_scaling_efficiency",
+        "control_scaling_efficiency",
+    )
+    for fname, field, ks in (
+        ("SCALING.json", "scaling", keys),
+        ("SCALING_BIG.json", "scaling_big", keys),
+        ("SCALING_WEAK.json", "scaling_weak", weak_keys),
+    ):
         p = os.path.join(REPO, fname)
         if os.path.exists(p):
             with open(p) as f:
                 sc = json.load(f)
-            out[field] = {k: sc[k] for k in keys if k in sc}
+            out[field] = {k: sc[k] for k in ks if k in sc}
     print(json.dumps(out))
 
 

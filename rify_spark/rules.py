@@ -208,6 +208,18 @@ class Rule:
         )
 
 
+def decl_rules(rs: Sequence) -> list:
+    """Build a rule list from ((if_all, then), ...) pairs — the analog of
+    the reference's ``decl_rules!`` test-sugar macro (src/common.rs:129-137).
+
+    >>> rules = decl_rules([
+    ...     ([[Unbound("a"), Bound("p"), Unbound("b"), Unbound("g")]],
+    ...      [[Unbound("a"), Bound("q"), Unbound("b"), Unbound("g")]]),
+    ... ])
+    """
+    return [Rule.create(if_all, then) for if_all, then in rs]
+
+
 @dataclass(frozen=True)
 class RuleApplication:
     """One proof step: a rule fired with concrete bindings.

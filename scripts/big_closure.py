@@ -30,6 +30,10 @@ HEAP = os.environ.get("RIFY_BIG_HEAP", "40g")
 CKPT = os.environ.get(
     "RIFY_BIG_CKPT", f"/tmp/rify_big_closure_ckpt_{TREE_N}"
 )
+# block-chain length before prefix compaction: a 7-iteration closure never
+# reaches the default 8, so set <=4 to exercise compaction (and with it the
+# partition-width growth path) on tree-closure workloads
+COMPACT_EVERY = int(os.environ.get("RIFY_BIG_COMPACT_EVERY", "8"))
 
 
 def _shm_used_gb() -> float:
@@ -85,7 +89,7 @@ def main() -> None:
             [[U("a"), B("ancestor"), U("c"), U("g")]],
         ),
     ]
-    cfg = InferConfig(checkpoint_dir=CKPT)
+    cfg = InferConfig(checkpoint_dir=CKPT, store_compact_every=COMPACT_EVERY)
     shm0 = _shm_used_gb()
     t0 = time.time()
     derived_df, fx = infer_df(spark, edges, rules, config=cfg)

@@ -13,14 +13,11 @@ from rify_spark import (
     RuleApplication,
     Unbound as U,
     prove,
+    decl_rules,
     validate,
 )
 
 DG = "default_graph"
-
-
-def decl_rules(rs):
-    return [Rule.create(ifa, then) for ifa, then in rs]
 
 
 def test_irrelevant_facts_ignored(spark):
