@@ -30,7 +30,14 @@ from pyspark.sql import functions as F
 
 from . import dictionary as D
 from .errors import ExhaustedSearchSpace, NovelName
-from .infer import SPOG, FixpointResult, InferConfig, fixpoint, seed_facts
+from .infer import (
+    SPOG,
+    FixpointResult,
+    InferConfig,
+    derived_facts,
+    fixpoint,
+    seed_facts,
+)
 from .prove import (
     collect_reachable_arguments,
     prove_fixpoint,
@@ -156,8 +163,10 @@ def infer(
     low = _lower_inputs(spark, premises, rules, cfg, codec)
 
     facts0 = seed_facts(spark, low.facts_in, low.lrules, low.dtype_str)
-    res = fixpoint(spark, facts0, low.lrules, cfg)
-    derived = res.facts.join(low.facts_in.dropDuplicates(SPOG), SPOG, "left_anti")
+    res = fixpoint(spark, facts0, low.lrules, cfg, track_deltas=True)
+    derived = derived_facts(
+        spark, res, low.facts_in.dropDuplicates(SPOG), low.lrules, low.dtype_str
+    )
     if low.dict_df is not None:
         derived = D.decode_quads(derived, low.dict_df)
     rows = sorted(tuple(r) for r in derived.collect())
@@ -194,9 +203,12 @@ def infer_df(
         lrules = [lower_rule(r, i, lambda t: t) for i, r in enumerate(rules)]
         facts_in = facts_df.select(*SPOG)
         dtype_str = "string"
-    facts0 = seed_facts(spark, facts_in, lrules, dtype_str)
-    res = fixpoint(spark, facts0, lrules, cfg)
-    derived = res.facts.join(facts_in.dropDuplicates(SPOG), SPOG, "left_anti")
+    facts0 = seed_facts(
+        spark, facts_in, lrules, dtype_str, assume_deduped=cfg.input_deduped
+    )
+    res = fixpoint(spark, facts0, lrules, cfg, track_deltas=True)
+    prem_dedup = facts_in if cfg.input_deduped else facts_in.dropDuplicates(SPOG)
+    derived = derived_facts(spark, res, prem_dedup, lrules, dtype_str)
     if dict_df is not None:
         derived = D.decode_quads(derived, dict_df)
     return derived, res

@@ -262,6 +262,10 @@ class FactStore:
 class InferConfig:
     encode_terms: bool = True
     collision_audit: bool = True
+    # caller guarantees the input quads are already SPOG-unique (e.g. the
+    # KG pipeline's canonical stage ends in dropDuplicates): skips the
+    # seed-time dedup shuffle
+    input_deduped: bool = False
     # delta-side broadcast cutoff (rows); above it joins fall back to
     # shuffle joins with AQE skew handling. The broadcast hash-table build
     # is SERIAL (driver collect + HashedRelation), so its relative cost
@@ -329,6 +333,10 @@ class FixpointResult:
     # without an O(store) diff; holding the refs pins the checkpoints, so
     # batch callers must drop the result when done)
     delta_dfs: list = field(default_factory=list)
+    # True when this run restarted from a persisted checkpoint (delta_dfs
+    # then misses pre-restart iterations — derived-set shortcuts must fall
+    # back to the facts-minus-premises anti-join)
+    resumed: bool = False
 
 
 def _union_all(dfs: list) -> DataFrame:
@@ -822,6 +830,7 @@ def fixpoint(
         iterations=it,
         facts_rows=facts_rows,
         delta_dfs=tracked_deltas,
+        resumed=resumed is not None,
     )
 
 
@@ -830,9 +839,17 @@ def seed_facts(
     premises: DataFrame,
     lrules: list,
     dtype_str: str = "string",
+    assume_deduped: bool = False,
 ) -> DataFrame:
-    """Deduplicated premises ∪ unconditional-rule heads (src/infer.rs:32-50)."""
-    facts = premises.dropDuplicates(SPOG)
+    """Deduplicated premises ∪ unconditional-rule heads (src/infer.rs:32-50).
+
+    ``assume_deduped`` skips the SPOG dedup shuffle when the caller
+    guarantees uniqueness (the KG pipeline's canonical quads end in a
+    dropDuplicates, so re-deduplicating the seed is a wasted full-input
+    shuffle). With unconditional heads present the union is re-deduped
+    regardless — heads may repeat premises.
+    """
+    facts = premises if assume_deduped else premises.dropDuplicates(SPOG)
     heads = unconditional_heads(lrules)
     if heads:
         hdf = spark.createDataFrame(
@@ -841,3 +858,53 @@ def seed_facts(
         )
         facts = facts.unionByName(hdf).dropDuplicates(SPOG)
     return facts
+
+
+def derived_facts(
+    spark: SparkSession,
+    res: FixpointResult,
+    premises_dedup: DataFrame,
+    lrules: list,
+    dtype_str: str = "string",
+) -> DataFrame:
+    """facts ∖ premises WITHOUT the O(store) anti-join.
+
+    Every store block after the seed holds exactly the quads that were
+    novel at its iteration (the per-iteration anti-join guarantees it), so
+    the derived set IS the union of the tracked per-iteration deltas, plus
+    any unconditional-rule heads that were not premises. At scale this
+    replaces a full facts-vs-premises shuffle with a checkpoint-union scan
+    of just the derived rows. Resumed runs lack pre-restart deltas and fall
+    back to the anti-join (src/infer.rs:9-26 semantics either way).
+    """
+    if res.resumed:
+        return res.facts.join(premises_dedup, SPOG, "left_anti")
+    parts = list(res.delta_dfs)
+    heads = unconditional_heads(lrules)
+    if heads:
+        hdf = spark.createDataFrame(
+            [h[:4] for h in heads],
+            f"s {dtype_str}, p {dtype_str}, o {dtype_str}, g {dtype_str}",
+        )
+        # heads ∖ premises with the SMALL side as the broadcast build:
+        # stream the premises once for the tiny intersection, subtract
+        # driver-side (an anti-join would hash-build the large premises)
+        from pyspark.sql import functions as F  # local alias for clarity
+
+        present = {
+            tuple(r)
+            for r in premises_dedup.join(
+                F.broadcast(hdf), SPOG, "left_semi"
+            ).collect()
+        }
+        missing = [h[:4] for h in heads if h[:4] not in present]
+        if missing:
+            parts.append(
+                spark.createDataFrame(
+                    missing,
+                    f"s {dtype_str}, p {dtype_str}, o {dtype_str}, g {dtype_str}",
+                )
+            )
+    if not parts:
+        return res.facts.limit(0)
+    return _union_all(parts)

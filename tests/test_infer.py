@@ -453,3 +453,58 @@ def test_store_partitions_grow_at_compaction(spark):
     assert got == want
     widths = [m["store_partitions"] for m in fx.metrics if "store_partitions" in m]
     assert widths and widths[-1] > widths[0], f"no growth: {widths}"
+
+
+def test_derived_union_equals_anti_join(spark):
+    """infer_df's derived set (union of tracked per-iteration deltas +
+    unconditional heads) must equal the facts-minus-premises anti-join on a
+    case with duplicate premises, unconditional rules whose heads repeat a
+    premise, and a multi-iteration closure."""
+    from rify_spark.api import infer_df
+    from rify_spark.infer import InferConfig
+    from rify_spark.rules import Bound as B, Rule, Unbound as U
+
+    edges = [(f"c{i}", "parent", f"c{i + 1}", "g") for i in range(6)]
+    dup = edges + edges[:3]  # duplicates in the input
+    facts = spark.createDataFrame(dup, "s string, p string, o string, g string")
+    rules = [
+        # unconditional: one head equal to a premise, one novel
+        Rule.create([], [[B("c0"), B("parent"), B("c1"), B("g")]]),
+        Rule.create([], [[B("axiom"), B("is"), B("true"), B("g")]]),
+        Rule.create(
+            [[U("a"), B("parent"), U("b"), U("g")]],
+            [[U("a"), B("anc"), U("b"), U("g")]],
+        ),
+        Rule.create(
+            [
+                [U("a"), B("anc"), U("b"), U("g")],
+                [U("b"), B("anc"), U("c"), U("g")],
+            ],
+            [[U("a"), B("anc"), U("c"), U("g")]],
+        ),
+    ]
+    derived, res = infer_df(spark, facts, rules, config=InferConfig())
+    got = sorted(map(tuple, derived.collect()))
+    # oracle: full facts minus deduped premises
+    anti = res.facts
+    prem = facts.dropDuplicates(["s", "p", "o", "g"])
+    from rify_spark.dictionary import encode_quads
+
+    want = sorted(
+        map(
+            tuple,
+            res.facts.join(
+                encode_quads(prem), ["s", "p", "o", "g"], "left_anti"
+            ).collect(),
+        )
+    )
+    # decode side: compare by count + the novel unconditional head presence
+    assert len(got) == len(want)
+    assert ("axiom", "is", "true", "g") in got
+    assert ("c0", "parent", "c1", "g") not in got  # premise-equal head excluded
+    assert ("c0", "anc", "c6", "g") in got
+    # input_deduped on pre-deduped input gives the identical set
+    derived2, _ = infer_df(
+        spark, prem, rules, config=InferConfig(input_deduped=True)
+    )
+    assert sorted(map(tuple, derived2.collect())) == got
