@@ -206,6 +206,41 @@ def _q_kg_mentions(spark, sf_dir):
     )
 
 
+def _q_streaming_incremental(spark, sf_dir):
+    """Streaming IVM == one-shot closure: feed the customer tree to the
+    incremental reasoner in two overlapping micro-batches (process_batch is
+    the foreachBatch body, called directly for determinism) and return the
+    derived quads. The live FactStore carries state across the batches;
+    batch 2's duplicates exercise the novelty anti-join. Oracle: the SAME
+    DuckDB WITH RECURSIVE closure as o11 — incremental maintenance must
+    land on the identical fixpoint."""
+    _ship(spark)
+    import tempfile
+
+    from rify_spark.ops.quads import tree_edges
+    from rify_spark.rules import Bound as B, Rule, Unbound as U
+    from rify_spark.streaming import IncrementalReasoner
+
+    edges = tree_edges(spark, sf_dir)
+    rules = [
+        Rule.create(
+            [[U("a"), B("parent"), U("b"), U("g")]],
+            [[U("a"), B("ancestor"), U("b"), U("g")]],
+        ),
+        Rule.create(
+            [
+                [U("a"), B("ancestor"), U("b"), U("g")],
+                [U("b"), B("ancestor"), U("c"), U("g")]],
+            [[U("a"), B("ancestor"), U("c"), U("g")]],
+        ),
+    ]
+    store = tempfile.mkdtemp(prefix="rify_inc_gate_") + "/facts"
+    r = IncrementalReasoner(spark, rules, store)
+    r.process_batch(edges.filter(F.xxhash64("s") % 2 == 0), 0)
+    r.process_batch(edges, 1)  # includes batch-1 rows again (dup arrivals)
+    return r.facts().join(edges, ["s", "p", "o", "g"], "left_anti")
+
+
 def _q_graph_vertices(spark, sf_dir):
     from rify_spark.ops.graph import graph_vertices
 
@@ -247,6 +282,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "o18_rule_validation": quads.rule_validation,
         # skew: hot-key-salted shuffle joins through the whole fixpoint
         "skew_salted_closure": quads.skew_salted_closure,
+        # streaming IVM: two-micro-batch incremental closure == one-shot
+        "streaming_incremental_closure": _q_streaming_incremental,
         # graph materialize (north-rule final stage): vertex/degree table
         "kg_graph_vertices": _q_graph_vertices,
         # KG construction
@@ -345,6 +382,7 @@ def oracle_sql() -> dict[str, str]:
         "o17_rule_lowering": quads.RULE_LOWERING_SQL,
         "o18_rule_validation": quads.RULE_VALIDATION_SQL,
         "skew_salted_closure": quads.SKEW_SALTED_CLOSURE_SQL,
+        "streaming_incremental_closure": quads.ANCESTRY_CLOSURE_SQL,
         "kg_graph_vertices": graph.graph_vertices_sql(),
         "kg_pipeline_derived": KG_PIPELINE_SQL,
         "kg_extract_mentions": """
