@@ -206,6 +206,101 @@ def _q_kg_mentions(spark, sf_dir):
     )
 
 
+def _q_rdfs_closure(spark, sf_dir):
+    """The shipped RDFS ruleset (rify_spark/rulesets.py) over an ontology
+    built from the TPC-H hierarchy: customers are typed by nation, nations
+    subclass their region, regions chain by key; lives_in is a subproperty
+    of located_in, which carries domain Person / range Place. Exercises
+    subclass/subproperty transitivity, type propagation, and the
+    variable-predicate domain/range rules in one fixpoint. Oracle: DuckDB
+    recursive closure + joins."""
+    from rify_spark.api import infer_df
+    from rify_spark.rulesets import rdfs_rules
+
+    G = "graph://rdfs"
+
+    def lit(rows):
+        return spark.createDataFrame(rows, "s string, p string, o string, g string")
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    nat = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    reg = spark.read.parquet(f"{sf_dir}/region.parquet")
+    quads = (
+        cust.select(
+            F.concat(F.lit("cust:"), "c_custkey").alias("s"),
+            F.lit("rdf:type").alias("p"),
+            F.concat(F.lit("nation:"), "c_nationkey").alias("o"),
+            F.lit(G).alias("g"),
+        )
+        .unionByName(
+            cust.select(
+                F.concat(F.lit("cust:"), "c_custkey").alias("s"),
+                F.lit("lives_in").alias("p"),
+                F.concat(F.lit("nation:"), "c_nationkey").alias("o"),
+                F.lit(G).alias("g"),
+            )
+        )
+        .unionByName(
+            nat.select(
+                F.concat(F.lit("nation:"), "n_nationkey").alias("s"),
+                F.lit("rdfs:subClassOf").alias("p"),
+                F.concat(F.lit("region:"), "n_regionkey").alias("o"),
+                F.lit(G).alias("g"),
+            )
+        )
+        .unionByName(
+            reg.filter(F.col("r_regionkey") >= 1).select(
+                F.concat(F.lit("region:"), "r_regionkey").alias("s"),
+                F.lit("rdfs:subClassOf").alias("p"),
+                F.concat(F.lit("region:"), F.col("r_regionkey") - 1).alias("o"),
+                F.lit(G).alias("g"),
+            )
+        )
+        .unionByName(
+            lit(
+                [
+                    ("lives_in", "rdfs:subPropertyOf", "located_in", G),
+                    ("located_in", "rdfs:domain", "class:Person", G),
+                    ("located_in", "rdfs:range", "class:Place", G),
+                ]
+            )
+        )
+    )
+    derived, _ = infer_df(spark, quads, rdfs_rules())
+    return derived
+
+
+RDFS_CLOSURE_SQL = """
+    WITH RECURSIVE chain AS (
+      SELECT 'nation:' || n_nationkey AS sub, 'region:' || n_regionkey AS sup
+      FROM nation
+      UNION ALL
+      SELECT 'region:' || r_regionkey, 'region:' || (r_regionkey - 1)
+      FROM region WHERE r_regionkey >= 1
+    ),
+    clos AS (
+      SELECT sub, sup FROM chain
+      UNION
+      SELECT c.sub, ch.sup FROM clos c JOIN chain ch ON c.sup = ch.sub
+    ),
+    cust AS (
+      SELECT 'cust:' || c_custkey AS cid, 'nation:' || c_nationkey AS nid
+      FROM customer
+    )
+    SELECT sub AS s, 'rdfs:subClassOf' AS p, sup AS o, 'graph://rdfs' AS g
+    FROM (SELECT sub, sup FROM clos EXCEPT SELECT sub, sup FROM chain)
+    UNION ALL
+    SELECT c.cid, 'rdf:type', cl.sup, 'graph://rdfs'
+    FROM cust c JOIN clos cl ON cl.sub = c.nid
+    UNION ALL
+    SELECT cid, 'located_in', nid, 'graph://rdfs' FROM cust
+    UNION ALL
+    SELECT cid, 'rdf:type', 'class:Person', 'graph://rdfs' FROM cust
+    UNION ALL
+    SELECT DISTINCT nid, 'rdf:type', 'class:Place', 'graph://rdfs' FROM cust
+"""
+
+
 def _q_streaming_incremental(spark, sf_dir):
     """Streaming IVM == one-shot closure: feed the customer tree to the
     incremental reasoner in two overlapping micro-batches (process_batch is
@@ -284,6 +379,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_salted_closure": quads.skew_salted_closure,
         # streaming IVM: two-micro-batch incremental closure == one-shot
         "streaming_incremental_closure": _q_streaming_incremental,
+        # shipped RDFS ruleset over the TPC-H hierarchy
+        "rdfs_closure": _q_rdfs_closure,
         # graph materialize (north-rule final stage): vertex/degree table
         "kg_graph_vertices": _q_graph_vertices,
         # KG construction
@@ -383,6 +480,7 @@ def oracle_sql() -> dict[str, str]:
         "o18_rule_validation": quads.RULE_VALIDATION_SQL,
         "skew_salted_closure": quads.SKEW_SALTED_CLOSURE_SQL,
         "streaming_incremental_closure": quads.ANCESTRY_CLOSURE_SQL,
+        "rdfs_closure": RDFS_CLOSURE_SQL,
         "kg_graph_vertices": graph.graph_vertices_sql(),
         "kg_pipeline_derived": KG_PIPELINE_SQL,
         "kg_extract_mentions": """

@@ -28,6 +28,7 @@ from .errors import (  # noqa: F401
 )
 from .infer import FixpointResult, InferConfig, fixpoint, seed_facts  # noqa: F401
 from .rules import Bound, Entity, Rule, RuleApplication, Unbound, decl_rules  # noqa: F401
+from .rulesets import rdfs_rules  # noqa: F401
 from .session import get_spark  # noqa: F401
 from .validate import Valid, validate  # noqa: F401
 
