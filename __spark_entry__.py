@@ -301,6 +301,50 @@ RDFS_CLOSURE_SQL = """
 """
 
 
+def _q_owl_property_closure(spark, sf_dir):
+    """OWL-RL property-characteristic rules as DATA: 'parent' is declared
+    owl:TransitiveProperty and owl:inverseOf 'child' in-graph, and the
+    generic ruleset (rify_spark/rulesets.py) closes the customer tree —
+    transitive parent closure plus the full inverse child relation —
+    without any per-predicate rule authoring. Oracle: recursive DuckDB
+    closure + its inverse."""
+    from rify_spark.api import infer_df
+    from rify_spark.ops.quads import TREE_G, tree_edges
+    from rify_spark.rulesets import owl_property_rules
+
+    decls = spark.createDataFrame(
+        [
+            ("parent", "rdf:type", "owl:TransitiveProperty", TREE_G),
+            ("parent", "owl:inverseOf", "child", TREE_G),
+        ],
+        "s string, p string, o string, g string",
+    )
+    quads = tree_edges(spark, sf_dir).unionByName(decls)
+    derived, _ = infer_df(spark, quads, owl_property_rules())
+    return derived
+
+
+def _owl_property_closure_sql() -> str:
+    from rify_spark.ops.quads import TREE_G
+
+    return f"""
+    WITH RECURSIVE edge AS (
+      SELECT c_custkey AS ch, c_custkey // 2 AS par
+      FROM customer WHERE c_custkey >= 1
+    ),
+    clos AS (
+      SELECT ch, par FROM edge
+      UNION
+      SELECT a.ch, e.par FROM clos a JOIN edge e ON a.par = e.ch
+    )
+    SELECT 'node:' || ch AS s, 'parent' AS p, 'node:' || par AS o,
+           '{TREE_G}' AS g
+    FROM (SELECT ch, par FROM clos EXCEPT SELECT ch, par FROM edge)
+    UNION ALL
+    SELECT 'node:' || par, 'child', 'node:' || ch, '{TREE_G}' FROM clos
+    """
+
+
 def _q_streaming_incremental(spark, sf_dir):
     """Streaming IVM == one-shot closure: feed the customer tree to the
     incremental reasoner in two overlapping micro-batches (process_batch is
@@ -381,6 +425,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_incremental_closure": _q_streaming_incremental,
         # shipped RDFS ruleset over the TPC-H hierarchy
         "rdfs_closure": _q_rdfs_closure,
+        # OWL property characteristics declared as data
+        "owl_property_closure": _q_owl_property_closure,
         # graph materialize (north-rule final stage): vertex/degree table
         "kg_graph_vertices": _q_graph_vertices,
         # KG construction
@@ -481,6 +527,7 @@ def oracle_sql() -> dict[str, str]:
         "skew_salted_closure": quads.SKEW_SALTED_CLOSURE_SQL,
         "streaming_incremental_closure": quads.ANCESTRY_CLOSURE_SQL,
         "rdfs_closure": RDFS_CLOSURE_SQL,
+        "owl_property_closure": _owl_property_closure_sql(),
         "kg_graph_vertices": graph.graph_vertices_sql(),
         "kg_pipeline_derived": KG_PIPELINE_SQL,
         "kg_extract_mentions": """

@@ -21,6 +21,9 @@ RDFS_SUBCLASS = "rdfs:subClassOf"
 RDFS_SUBPROPERTY = "rdfs:subPropertyOf"
 RDFS_DOMAIN = "rdfs:domain"
 RDFS_RANGE = "rdfs:range"
+OWL_TRANSITIVE = "owl:TransitiveProperty"
+OWL_SYMMETRIC = "owl:SymmetricProperty"
+OWL_INVERSE_OF = "owl:inverseOf"
 
 
 def rdfs_rules(
@@ -90,5 +93,58 @@ def rdfs_rules(
                 [U("x"), U("p"), U("y"), g],
             ],
             [[U("y"), B(type_p), U("c"), g]],
+        ),
+    ]
+
+
+def owl_property_rules(
+    type_p: str = RDF_TYPE,
+    transitive_c: str = OWL_TRANSITIVE,
+    symmetric_c: str = OWL_SYMMETRIC,
+    inverse_p: str = OWL_INVERSE_OF,
+) -> list:
+    """OWL-RL property-characteristic rules (prp-trp, prp-symp, prp-inv1/2):
+    declare a predicate transitive / symmetric / the inverse of another AS
+    DATA and the fixpoint closes it — no per-predicate rule authoring.
+    Graph-scoped like :func:`rdfs_rules`. (Deliberately excludes owl:sameAs
+    substitution semantics: equality saturation multiplies the fact set by
+    clique sizes; the engine's canonicalization stage — entity resolution
+    via connected components, extract/canonicalize.py — is the scalable way
+    to merge equal individuals BEFORE reasoning.)
+    """
+    g = U("g")
+    return [
+        # prp-trp
+        Rule.create(
+            [
+                [U("p"), B(type_p), B(transitive_c), g],
+                [U("x"), U("p"), U("y"), g],
+                [U("y"), U("p"), U("z"), g],
+            ],
+            [[U("x"), U("p"), U("z"), g]],
+        ),
+        # prp-symp
+        Rule.create(
+            [
+                [U("p"), B(type_p), B(symmetric_c), g],
+                [U("x"), U("p"), U("y"), g],
+            ],
+            [[U("y"), U("p"), U("x"), g]],
+        ),
+        # prp-inv1
+        Rule.create(
+            [
+                [U("p"), B(inverse_p), U("q"), g],
+                [U("x"), U("p"), U("y"), g],
+            ],
+            [[U("y"), U("q"), U("x"), g]],
+        ),
+        # prp-inv2
+        Rule.create(
+            [
+                [U("p"), B(inverse_p), U("q"), g],
+                [U("x"), U("q"), U("y"), g],
+            ],
+            [[U("y"), U("p"), U("x"), g]],
         ),
     ]

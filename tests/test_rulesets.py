@@ -36,3 +36,25 @@ def test_rdfs_graph_scoped(spark):
         ("Dog", "rdfs:subClassOf", "Mammal", "g2"),
     ]
     assert infer(spark, facts, rdfs_rules()) == []
+
+
+def test_owl_property_characteristics(spark):
+    from rify_spark.rulesets import owl_property_rules
+
+    facts = [
+        ("a", "conn", "b", G),
+        ("b", "conn", "c", G),
+        ("conn", "rdf:type", "owl:TransitiveProperty", G),
+        ("x", "likes", "y", G),
+        ("likes", "rdf:type", "owl:SymmetricProperty", G),
+        ("p", "owns", "q", G),
+        ("owns", "owl:inverseOf", "owned_by", G),
+    ]
+    out = set(infer(spark, facts, owl_property_rules()))
+    assert ("a", "conn", "c", G) in out          # prp-trp
+    assert ("y", "likes", "x", G) in out         # prp-symp
+    assert ("q", "owned_by", "p", G) in out      # prp-inv1
+    # prp-inv2: an owned_by fact implies the owns fact back
+    facts2 = facts + [("r", "owned_by", "s", G)]
+    out2 = set(infer(spark, facts2, owl_property_rules()))
+    assert ("s", "owns", "r", G) in out2
