@@ -182,7 +182,18 @@ class FactStore:
         self.total_rows += rows
         self.last_src = src
         self.just_compacted = False
-        if len(self.blocks) > self.compact_every:
+        # compact on block-chain length OR on row growth: the width re-pick
+        # (_maybe_grow_partitions) only runs at compaction, so a closure with
+        # few iterations but steep growth (BIGRUN grew ~22x in 7 iterations —
+        # under the default compact_every=8 it would never compact) must
+        # also trigger here, or per-partition rows run unbounded over target
+        # and the store degrades to spill
+        outgrown = (
+            self.fixed_partitions is None
+            and len(self.blocks) >= 2
+            and self.total_rows > self.partitions * self.rows_per_partition * 2
+        )
+        if len(self.blocks) > self.compact_every or outgrown:
             self._compact_prefix()
 
     def _maybe_grow_partitions(self) -> bool:

@@ -90,8 +90,31 @@ class IncrementalReasoner:
             raise ValueError("IncrementalReasoner stores string quads; use encode_terms=False")
         self.lrules = [lower_rule(r, i, lambda t: t) for i, r in enumerate(self.rules)]
         self._store: Optional[FactStore] = None
+        self._recover_compaction()
 
     # --- durable bucketed parquet ----------------------------------------
+
+    def _compact_paths(self) -> tuple:
+        base = self.store_dir.rstrip("/")
+        return base + ".__compact__", base + ".__old__"
+
+    def _recover_compaction(self) -> None:
+        """Heal a crash inside :meth:`compact_store`'s directory swap.
+
+        The swap window is: rename(store, old) -> rename(tmp, store) ->
+        rmtree(old). A crash between the two renames leaves the data
+        stranded in ``.__old__`` with no store directory — a restarted
+        reasoner would otherwise see an empty store and silently start from
+        nothing. Recovery: if the store is missing but ``.__old__`` exists,
+        rename it back (the compacted ``.__compact__`` copy, if complete,
+        holds the same rows — either directory is a correct store; the
+        original is the conservative pick). Leftover side directories are
+        then removed in both cases."""
+        tmp, old = self._compact_paths()
+        if not os.path.isdir(self.store_dir) and os.path.isdir(old):
+            os.rename(old, self.store_dir)
+        shutil.rmtree(tmp, ignore_errors=True)
+        shutil.rmtree(old, ignore_errors=True)
 
     def _has_parquet(self) -> bool:
         return os.path.isdir(self.store_dir) and any(
@@ -126,7 +149,7 @@ class IncrementalReasoner:
         bucket; compaction returns the store to O(n_buckets) files."""
         if not self._has_parquet():
             return
-        tmp = self.store_dir.rstrip("/") + ".__compact__"
+        tmp, old = self._compact_paths()
         shutil.rmtree(tmp, ignore_errors=True)
         (
             self.spark.read.schema(f"{QUAD_SCHEMA}, {BUCKET_COL} int")
@@ -136,7 +159,7 @@ class IncrementalReasoner:
             .partitionBy(BUCKET_COL)
             .parquet(tmp)
         )
-        old = self.store_dir.rstrip("/") + ".__old__"
+        # swap window healed by _recover_compaction on the next startup
         shutil.rmtree(old, ignore_errors=True)
         os.rename(self.store_dir, old)
         os.rename(tmp, self.store_dir)
@@ -156,39 +179,79 @@ class IncrementalReasoner:
             self._store.seed(self.facts())
         return self._store
 
+    def _reset_live_store(self) -> None:
+        """Drop the live FactStore; the next batch re-seeds from the durable
+        parquet, i.e. from exactly the committed batch prefix."""
+        if self._store is not None:
+            for b in self._store.blocks:
+                try:
+                    b.unpersist()
+                except Exception:
+                    pass
+        self._store = None
+
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
-        """foreachBatch body: treat the micro-batch as the worklist delta."""
+        """foreachBatch body: treat the micro-batch as the worklist delta.
+
+        Failure atomicity: the live store is mutated (novel block appended,
+        fixpoint derivations added) BEFORE the durable parquet append — if
+        any step fails mid-batch, a replay against the mutated store would
+        find the batch's premises already present, return early, and the
+        batch's closure would never be computed nor persisted. The except
+        path therefore rolls the live store back to the committed state by
+        dropping it (re-seeded from parquet on the next call)."""
         store = self._live_store()
         batch = batch_df.select(*SPOG).dropDuplicates(SPOG)
-        if store.total_rows == 0:
-            # first facts: unconditional heads are not yet materialized —
-            # run a full first round over seed_facts
-            seed = seed_facts(self.spark, batch, self.lrules, "string")
-            novel = seed.localCheckpoint(eager=True)
-        else:
-            # novelty against cached blocks (arrivals may repeat facts
-            # already present or derived) — no parquet re-read
-            novel = store.anti(
-                batch.repartition(store.partitions, "s")
-            ).localCheckpoint(eager=True)
-        blk = store.stage_block(novel)
-        n_novel = blk.count()
-        if n_novel == 0:
-            blk.unpersist()
-            return
-        store.add_block(blk, rows=n_novel, src=novel)
-        res = fixpoint(
-            self.spark,
-            novel,  # schema source only (reuse_store is authoritative)
-            self.lrules,
-            self.cfg,
-            delta0=novel,
-            reuse_store=store,
-            track_deltas=True,
-        )
-        # durable append: exactly this batch's additions (novel premises +
-        # tracked per-iteration deltas) — O(delta), never O(store)
-        self._append_parquet(_union_all([novel] + res.delta_dfs))
+        try:
+            if store.total_rows == 0:
+                # first facts: unconditional heads are not yet materialized —
+                # run a full first round over seed_facts. The store was
+                # seeded EMPTY (block width 1); re-seed it from the first
+                # real batch so the width matches the data instead of
+                # serializing every join until the first prefix compaction.
+                for b in store.blocks:
+                    b.unpersist()
+                seed = seed_facts(self.spark, batch, self.lrules, "string")
+                novel, n_novel = store.seed(seed)
+                if n_novel == 0:
+                    return
+            else:
+                # novelty against cached blocks (arrivals may repeat facts
+                # already present or derived) — no parquet re-read
+                novel = store.anti(
+                    batch.repartition(store.partitions, "s")
+                ).localCheckpoint(eager=True)
+                blk = store.stage_block(novel)
+                n_novel = blk.count()
+                if n_novel == 0:
+                    blk.unpersist()
+                    return
+                store.add_block(blk, rows=n_novel, src=novel)
+            res = fixpoint(
+                self.spark,
+                novel,  # schema source only (reuse_store is authoritative)
+                self.lrules,
+                self.cfg,
+                delta0=novel,
+                reuse_store=store,
+                track_deltas=True,
+            )
+            # durable append: exactly this batch's additions (novel premises
+            # + tracked per-iteration deltas) — O(delta), never O(store)
+            self._append_parquet(_union_all([novel] + res.delta_dfs))
+        except BaseException:
+            self._reset_live_store()
+            raise
+        # long-running stream: once the store dwarfs the typical batch, the
+        # small-store single-anti path re-broadcasts the WHOLE store union
+        # every batch (a serial HashedRelation build growing with the store).
+        # Force the chained per-block anti from then on — the facts side
+        # stays in place and per-batch cost tracks the batch, not the store.
+        if (
+            store.total_rows > 10 * max(n_novel, 1)
+            and store.total_rows > 100_000
+        ):
+            store.single_anti_max_rows = min(store.single_anti_max_rows, 100_000)
         self._batches_since_compact += 1
         if self._batches_since_compact >= self.compact_files_every:
             self.compact_store()

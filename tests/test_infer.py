@@ -508,3 +508,26 @@ def test_derived_union_equals_anti_join(spark):
         spark, prem, rules, config=InferConfig(input_deduped=True)
     )
     assert sorted(map(tuple, derived2.collect())) == got
+
+
+def test_store_growth_triggers_on_rows_not_only_block_count(spark):
+    """A closure with FEW iterations but steep growth must still re-pick its
+    block width: the row-based compaction trigger fires even when the block
+    chain never reaches compact_every (the BIGRUN shape: ~22x growth in 7
+    iterations vs the default compact_every=8)."""
+    from rify_spark.infer import FactStore
+
+    store = FactStore(spark, compact_every=100, rows_per_partition=50)
+    quad = "cast(id as string) as s, 'p' as p, 'o' as o, 'g' as g"
+    store.seed(spark.range(8).selectExpr(quad))
+    w0 = store.partitions
+    assert w0 is not None
+
+    big = spark.range(100, 1100).selectExpr(quad).localCheckpoint()
+    blk = store.stage_block(big)
+    n = blk.count()
+    store.add_block(blk, rows=n, src=big)
+    assert store.total_rows == 1008
+    assert store.just_compacted, "row-growth compaction did not fire"
+    assert store.partitions > w0, f"width did not grow: {w0} -> {store.partitions}"
+    assert store.union().count() == 1008

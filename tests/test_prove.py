@@ -345,3 +345,28 @@ def test_loading_of_rules_works(spark):
     rules = decl_rules(EE_RULES)
     assert prove(spark, [], [], rules) == []
     validate(rules, [])
+
+
+def test_prove_frontier_walk_matches_collect_path(spark):
+    """collect_reachable_arguments falls back to an iterative frontier join
+    above collect_arguments_max_rows; with the threshold forced to 0 the
+    frontier branch must produce the identical proof (and validate)."""
+    from rify_spark.infer import InferConfig
+
+    rules = decl_rules(FRIENDSHIP_RULES)
+    composite_claims = [
+        ("soyoung", "is", "awesome", DG),
+        ("nick", "is", "awesome", DG),
+    ]
+    baseline = prove(spark, FRIENDSHIP_FACTS, composite_claims, rules)
+    frontier = prove(
+        spark,
+        FRIENDSHIP_FACTS,
+        composite_claims,
+        rules,
+        config=InferConfig(collect_arguments_max_rows=0),
+    )
+    assert frontier == baseline
+    valid = validate(rules, frontier)
+    for claim in composite_claims:
+        assert claim in valid.implied

@@ -151,3 +151,90 @@ def test_store_compaction_bounds_files(spark, tmp_path):
     for bdir in glob.glob(os.path.join(store, "bucket=*")):
         files = [f for f in os.listdir(bdir) if f.endswith(".parquet")]
         assert len(files) <= 1, f"{bdir} not compacted: {files}"
+
+
+def test_failed_batch_rolls_back_live_store(spark, tmp_path):
+    """A batch that fails after mutating the live store must not poison a
+    replay: the rollback drops the live store, so the retried batch re-seeds
+    from the durable parquet (the committed prefix) and its closure is
+    computed and persisted as if the failure never happened."""
+    src_rows = [("a", "parent", "b", DG), ("b", "parent", "c", DG)]
+    store = str(tmp_path / "store")
+    r = IncrementalReasoner(spark, _rules(), store)
+
+    # commit batch 1 normally
+    r.process_batch(spark.createDataFrame([src_rows[0]], SCHEMA), 0)
+    committed = _store_set(r)
+    assert ("a", "anc", "b", DG) in committed
+
+    # batch 2 fails at the durable append (after the live store was mutated)
+    orig_append = r._append_parquet
+    calls = {"n": 0}
+
+    def failing_append(df):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("injected append failure")
+        orig_append(df)
+
+    r._append_parquet = failing_append
+    batch2 = spark.createDataFrame([src_rows[1]], SCHEMA)
+    with pytest.raises(RuntimeError, match="injected"):
+        r.process_batch(batch2, 1)
+    assert r._store is None  # rolled back
+    assert _store_set(r) == committed  # durable store untouched
+
+    # replay of the SAME batch on the SAME reasoner must fully process it
+    r.process_batch(batch2, 1)
+    s = _store_set(r)
+    assert ("a", "anc", "c", DG) in s  # cross-batch closure computed
+    assert len(s) == 5
+
+
+def test_compaction_crash_window_recovered(spark, tmp_path):
+    """Crash between compact_store's two renames leaves the data in
+    '.__old__' and no store directory; a new reasoner must heal it instead
+    of silently starting empty."""
+    store = str(tmp_path / "store")
+    r = IncrementalReasoner(spark, _rules(), store)
+    r.process_batch(
+        spark.createDataFrame([("a", "parent", "b", DG)], SCHEMA), 0
+    )
+    committed = _store_set(r)
+    assert committed
+
+    # simulate the mid-swap crash state
+    os.rename(store, store + ".__old__")
+    os.makedirs(store + ".__compact__")  # stale write-aside too
+
+    r2 = IncrementalReasoner(spark, _rules(), store)
+    assert _store_set(r2) == committed
+    assert not os.path.exists(store + ".__old__")
+    assert not os.path.exists(store + ".__compact__")
+
+
+def test_cold_start_reseeds_width_from_first_batch(spark, tmp_path):
+    """The live store seeded from an empty durable store must re-pick its
+    block width from the first real batch instead of staying at width 1
+    until the first prefix compaction."""
+    import sys
+
+    inf = sys.modules["rify_spark.infer"]
+    orig = inf.FactStore.__init__
+
+    def patched(self, spark_, fixed_partitions=None, compact_every=8,
+                rows_per_partition=200_000):
+        orig(self, spark_, fixed_partitions=fixed_partitions,
+             compact_every=compact_every, rows_per_partition=2)
+
+    inf.FactStore.__init__ = patched
+    try:
+        r = IncrementalReasoner(spark, _rules(), str(tmp_path / "store"))
+        rows = [(f"n{i}", "parent", f"n{i + 1}", DG) for i in range(0, 40, 2)]
+        r.process_batch(spark.createDataFrame(rows, SCHEMA), 0)
+        assert r._store is not None and r._store.partitions > 1
+        s = _store_set(r)
+        assert ("n0", "anc", "n1", DG) in s
+        assert ("n0", "anc", "n2", DG) not in s  # pairs are disconnected
+    finally:
+        inf.FactStore.__init__ = orig
