@@ -190,12 +190,29 @@ def infer_df(
     for t in bound_strs:
         if not isinstance(t, str):
             raise TypeError("infer_df requires string terms in rules")
+    audit_thread = None
+    audit_err: list = []
     if cfg.encode_terms:
         const_ids = D.hash_terms(spark, bound_strs)
         facts_in = D.encode_quads(facts_df)
-        dict_df = D.build_dict_audited(
-            spark, facts_df, bound_strs, audit=cfg.collision_audit
-        )
+        # the collision audit is a driver barrier independent of inference
+        # until decode: run its job in a background thread overlapped with
+        # the fixpoint iterations (Spark's scheduler handles concurrent job
+        # submission; at high core counts the audit hides entirely in
+        # otherwise-idle slots, at low counts it fair-shares). Joined —
+        # and re-raised — before decode reads the dictionary.
+        dict_df, audit_fn = D.build_dict_deferred(spark, facts_df, bound_strs)
+        if cfg.collision_audit:
+            import threading
+
+            def _run_audit() -> None:
+                try:
+                    audit_fn()
+                except Exception as e:  # noqa: BLE001 — re-raised at join
+                    audit_err.append(e)
+
+            audit_thread = threading.Thread(target=_run_audit, daemon=True)
+            audit_thread.start()
         lrules = [lower_rule(r, i, lambda t: const_ids[t]) for i, r in enumerate(rules)]
         dtype_str = D.ID_TYPE
     else:
@@ -209,6 +226,10 @@ def infer_df(
     res = fixpoint(spark, facts0, lrules, cfg, track_deltas=True)
     prem_dedup = facts_in if cfg.input_deduped else facts_in.dropDuplicates(SPOG)
     derived = derived_facts(spark, res, prem_dedup, lrules, dtype_str)
+    if audit_thread is not None:
+        audit_thread.join()
+        if audit_err:
+            raise audit_err[0]
     if dict_df is not None:
         derived = D.decode_quads(derived, dict_df)
     return derived, res

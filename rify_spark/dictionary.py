@@ -83,6 +83,51 @@ def build_dict(
     return terms.distinct().select("term", term_id("term").alias("id"))
 
 
+def build_dict_deferred(
+    spark: SparkSession,
+    facts: DataFrame | None = None,
+    extra_terms: Iterable[str] = (),
+) -> tuple:
+    """(dict_df, audit_fn): the one-shuffle persisted dictionary plus a
+    callable that runs the collision audit count when invoked. Lets the
+    caller run the audit on its own schedule — e.g. in a background thread
+    overlapped with the fixpoint iterations (infer_df does this): the audit
+    job is independent of inference until decode, so its driver barrier
+    need not sit in the serial job chain. ``audit_fn`` raises
+    :class:`DictionaryCollision` on failure and materializes the persisted
+    dictionary as a side effect."""
+    from pyspark import StorageLevel
+
+    parts = []
+    if facts is not None:
+        parts.append(
+            facts.select(
+                F.explode(F.array(*[F.col(c) for c in SPOG])).alias("term")
+            )
+        )
+    extra = [(t,) for t in extra_terms]
+    if extra:
+        parts.append(spark.createDataFrame(extra, "term string"))
+    if not parts:
+        empty = spark.createDataFrame([], f"term string, id {ID_TYPE}")
+        return empty, lambda: None
+    terms = parts[0]
+    for p in parts[1:]:
+        terms = terms.unionByName(p)
+    grouped = (
+        terms.groupBy(term_id("term").alias("id"))
+        .agg(F.min("term").alias("term"), F.max("term").alias("__term_max"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+
+    def audit_fn() -> None:
+        n = grouped.filter(F.col("term") != F.col("__term_max")).count()
+        if n:
+            raise DictionaryCollision(f"{n} colliding ids in term dictionary")
+
+    return grouped.select("term", "id"), audit_fn
+
+
 def build_dict_audited(
     spark: SparkSession,
     facts: DataFrame | None = None,
@@ -105,33 +150,10 @@ def build_dict_audited(
     With ``audit=False`` nothing is materialized here; the persisted plan
     fills inside the first decode that reads it.
     """
-    from pyspark import StorageLevel
-
-    parts = []
-    if facts is not None:
-        parts.append(
-            facts.select(
-                F.explode(F.array(*[F.col(c) for c in SPOG])).alias("term")
-            )
-        )
-    extra = [(t,) for t in extra_terms]
-    if extra:
-        parts.append(spark.createDataFrame(extra, "term string"))
-    if not parts:
-        return spark.createDataFrame([], f"term string, id {ID_TYPE}")
-    terms = parts[0]
-    for p in parts[1:]:
-        terms = terms.unionByName(p)
-    grouped = (
-        terms.groupBy(term_id("term").alias("id"))
-        .agg(F.min("term").alias("term"), F.max("term").alias("__term_max"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    dict_df, audit_fn = build_dict_deferred(spark, facts, extra_terms)
     if audit:
-        n = grouped.filter(F.col("term") != F.col("__term_max")).count()
-        if n:
-            raise DictionaryCollision(f"{n} colliding ids in term dictionary")
-    return grouped.select("term", "id")
+        audit_fn()
+    return dict_df
 
 
 def audit_collisions(dict_df: DataFrame, raise_on_collision: bool = True) -> int:
@@ -158,8 +180,21 @@ def hash_terms(spark: SparkSession, terms: Iterable[str]) -> Mapping[str, tuple]
     terms = list(dict.fromkeys(terms))
     if not terms:
         return {}
-    df = spark.createDataFrame([(t,) for t in terms], "term string")
-    rows = df.select("term", term_id("term").alias("id")).collect()
+    # literal select over range(1): one task, no parallelize/shuffle — a
+    # createDataFrame + collect here cost ~1 s of task scheduling for a
+    # handful of rule constants
+    pairs = F.array(
+        *[
+            F.struct(F.lit(t).alias("term"), term_id(F.lit(t)).alias("id"))
+            for t in terms
+        ]
+    )
+    rows = (
+        spark.range(1)
+        .select(F.explode(pairs).alias("kv"))
+        .select("kv.term", "kv.id")
+        .collect()
+    )
     return {r["term"]: tuple(r["id"]) for r in rows}
 
 

@@ -322,6 +322,43 @@ class InferConfig:
     # occurrence-sample target for hot-key detection; a >=20%-share key is
     # detected from ~1M sampled occurrences with overwhelming probability
     hot_scan_sample_rows: int = 1_000_000
+    # iteration fusion: apply the rules FUSE_ROUNDS times within one logical
+    # plan per outer iteration (round k+1 seeds from round k's novel output
+    # — dedup + store-anti-join, still inside the one lazy plan). Exact:
+    # each fused round is precisely a semi-naive round, so the fixpoint set
+    # is identical in ~1/k the outer iterations (tested:
+    # test_fused_iterations_reach_identical_fixpoint). DEFAULT OFF (1):
+    # measured a 1.5-3x per-iteration LOSS on the 100k-file pipeline and a
+    # 2x loss on a 200k-node chain closure, because under AQE every
+    # exchange and broadcast in the fused mega-plan materializes as its own
+    # driver-scheduled job — a probe of the fused shape ran ~30 jobs for
+    # the "single" count action, so fusing MULTIPLIES the per-job floor it
+    # was meant to amortize instead of paying it once per k rounds. The
+    # floor is attacked where it actually lives instead: the adaptive
+    # codegen + AQE toggles below (driver-serial compile and per-stage
+    # scheduling, ~1-1.5 s/iteration, invariant in core count). Kept as an
+    # option for AQE-off deployments, where one plan really is one job.
+    # Lineage mode never fuses (per-round first-derivation attribution) and
+    # goal-directed mode never fuses (goals_met must see every round's
+    # novelty before more work is scheduled).
+    fuse_rounds: int = 1
+    fuse_below_rows: int = 500_000
+    # adaptive whole-stage codegen: below this delta size an iteration is
+    # floor-bound (driver-serial janino compile of the per-iteration plan —
+    # profiled ~0.7-1.0 s/iteration, invariant in core count — dominates a
+    # sub-second data path), so codegen is switched off for the iteration
+    # and back on when the delta grows past the threshold. Codegen stays on
+    # for data-bound iterations, where the compiled loop wins by far. 0
+    # disables the toggle (session setting rules throughout).
+    codegen_below_rows: int = 2_000_000
+    # adaptive AQE: below this delta size an iteration's shuffles are tiny
+    # and AQE's per-stage materialization barriers (each exchange/broadcast
+    # becomes its own driver-scheduled job) cost more than its runtime
+    # re-planning saves — profiled ~0.3-0.5 s/iteration at 100-200k-row
+    # deltas, invariant in core count. Above the threshold AQE stays on:
+    # skew-join splitting and runtime broadcast conversion are load-bearing
+    # for data-bound iterations. 0 disables the toggle.
+    aqe_below_rows: int = 2_000_000
     # predicate-level semi-naive refinement: skip delta-seeded join plans
     # whose seed atom has a constant predicate absent from this iteration's
     # delta (they are empty by construction). Costs one tiny distinct-p scan
@@ -437,12 +474,32 @@ def _norm_term(v):
     return v if isinstance(v, (str, int)) else tuple(v)
 
 
+def _limited_collect(df: DataFrame, n: int) -> list:
+    """``limit(n).collect()`` in ONE Spark job. CollectLimit launches
+    partition scans incrementally (1 partition, then scaleUpFactor x more,
+    ...), which costs 2-3 micro-jobs + their submission gaps per call —
+    measurable per-iteration overhead when the input is an aggregation
+    output that is vocabulary-sized anyway. Only for aggregated inputs;
+    raw limit-scans (e.g. the hot-key sampler) WANT the incremental
+    launch."""
+    spark = df.sparkSession
+    key = "spark.sql.limit.initialNumPartitions"
+    saved = spark.conf.get(key, "1")
+    spark.conf.set(key, "10000")
+    try:
+        return df.limit(n).collect()
+    finally:
+        spark.conf.set(key, saved)
+
+
 def _delta_predicates(delta: DataFrame, cfg: InferConfig) -> Optional[set]:
     """The set of predicate values present in the (checkpointed) delta, or
     None when pruning is off / the vocabulary is too large to collect."""
     if not cfg.prune_seed_plans:
         return None
-    rows = delta.select("p").distinct().limit(cfg.stats_max_predicates + 1).collect()
+    rows = _limited_collect(
+        delta.select("p").distinct(), cfg.stats_max_predicates + 1
+    )
     if len(rows) > cfg.stats_max_predicates:
         return None
     return {_norm_term(r["p"]) for r in rows}
@@ -459,7 +516,7 @@ def _count_and_preds(df: DataFrame, cfg: InferConfig) -> tuple:
     iteration."""
     if not cfg.prune_seed_plans:
         return df.count(), None
-    rows = df.groupBy("p").count().limit(cfg.stats_max_predicates + 1).collect()
+    rows = _limited_collect(df.groupBy("p").count(), cfg.stats_max_predicates + 1)
     if len(rows) > cfg.stats_max_predicates:
         return df.count(), None
     return sum(r["count"] for r in rows), {_norm_term(r["p"]) for r in rows}
@@ -478,7 +535,9 @@ def _seed_plan_live(atom, delta_preds: Optional[set]) -> bool:
 def _predicate_stats(facts: DataFrame, cfg: InferConfig) -> Optional[dict]:
     if not cfg.use_stats:
         return None
-    rows = facts.groupBy("p").count().limit(cfg.stats_max_predicates + 1).collect()
+    rows = _limited_collect(
+        facts.groupBy("p").count(), cfg.stats_max_predicates + 1
+    )
     if len(rows) > cfg.stats_max_predicates:
         return None
     return {r["p"]: r["count"] for r in rows}
@@ -713,130 +772,233 @@ def fixpoint(
     else:
         delta_preds = _delta_predicates(delta, cfg)
 
-    while delta_rows > 0 and cond_rules:
-        if goals is not None and goals_met():
-            break
-        if cfg.max_iterations is not None and it >= cfg.max_iterations:
-            break
-        it += 1
-        t0 = time.time()
+    # adaptive codegen/AQE (see InferConfig.codegen_below_rows /
+    # aqe_below_rows): both are runtime SQLConfs read at plan-compile time,
+    # so flipping them between iterations changes only plans built
+    # afterwards — no effect on already-cached blocks. Originals restored
+    # on exit.
+    _toggles = {
+        "spark.sql.codegen.wholeStage": None,
+        "spark.sql.adaptive.enabled": None,
+    }
+    _saved = {k: spark.conf.get(k, "true") for k in _toggles}
 
-        broadcast_delta = delta_rows <= broadcast_cutoff
-        delta_src = F.broadcast(delta) if broadcast_delta else delta
-        # broadcast-hash joins stream the big side, so hot keys cost nothing
-        # extra; explicit salting applies only to shuffle-joined iterations
-        hot = hot_lits if (hot_lits and not broadcast_delta) else None
-        facts = store.union()
-        plans = []
-        for r in cond_rules:
-            extra = lineage_cols(r, dtype) if lineage else ()
-            for i in range(len(r.body)):
-                if not _seed_plan_live(r.body[i], delta_preds):
-                    continue
-                b = bindings(
-                    facts,
-                    r,
-                    delta=delta_src,
-                    seed_pos=i,
-                    stats=stats,
-                    facts_old=facts_old,
-                    hot_values=hot,
-                    salt_n=cfg.hot_salt_n,
+    def _set_conf(key: str, on: bool) -> None:
+        if _toggles[key] is not on:
+            spark.conf.set(key, str(on).lower())
+            _toggles[key] = on
+
+    try:
+        while delta_rows > 0 and cond_rules:
+            if goals is not None and goals_met():
+                break
+            if cfg.max_iterations is not None and it >= cfg.max_iterations:
+                break
+            it += 1
+            t0 = time.time()
+            if cfg.codegen_below_rows:
+                _set_conf(
+                    "spark.sql.codegen.wholeStage",
+                    delta_rows > cfg.codegen_below_rows,
                 )
-                plans.append(project_heads(b, r, dtype, extra))
-        if not plans:
-            # every seeded plan is predicate-dead: nothing in the delta can
-            # fire any rule, so the fixpoint is reached
-            metrics.append(
-                {"iteration": it, "delta_rows": 0, "plans_built": 0,
-                 "wall_s": round(time.time() - t0, 4)}
-            )
-            break
-        cand = _union_all(plans)
+            if cfg.aqe_below_rows:
+                _set_conf(
+                    "spark.sql.adaptive.enabled",
+                    delta_rows > cfg.aqe_below_rows,
+                )
 
-        # ONE explicit exchange for the whole post-candidate pipeline: the
-        # candidate set is hash-partitioned by s at the store's width, which
-        # (a) satisfies the SPOG dedup / first-wins-window clustering
-        # requirement via subset satisfaction (verified: zero added
-        # exchange), and (b) co-partitions the anti-join with every store
-        # block (zero exchange either side). Without it the delta pays a
-        # spog-dedup exchange AND an s-exchange at the anti-join.
-        cand = cand.repartition(store.partitions, "s")
-        if lineage:
-            novel = store.anti(cand)
-            w = Window.partitionBy(*SPOG).orderBy("rule_index", "inst")
-            picked = (
-                novel.withColumn("__rn", F.row_number().over(w))
-                .filter(F.col("__rn") == 1)
-                .drop("__rn")
-                .withColumn("iteration", F.lit(it).cast("long"))
-            )
-            new_full = picked.localCheckpoint(eager=False)
-            new = new_full.select(*SPOG)
-        else:
-            new_full = None
-            new = store.anti(cand.dropDuplicates(SPOG)).localCheckpoint(eager=False)
-        # LAZY checkpoint + count-on-block = ONE Spark job per iteration for
-        # the whole candidate->anti->checkpoint->block->count pipeline: the
-        # count materializes the checkpoint (lineage truncation) and fills
-        # the block's (s-partitioned, sorted) cache as side effects, and
-        # yields the count + next prune set. Eager checkpoint + separate
-        # count + separate block fill was three driver barriers.
-        block = store.stage_block(new)
-        delta_rows, delta_preds = _count_and_preds(block, cfg)
-        if lineage and delta_rows:
-            arg_blocks.append(new_full)
-            arguments = _union_all(arg_blocks)
+            broadcast_delta = delta_rows <= broadcast_cutoff
+            delta_src = F.broadcast(delta) if broadcast_delta else delta
+            # broadcast-hash joins stream the big side, so hot keys cost
+            # nothing extra; explicit salting applies only to shuffle-joined
+            # iterations
+            hot = hot_lits if (hot_lits and not broadcast_delta) else None
+            facts = store.union()
 
-        if delta_rows == 0:
-            block.unpersist()
-            metrics.append(
-                {"iteration": it, "delta_rows": 0, "wall_s": round(time.time() - t0, 4)}
+            # iteration fusion (cfg.fuse_rounds): floor-bound iterations run
+            # k semi-naive rounds inside ONE logical plan — one Catalyst
+            # optimization, one checkpoint compile, one count action for k
+            # rounds. Round k+1 seeds from round k's deduped candidates and
+            # reads facts ∪ those candidates; soundness/completeness of the
+            # non-redundant decomposition is preserved with F_old = facts
+            # (see InferConfig.fuse_rounds). The per-round dropDuplicates
+            # ends in an exchange, which ReuseExchange computes once even
+            # though the next round's plans reference it several times.
+            fused = (
+                cfg.fuse_rounds
+                if (
+                    cfg.fuse_rounds > 1
+                    and not lineage
+                    and goals is None
+                    and delta_rows <= cfg.fuse_below_rows
+                )
+                else 1
             )
-            break
+            round_delta = delta_src
+            round_facts = facts
+            round_facts_old = facts_old
+            round_preds = delta_preds
+            cands: list = []
+            plans_built = 0
+            for k in range(fused):
+                plans = []
+                head_preds: Optional[set] = set()
+                for r in cond_rules:
+                    extra = lineage_cols(r, dtype) if lineage else ()
+                    live = [
+                        i
+                        for i in range(len(r.body))
+                        if _seed_plan_live(r.body[i], round_preds)
+                    ]
+                    if not live:
+                        continue
+                    # predicate set this round's heads can emit — the next
+                    # fused round's prune set (None once any fired rule has
+                    # a variable head predicate)
+                    if head_preds is not None:
+                        for atom in r.head:
+                            if atom[1][0] == "c":
+                                head_preds.add(_norm_term(atom[1][1]))
+                            else:
+                                head_preds = None
+                                break
+                    for i in live:
+                        b = bindings(
+                            round_facts,
+                            r,
+                            delta=round_delta,
+                            seed_pos=i,
+                            stats=stats,
+                            facts_old=round_facts_old,
+                            hot_values=hot,
+                            salt_n=cfg.hot_salt_n,
+                        )
+                        plans.append(project_heads(b, r, dtype, extra))
+                if not plans:
+                    break
+                plans_built += len(plans)
+                candk = _union_all(plans)
+                if k + 1 < fused:
+                    # the next round seeds from this round's NOVEL quads —
+                    # dedup + anti-join against the store, all still inside
+                    # the one lazy plan (no barrier). Seeding from raw
+                    # candidates instead re-derives consequences of already-
+                    # known facts and was measured 2-3x slower than two plain
+                    # rounds; with the novelty restriction the fused pair is
+                    # exactly two semi-naive rounds sharing one Catalyst
+                    # compile + one count action. The s-repartition mirrors
+                    # the tail: dedup and (chained-mode) anti are subset-
+                    # satisfied by it, and ReuseExchange computes it once
+                    # across the next round's several references.
+                    novelk = store.anti(
+                        candk.repartition(store.partitions, "s")
+                        .dropDuplicates(SPOG)
+                    )
+                    cands.append(novelk)
+                    round_delta = novelk
+                    round_facts = facts.unionByName(novelk)
+                    round_facts_old = facts
+                    round_preds = head_preds if cfg.prune_seed_plans else None
+                else:
+                    cands.append(candk)
+            if not cands:
+                # every seeded plan is predicate-dead: nothing in the delta
+                # can fire any rule, so the fixpoint is reached
+                metrics.append(
+                    {"iteration": it, "delta_rows": 0, "plans_built": 0,
+                     "wall_s": round(time.time() - t0, 4)}
+                )
+                break
+            cand = _union_all(cands)
 
-        store.add_block(block, rows=delta_rows, src=new)
-        if track_deltas:
-            tracked_deltas.append(new)
-        facts_old = store.union_except_last()
-        facts_rows += delta_rows
-        delta = new
-        if store.just_compacted and cfg.rescan_hot_on_compact:
-            # emergent hot keys: re-detect on the compacted store (sampled —
-            # O(hot_scan_sample_rows), amortized 1/store_compact_every)
-            hot_lits = _hot_values(store.union(), facts_rows, cfg)
-        m = {
-            "iteration": it,
-            "delta_rows": delta_rows,
-            "facts_rows": facts_rows,
-            "plans_built": len(plans),
-            "wall_s": round(time.time() - t0, 4),
-            # the delta lives in the store as an s-partitioned block at the
-            # store width — report that instead of new.rdd.getNumPartitions(),
-            # whose DataFrame->RDD conversion compiles the full plan and cost
-            # a measurable slice of every iteration (profiled ~0.5-1.5 s/iter)
-            "delta_partitions": store.partitions,
-            "store_blocks": len(store.blocks),
-            "store_partitions": store.partitions,
-            "compacted": store.just_compacted,
-        }
-        metrics.append(m)
-        if ckpt:
-            write_base = it == 1 or (it - last_base) >= cfg.store_compact_every
-            if write_base:
-                last_base = it
-            ckpt.save_iteration(
-                it,
-                delta,
-                arguments=arguments if (lineage and write_base) else None,
-                arguments_delta=new_full if lineage else None,
-                facts=store.union() if write_base else None,
-                extra_meta={
-                    "facts_rows": facts_rows,
-                    "delta_rows": delta_rows,
-                    "base_iter": last_base,
-                },
-            )
+            # ONE explicit exchange for the whole post-candidate pipeline: the
+            # candidate set is hash-partitioned by s at the store's width, which
+            # (a) satisfies the SPOG dedup / first-wins-window clustering
+            # requirement via subset satisfaction (verified: zero added
+            # exchange), and (b) co-partitions the anti-join with every store
+            # block (zero exchange either side). Without it the delta pays a
+            # spog-dedup exchange AND an s-exchange at the anti-join.
+            cand = cand.repartition(store.partitions, "s")
+            if lineage:
+                novel = store.anti(cand)
+                w = Window.partitionBy(*SPOG).orderBy("rule_index", "inst")
+                picked = (
+                    novel.withColumn("__rn", F.row_number().over(w))
+                    .filter(F.col("__rn") == 1)
+                    .drop("__rn")
+                    .withColumn("iteration", F.lit(it).cast("long"))
+                )
+                new_full = picked.localCheckpoint(eager=False)
+                new = new_full.select(*SPOG)
+            else:
+                new_full = None
+                new = store.anti(cand.dropDuplicates(SPOG)).localCheckpoint(eager=False)
+            # LAZY checkpoint + count-on-block = ONE Spark job per iteration for
+            # the whole candidate->anti->checkpoint->block->count pipeline: the
+            # count materializes the checkpoint (lineage truncation) and fills
+            # the block's (s-partitioned, sorted) cache as side effects, and
+            # yields the count + next prune set. Eager checkpoint + separate
+            # count + separate block fill was three driver barriers.
+            block = store.stage_block(new)
+            delta_rows, delta_preds = _count_and_preds(block, cfg)
+            if lineage and delta_rows:
+                arg_blocks.append(new_full)
+                arguments = _union_all(arg_blocks)
+
+            if delta_rows == 0:
+                block.unpersist()
+                metrics.append(
+                    {"iteration": it, "delta_rows": 0, "wall_s": round(time.time() - t0, 4)}
+                )
+                break
+
+            store.add_block(block, rows=delta_rows, src=new)
+            if track_deltas:
+                tracked_deltas.append(new)
+            facts_old = store.union_except_last()
+            facts_rows += delta_rows
+            delta = new
+            if store.just_compacted and cfg.rescan_hot_on_compact:
+                # emergent hot keys: re-detect on the compacted store (sampled —
+                # O(hot_scan_sample_rows), amortized 1/store_compact_every)
+                hot_lits = _hot_values(store.union(), facts_rows, cfg)
+            m = {
+                "iteration": it,
+                "delta_rows": delta_rows,
+                "facts_rows": facts_rows,
+                "plans_built": plans_built,
+            "fused_rounds": fused,
+                "wall_s": round(time.time() - t0, 4),
+                # the delta lives in the store as an s-partitioned block at the
+                # store width — report that instead of new.rdd.getNumPartitions(),
+                # whose DataFrame->RDD conversion compiles the full plan and cost
+                # a measurable slice of every iteration (profiled ~0.5-1.5 s/iter)
+                "delta_partitions": store.partitions,
+                "store_blocks": len(store.blocks),
+                "store_partitions": store.partitions,
+                "compacted": store.just_compacted,
+            }
+            metrics.append(m)
+            if ckpt:
+                write_base = it == 1 or (it - last_base) >= cfg.store_compact_every
+                if write_base:
+                    last_base = it
+                ckpt.save_iteration(
+                    it,
+                    delta,
+                    arguments=arguments if (lineage and write_base) else None,
+                    arguments_delta=new_full if lineage else None,
+                    facts=store.union() if write_base else None,
+                    extra_meta={
+                        "facts_rows": facts_rows,
+                        "delta_rows": delta_rows,
+                        "base_iter": last_base,
+                    },
+                )
+    finally:
+        for k, v in _saved.items():
+            if _toggles[k] is not None:
+                spark.conf.set(k, v)
 
     return FixpointResult(
         facts=store.union(),

@@ -40,7 +40,15 @@ def main() -> None:
         shuffle_partitions=2 * CPUS,
     )
     entrymod._ship(spark)
-    spark.range(1_000_000).selectExpr("sum(id)").collect()  # warmup
+    spark.range(1_000_000).selectExpr("sum(id)").collect()  # JVM warmup
+    # python-worker warmup (identical at both parallelisms): the first
+    # Arrow-UDF stage pays ~2 s of worker fork + pandas import — JIT-class
+    # startup cost, not pipeline throughput
+    def _ident(it):
+        for pdf in it:
+            yield pdf
+
+    spark.range(0, 1000, 1, 2 * CPUS).mapInPandas(_ident, "id long").count()
 
     out = {"cpus": CPUS}
 

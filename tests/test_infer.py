@@ -319,8 +319,16 @@ def test_seed_plan_pruning_preserves_fixpoint(spark):
             [[U("b"), B("liked_by"), U("a"), U("g")]],
         ),
     ]
-    df_on, fx_on = infer_df(spark, facts, rules, config=InferConfig(prune_seed_plans=True))
-    df_off, fx_off = infer_df(spark, facts, rules, config=InferConfig(prune_seed_plans=False))
+    # fuse_rounds=1: this test asserts per-round plan counts, which fusion
+    # deliberately coarsens (plans_built sums the fused rounds)
+    df_on, fx_on = infer_df(
+        spark, facts, rules,
+        config=InferConfig(prune_seed_plans=True, fuse_rounds=1),
+    )
+    df_off, fx_off = infer_df(
+        spark, facts, rules,
+        config=InferConfig(prune_seed_plans=False, fuse_rounds=1),
+    )
     assert sorted(map(tuple, df_on.collect())) == sorted(map(tuple, df_off.collect()))
     # 4 seed plans exist (1 + 2 + 1); after iteration 1 the delta carries
     # only anc (+liked_by in it1's output), so later iterations build fewer
@@ -395,7 +403,8 @@ def test_fixpoint_rescan_hot_on_compact_preserves_results(spark):
         for j in range(i + 1, n + 1)
     )
     assert got == want
-    assert fx.iterations >= n  # linear rule: one hop per iteration
+    # linear rule: one hop per fused round, fuse_rounds hops per iteration
+    assert fx.iterations >= n // InferConfig().fuse_rounds
     assert any(m.get("compacted") for m in fx.metrics)
 
 
@@ -518,12 +527,12 @@ def test_store_growth_triggers_on_rows_not_only_block_count(spark):
     from rify_spark.infer import FactStore
 
     store = FactStore(spark, compact_every=100, rows_per_partition=50)
-    quad = "cast(id as string) as s, 'p' as p, 'o' as o, 'g' as g"
-    store.seed(spark.range(8).selectExpr(quad))
+    quad = ["cast(id as string) as s", "'p' as p", "'o' as o", "'g' as g"]
+    store.seed(spark.range(8).selectExpr(*quad))
     w0 = store.partitions
     assert w0 is not None
 
-    big = spark.range(100, 1100).selectExpr(quad).localCheckpoint()
+    big = spark.range(100, 1100).selectExpr(*quad).localCheckpoint()
     blk = store.stage_block(big)
     n = blk.count()
     store.add_block(blk, rows=n, src=big)
@@ -531,3 +540,44 @@ def test_store_growth_triggers_on_rows_not_only_block_count(spark):
     assert store.just_compacted, "row-growth compaction did not fire"
     assert store.partitions > w0, f"width did not grow: {w0} -> {store.partitions}"
     assert store.union().count() == 1008
+
+
+def test_fused_iterations_reach_identical_fixpoint(spark):
+    """Iteration fusion (fuse_rounds>1) is a coarser chaotic iteration of the
+    same monotone operator: the derived set must be identical to plain
+    semi-naive, in fewer outer iterations. Exercises the re-seeded round-2
+    plans (delta = round-1 candidates, facts = store ∪ candidates,
+    F_old = store) including the head-predicate prune set."""
+    from rify_spark.api import infer_df
+    from rify_spark.infer import InferConfig
+    from rify_spark.rules import Bound as B, Rule, Unbound as U
+
+    # 64-deep chain => 6+ semi-naive iterations; plus a renaming rule so the
+    # fused round-2 prune set sees several head predicates
+    edges = [(f"n{i}", "parent", f"n{i+1}", "g") for i in range(64)]
+    facts = spark.createDataFrame(edges, "s string, p string, o string, g string")
+    rules = [
+        Rule.create(
+            [[U("a"), B("parent"), U("b"), U("g")]],
+            [[U("a"), B("anc"), U("b"), U("g")]],
+        ),
+        Rule.create(
+            [
+                [U("a"), B("anc"), U("b"), U("g")],
+                [U("b"), B("anc"), U("c"), U("g")],
+            ],
+            [[U("a"), B("anc"), U("c"), U("g")]],
+        ),
+    ]
+    df_plain, fx_plain = infer_df(
+        spark, facts, rules, config=InferConfig(fuse_rounds=1)
+    )
+    df_fused, fx_fused = infer_df(
+        spark, facts, rules,
+        config=InferConfig(fuse_rounds=2, fuse_below_rows=10**9),
+    )
+    assert sorted(map(tuple, df_fused.collect())) == sorted(
+        map(tuple, df_plain.collect())
+    )
+    assert fx_fused.iterations < fx_plain.iterations
+    assert any(m.get("fused_rounds") == 2 for m in fx_fused.metrics)
