@@ -815,15 +815,14 @@ def fixpoint(
             hot = hot_lits if (hot_lits and not broadcast_delta) else None
             facts = store.union()
 
-            # iteration fusion (cfg.fuse_rounds): floor-bound iterations run
-            # k semi-naive rounds inside ONE logical plan — one Catalyst
-            # optimization, one checkpoint compile, one count action for k
-            # rounds. Round k+1 seeds from round k's deduped candidates and
-            # reads facts ∪ those candidates; soundness/completeness of the
-            # non-redundant decomposition is preserved with F_old = facts
-            # (see InferConfig.fuse_rounds). The per-round dropDuplicates
-            # ends in an exchange, which ReuseExchange computes once even
-            # though the next round's plans reference it several times.
+            # iteration fusion (cfg.fuse_rounds, DEFAULT OFF — see the
+            # config docstring for the measured negative result under AQE):
+            # k semi-naive rounds inside ONE logical plan. Round k+1 seeds
+            # from round k's novel output (dedup + store-anti inside the
+            # same lazy plan), reads facts ∪ novel with F_old = facts — each
+            # fused round is exactly a semi-naive round, so the fixpoint set
+            # is identical and termination ("no novelty from any fused
+            # round") is unchanged.
             fused = (
                 cfg.fuse_rounds
                 if (
