@@ -34,6 +34,9 @@ CKPT = os.environ.get(
 # reaches the default 8, so set <=4 to exercise compaction (and with it the
 # partition-width growth path) on tree-closure workloads
 COMPACT_EVERY = int(os.environ.get("RIFY_BIG_COMPACT_EVERY", "8"))
+OUT = os.environ.get(
+    "RIFY_BIG_OUT", os.path.join(REPO, "BIGRUN.json")
+)
 
 
 def _shm_used_gb() -> float:
@@ -112,7 +115,7 @@ def main() -> None:
         "shm_used_gb_end": _shm_used_gb(),
         "checkpoint_dir_gb": _dir_gb(CKPT),
     }
-    with open(os.path.join(REPO, "BIGRUN.json"), "w") as f:
+    with open(OUT, "w") as f:
         json.dump(out, f, indent=2)
     print(json.dumps(out))
 
