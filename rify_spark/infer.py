@@ -94,6 +94,7 @@ class FactStore:
         self.rows_per_partition = rows_per_partition
         self.compact_every = max(2, compact_every)
         self.blocks: list = []
+        self.block_rows: list = []  # per-block row counts (tiering policy)
         self.partitions: Optional[int] = None  # picked at seed, grown at compaction
         self.total_rows = 0
         self.just_compacted = False
@@ -157,6 +158,7 @@ class FactStore:
             max(rows, 1) * 8
         )
         self.blocks = [self._mk_block(lc)]
+        self.block_rows = [rows]
         self.total_rows = rows
         self.last_src = lc
         self._finalize_if_chained(self.blocks[0])
@@ -179,6 +181,7 @@ class FactStore:
         block prefix. ``src`` is the checkpoint backing the block (kept for
         re-blocking at a grown partition width)."""
         self.blocks.append(block)
+        self.block_rows.append(rows)
         self.total_rows += rows
         self.last_src = src
         self.just_compacted = False
@@ -193,8 +196,18 @@ class FactStore:
             and len(self.blocks) >= 2
             and self.total_rows > self.partitions * self.rows_per_partition * 2
         )
-        if len(self.blocks) > self.compact_every or outgrown:
+        if outgrown:
+            # width growth re-shuffles every block anyway — full fold
             self._compact_prefix()
+        elif len(self.blocks) > self.compact_every:
+            # chain too long but width still fits: fold only the geometric
+            # TAIL of the prefix (LSM tiering). A long-running incremental
+            # store otherwise pays an O(store) full fold every
+            # ~compact_every/blocks-per-batch batches — the term that made
+            # soak per-batch walls grow linearly with store size. Tiered
+            # merges touch O(merged tail) rows, amortized O(log(store))
+            # per appended row, and the chain stays O(log(store)) blocks.
+            self._compact_tiered()
 
     def _maybe_grow_partitions(self) -> bool:
         """Re-pick the block width when the store outgrew it. Seed-time
@@ -237,6 +250,41 @@ class FactStore:
         for b in prefix:
             b.unpersist()
         self.blocks = [merged, last]
+        self.block_rows = [self.total_rows - self.block_rows[-1], self.block_rows[-1]]
+        self.just_compacted = True
+
+    def _compact_tiered(self) -> None:
+        """Fold the maximal geometric suffix of the PREFIX into one block
+        (the newest block always stays separate — it is the semi-naive
+        F_new). Walking back from the newest prefix block accumulating S,
+        a block joins the merge while its rows <= 4*S; the walk stops at
+        the first block that dwarfs everything behind it (the store base).
+        Sizes ahead of the merge point are then geometric with ratio >4,
+        so the chain length is O(log4(store/batch)) and each appended row
+        is re-shuffled O(log) times over the store's lifetime — vs the
+        full fold's O(store) every compact_every appends. just_compacted
+        is set here too: the hot-key rescan keyed to it is a sampled,
+        bounded scan whose intent — re-check skew as the store evolves,
+        amortized by compaction cadence — covers tiered merges as well
+        (streaming configs run with stats/salting off, so no per-batch
+        rescan there)."""
+        m = len(self.blocks) - 1  # prefix = blocks[:m]
+        j = m - 1
+        acc = self.block_rows[j]
+        while j - 1 >= 0 and self.block_rows[j - 1] <= 4 * acc:
+            j -= 1
+            acc += self.block_rows[j]
+        if m - j < 2:
+            j = m - 2  # nothing geometric to fold: merge the last two anyway
+            acc = self.block_rows[j] + self.block_rows[j + 1]
+        merged_src = self.blocks[j:m]
+        flat = _union_all(merged_src).localCheckpoint(eager=False)
+        merged = self._mk_block(flat)
+        self._finalize_if_chained(merged)
+        for b in merged_src:
+            b.unpersist()
+        self.blocks = self.blocks[:j] + [merged, self.blocks[m]]
+        self.block_rows = self.block_rows[:j] + [acc, self.block_rows[m]]
         self.just_compacted = True
 
     def union(self) -> DataFrame:

@@ -133,11 +133,18 @@ class IncrementalReasoner:
         return self.spark.createDataFrame([], QUAD_SCHEMA)
 
     def _append_parquet(self, df: DataFrame) -> None:
+        # repartition on the bucket key first: partitionBy splits EVERY task
+        # by bucket value, so an un-repartitioned append (novel + iteration
+        # deltas ≈ hundreds of store-width partitions) writes tasks×buckets
+        # tiny files — measured ~25k files/batch, 447k files after a 50-batch
+        # soak, with the append wall growing to ~50 s/batch. One exchange of
+        # O(delta) rows caps the append at n_buckets files per batch.
         (
             df.withColumn(
                 BUCKET_COL,
                 F.pmod(F.xxhash64("s"), F.lit(self.n_buckets)).cast("int"),
             )
+            .repartition(self.n_buckets, BUCKET_COL)
             .write.mode("append")
             .partitionBy(BUCKET_COL)
             .parquet(self.store_dir)

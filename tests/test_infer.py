@@ -581,3 +581,31 @@ def test_fused_iterations_reach_identical_fixpoint(spark):
     )
     assert fx_fused.iterations < fx_plain.iterations
     assert any(m.get("fused_rounds") == 2 for m in fx_fused.metrics)
+
+
+def test_tiered_compaction_keeps_base_and_exact_union(spark):
+    """Past compact_every the store folds only the geometric TAIL of the
+    prefix (LSM tiering): the big base block is never rewritten by
+    chain-length compactions, the chain stays bounded, and
+    union()/union_except_last() stay exact. This is what keeps per-batch
+    walls flat in a long-running incremental stream — the full fold paid
+    O(store) every ~compact_every appends."""
+    from rify_spark.infer import FactStore
+
+    quad = ["cast(id as string) as s", "'p' as p", "'o' as o", "'g' as g"]
+    store = FactStore(spark, compact_every=3, rows_per_partition=10**9)
+    store.seed(spark.range(10_000).selectExpr(*quad))
+    base = store.blocks[0]
+    lo = 10_000
+    for _ in range(6):
+        src = spark.range(lo, lo + 50).selectExpr(*quad).localCheckpoint()
+        blk = store.stage_block(src)
+        n = blk.count()
+        store.add_block(blk, rows=n, src=src)
+        lo += 50
+        assert len(store.blocks) <= store.compact_every + 1
+        assert store.blocks[0] is base, "tiered merge must not rewrite the base"
+        assert sum(store.block_rows) == store.total_rows
+    assert store.total_rows == 10_300
+    assert store.union().count() == 10_300
+    assert store.union_except_last().count() == 10_250
