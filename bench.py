@@ -137,10 +137,22 @@ def main() -> None:
         "weak_scaling_efficiency",
         "control_scaling_efficiency",
     )
+    pipe_keys = keys + ("corpus_files", "best_lo_pipeline_tps", "best_hi_pipeline_tps")
+    tail_keys = (
+        "rows_per_core",
+        "cpus_lo",
+        "cpus_hi",
+        "best_percore_lo_rps",
+        "best_percore_hi_rps",
+        "weak_scaling_efficiency",
+    )
     for fname, field, ks in (
         ("SCALING.json", "scaling", keys),
         ("SCALING_BIG.json", "scaling_big", keys),
         ("SCALING_WEAK.json", "scaling_weak", weak_keys),
+        ("SCALING_PIPE300K.json", "scaling_pipe300k", pipe_keys),
+        ("SCALING_PIPE1M.json", "scaling_pipe1m", pipe_keys),
+        ("TAIL_CONTROL.json", "tail_control", tail_keys),
     ):
         p = os.path.join(REPO, fname)
         if os.path.exists(p):
