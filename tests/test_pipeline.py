@@ -143,3 +143,20 @@ def test_pipeline_stage_checkpoints_and_resume(spark, tmp_path):
     # a different job (threshold changes the fingerprint) must refuse
     with pytest.raises(ValueError, match="different"):
         run_pipeline(spark, df, checkpoint_dir=ckpt, resume=True, link_threshold=0.5)
+
+
+def test_small_input_mode_restores_session_confs(spark):
+    """Small-input mode flips codegen/AQE off and shrinks the shuffle width
+    for the duration of the run; all three session confs must come back to
+    their prior values afterwards (including on the tiny test corpus, which
+    always trips the 1 GiB gate)."""
+    keys = (
+        "spark.sql.codegen.wholeStage",
+        "spark.sql.adaptive.enabled",
+        "spark.sql.shuffle.partitions",
+    )
+    before = {k: spark.conf.get(k) for k in keys}
+    df = code_files_df(spark, n_repos=1, n_modules=2, n_funcs=2)
+    res = run_pipeline(spark, df)
+    assert res.derived.count() > 0
+    assert {k: spark.conf.get(k) for k in keys} == before
