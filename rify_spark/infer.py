@@ -224,7 +224,16 @@ class FactStore:
             return False
         if self.total_rows <= self.partitions * self.rows_per_partition:
             return False
-        self.partitions = self.total_rows * 2 // self.rows_per_partition + 1
+        # 4x headroom on the re-pick (trigger stays at 2x over capacity):
+        # a fold costs one O(store) shuffle, so the next fold must be far
+        # away — with 4x headroom the store has to grow 8x past the fold
+        # point to fold again, making total fold work a geometric sum
+        # dominated by the FIRST (small) fold. The 2x headroom this
+        # replaced re-folded the weak-scaling hi leg at ~50M rows (~+180 s
+        # at 8 cores); with 4x that closure folds once, early, at ~12M.
+        # Cost: partitions run up to ~4x under-full right after a fold —
+        # a few hundred small tasks per exchange, noise next to the fold.
+        self.partitions = self.total_rows * 4 // self.rows_per_partition + 1
         return True
 
     def _compact_prefix(self) -> None:
@@ -397,16 +406,22 @@ class InferConfig:
     # sub-second data path), so codegen is switched off for the iteration
     # and back on when the delta grows past the threshold. Codegen stays on
     # for data-bound iterations, where the compiled loop wins by far. 0
-    # disables the toggle (session setting rules throughout).
-    codegen_below_rows: int = 2_000_000
+    # disables the toggle (session setting rules throughout); None picks
+    # 250k rows PER CORE at runtime — the crossover is cores-dependent:
+    # interpreted eval costs ~rows x O(µs)/cores of wall, the compile a
+    # fixed ~0.8 s, so a fixed 2M threshold that wins at 8-32 cores on
+    # 100k-row pipeline deltas costs ~+10 s/iteration at 2 cores on
+    # 1M-row tree deltas (measured in the weak-scaling pair).
+    codegen_below_rows: Optional[int] = None
     # adaptive AQE: below this delta size an iteration's shuffles are tiny
     # and AQE's per-stage materialization barriers (each exchange/broadcast
     # becomes its own driver-scheduled job) cost more than its runtime
     # re-planning saves — profiled ~0.3-0.5 s/iteration at 100-200k-row
     # deltas, invariant in core count. Above the threshold AQE stays on:
     # skew-join splitting and runtime broadcast conversion are load-bearing
-    # for data-bound iterations. 0 disables the toggle.
-    aqe_below_rows: int = 2_000_000
+    # for data-bound iterations. 0 disables the toggle; None matches the
+    # codegen rule (250k rows per core).
+    aqe_below_rows: Optional[int] = None
     # predicate-level semi-naive refinement: skip delta-seeded join plans
     # whose seed atom has a constant predicate absent from this iteration's
     # delta (they are empty by construction). Costs one tiny distinct-p scan
@@ -830,6 +845,11 @@ def fixpoint(
         "spark.sql.adaptive.enabled": None,
     }
     _saved = {k: spark.conf.get(k, "true") for k in _toggles}
+    _percore = 250_000 * max(1, spark.sparkContext.defaultParallelism)
+    codegen_below = (
+        cfg.codegen_below_rows if cfg.codegen_below_rows is not None else _percore
+    )
+    aqe_below = cfg.aqe_below_rows if cfg.aqe_below_rows is not None else _percore
 
     def _set_conf(key: str, on: bool) -> None:
         if _toggles[key] is not on:
@@ -844,15 +864,15 @@ def fixpoint(
                 break
             it += 1
             t0 = time.time()
-            if cfg.codegen_below_rows:
+            if codegen_below:
                 _set_conf(
                     "spark.sql.codegen.wholeStage",
-                    delta_rows > cfg.codegen_below_rows,
+                    delta_rows > codegen_below,
                 )
-            if cfg.aqe_below_rows:
+            if aqe_below:
                 _set_conf(
                     "spark.sql.adaptive.enabled",
-                    delta_rows > cfg.aqe_below_rows,
+                    delta_rows > aqe_below,
                 )
 
             broadcast_delta = delta_rows <= broadcast_cutoff
