@@ -393,6 +393,13 @@ def _q_multimodal(spark, sf_dir):
     return extract_media_features(fake_media_df(_docs(spark, sf_dir)))
 
 
+def _q_multimodal_codec(spark, sf_dir):
+    _ship(spark)
+    from rify_spark.ops.multimodal import media_codec_features
+
+    return media_codec_features(_docs(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from rify_spark.ops import dedup, events, quads, similarity, text
 
@@ -443,8 +450,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_lsh_pairs": lambda s, d: dedup.lsh_candidate_pairs(_docs(s, d)),
         "dedup_lsh_recall": lambda s, d: dedup.lsh_planted_recall(_docs(s, d)),
         "dedup_embedding_pairs": lambda s, d: dedup.embedding_neardup_pairs(_emb(s, d)),
+        "dedup_embedding_recall": lambda s, d: dedup.embedding_neardup_recall(
+            _emb(s, d)
+        ),
         "dedup_simhash": lambda s, d: dedup.simhash(_docs(s, d)),
         "dedup_ngram_jaccard": lambda s, d: dedup.ngram_jaccard_pairs(_docs(s, d)),
+        "dedup_ngram_lsh_verify": lambda s, d: dedup.ngram_jaccard_verify_lsh(
+            _docs(s, d)
+        ),
         # similarity search
         "knn_bruteforce": lambda s, d: similarity.knn_bruteforce(_emb(s, d)),
         "knn_lsh_buckets": lambda s, d: similarity.knn_lsh_buckets(_emb(s, d)),
@@ -462,6 +475,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": lambda s, d: events.sessionize(_events(s, d)),
         # multimodal plumbing
         "multimodal_features": _q_multimodal,
+        "multimodal_codec": _q_multimodal_codec,
     }
 
 
@@ -545,8 +559,10 @@ def oracle_sql() -> dict[str, str]:
         "dedup_lsh_pairs": dedup.lsh_candidate_pairs_sql(),
         "dedup_lsh_recall": dedup.lsh_planted_recall_sql(),
         "dedup_embedding_pairs": dedup.embedding_neardup_pairs_sql(),
+        "dedup_embedding_recall": dedup.embedding_neardup_recall_sql(),
         "dedup_simhash": dedup.simhash_sql(),
         "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs_sql(),
+        "dedup_ngram_lsh_verify": dedup.ngram_jaccard_verify_lsh_sql(),
         "knn_bruteforce": similarity.knn_bruteforce_sql(),
         "knn_lsh_buckets": similarity.knn_lsh_buckets_sql(),
         "knn_lsh": similarity.knn_lsh_sql(),
@@ -559,4 +575,5 @@ def oracle_sql() -> dict[str, str]:
         "events_sliding": events.sliding_counts_sql(),
         "events_sessionize": events.sessionize_sql(),
         "multimodal_features": multimodal.media_features_sql(),
+        "multimodal_codec": multimodal.media_codec_features_sql(),
     }

@@ -203,7 +203,11 @@ def infer_df(
         # and re-raised — before decode reads the dictionary.
         dict_df, audit_fn = D.build_dict_deferred(spark, facts_df, bound_strs)
         if cfg.collision_audit:
-            import threading
+            # InheritableThread, not threading.Thread: it propagates the
+            # py4j thread-local connection / local properties and cleans up
+            # the paired JVM thread on exit (a bare Thread leaks JVM threads
+            # under pinned-thread mode)
+            from pyspark import InheritableThread
 
             def _run_audit() -> None:
                 try:
@@ -211,7 +215,7 @@ def infer_df(
                 except Exception as e:  # noqa: BLE001 — re-raised at join
                     audit_err.append(e)
 
-            audit_thread = threading.Thread(target=_run_audit, daemon=True)
+            audit_thread = InheritableThread(target=_run_audit, daemon=True)
             audit_thread.start()
         lrules = [lower_rule(r, i, lambda t: const_ids[t]) for i, r in enumerate(rules)]
         dtype_str = D.ID_TYPE
@@ -223,13 +227,19 @@ def infer_df(
     facts0 = seed_facts(
         spark, facts_in, lrules, dtype_str, assume_deduped=cfg.input_deduped
     )
-    res = fixpoint(spark, facts0, lrules, cfg, track_deltas=True)
-    prem_dedup = facts_in if cfg.input_deduped else facts_in.dropDuplicates(SPOG)
-    derived = derived_facts(spark, res, prem_dedup, lrules, dtype_str)
-    if audit_thread is not None:
-        audit_thread.join()
-        if audit_err:
-            raise audit_err[0]
+    try:
+        res = fixpoint(spark, facts0, lrules, cfg, track_deltas=True)
+        prem_dedup = facts_in if cfg.input_deduped else facts_in.dropDuplicates(SPOG)
+        derived = derived_facts(spark, res, prem_dedup, lrules, dtype_str)
+    finally:
+        # joined even when the fixpoint raises, so the audit thread is never
+        # abandoned mid-job; a collision found while the fixpoint ALSO
+        # failed must not mask the fixpoint's error, hence the re-raise
+        # below is outside the finally
+        if audit_thread is not None:
+            audit_thread.join()
+    if audit_err:
+        raise audit_err[0]
     if dict_df is not None:
         derived = D.decode_quads(derived, dict_df)
     return derived, res

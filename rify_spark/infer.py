@@ -544,7 +544,15 @@ def _limited_collect(df: DataFrame, n: int) -> list:
     measurable per-iteration overhead when the input is an aggregation
     output that is vocabulary-sized anyway. Only for aggregated inputs;
     raw limit-scans (e.g. the hot-key sampler) WANT the incremental
-    launch."""
+    launch.
+
+    Session-conf scoping: this (and the fixpoint's per-iteration
+    codegen/AQE toggles) save/restore SESSION-level SQLConfs. The engine
+    assumes one fixpoint per SparkSession at a time — the documented
+    single-tenant contract (the concurrent dictionary audit thread only
+    submits jobs whose plans are already compiled, so these perf-only
+    confs cannot change its results). Run concurrent fixpoints on
+    ``spark.newSession()`` instances, which have isolated SQLConf."""
     spark = df.sparkSession
     key = "spark.sql.limit.initialNumPartitions"
     saved = spark.conf.get(key, "1")
@@ -888,9 +896,11 @@ def fixpoint(
             # k semi-naive rounds inside ONE logical plan. Round k+1 seeds
             # from round k's novel output (dedup + store-anti inside the
             # same lazy plan), reads facts ∪ novel with F_old = facts — each
-            # fused round is exactly a semi-naive round, so the fixpoint set
-            # is identical and termination ("no novelty from any fused
-            # round") is unchanged.
+            # fused round is exactly a semi-naive round (facts accumulate
+            # the earlier fused rounds' novelty; F_old is the previous
+            # round's facts; the delta is novelk minus every earlier novel
+            # block), so the fixpoint set is identical and termination ("no
+            # novelty from any fused round") is unchanged.
             fused = (
                 cfg.fuse_rounds
                 if (
@@ -961,10 +971,21 @@ def fixpoint(
                         candk.repartition(store.partitions, "s")
                         .dropDuplicates(SPOG)
                     )
+                    # subtract novelty already produced by EARLIER fused
+                    # rounds (the store anti alone re-admits quads round k-1
+                    # just derived), so delta_k is exactly the k-th
+                    # semi-naive delta; each prior block is s-partitioned at
+                    # the store width, so the chained antis add no exchange
+                    for prior in cands:
+                        novelk = novelk.join(prior, SPOG, "left_anti")
                     cands.append(novelk)
                     round_delta = novelk
-                    round_facts = facts.unionByName(novelk)
-                    round_facts_old = facts
+                    # accumulate: round k+1 must see EVERY earlier fused
+                    # round's novelty in F (with F_old = the previous F),
+                    # or a 3rd fused round could not join round-1 novelty
+                    # against round-2 novelty until the next outer iteration
+                    round_facts_old = round_facts
+                    round_facts = round_facts.unionByName(novelk)
                     round_preds = head_preds if cfg.prune_seed_plans else None
                 else:
                     cands.append(candk)
@@ -1034,7 +1055,7 @@ def fixpoint(
                 "delta_rows": delta_rows,
                 "facts_rows": facts_rows,
                 "plans_built": plans_built,
-            "fused_rounds": fused,
+                "fused_rounds": fused,
                 "wall_s": round(time.time() - t0, 4),
                 # the delta lives in the store as an s-partitioned block at the
                 # store width — report that instead of new.rdd.getNumPartitions(),

@@ -44,6 +44,14 @@ SIMHASH_BITS = 16
 
 NGRAM_N = 3                  # word shingle width for jaccard
 JACCARD_THRESHOLD = 0.8
+# shingle document-frequency cap (per source block) for the ngram-jaccard
+# self-join: a shingle shared by more than this many docs in one block is
+# dropped from the Jaccard universe BEFORE the join. Without it one hot
+# shingle ("of the and" across 10^6 docs) emits ~10^12 join rows; with it
+# the join is O(docs * shingles_per_doc * CAP) — linear in the corpus.
+# Jaccard is then EXACT over the capped universe (na/nb count kept
+# shingles), the same definition on both engines.
+NGRAM_DF_CAP = 64
 
 KNN_QUANT = 1000             # embedding quantization factor (float -> int)
 KNN_K = 10
@@ -69,6 +77,47 @@ _flat = _lcg_bits(N_HYPERPLANES * EMB_DIM)
 HYPERPLANES = [
     _flat[b * EMB_DIM : (b + 1) * EMB_DIM] for b in range(N_HYPERPLANES)
 ]
+
+# --- banded sign-LSH for embedding near-dup (auto-scaled) --------------------
+# The near-dup candidate join must stay linear as the corpus grows, so the
+# per-band bit width r is derived from the corpus size the way
+# ivf_auto_params derives NLIST: r = ceil(log2(n / EMB_BUCKET_TARGET)) keeps
+# expected bucket occupancy ~EMB_BUCKET_TARGET, making the in-bucket
+# self-join O(n * TARGET) instead of O(n^2 / 2^const). A SINGLE auto-widened
+# bucket would trade that for recall (P[>=2 sign flips among r planes] grows
+# with r), so the index is EMB_NEARDUP_BANDS independent bands, each with its
+# own r planes and Hamming-1 multi-probe: a 0.99-cosine pair (flip prob
+# p ~ 0.016/plane) escapes one band with prob ~C(r,2)p^2 ~ 1e-2, and all
+# four independent bands with ~1e-8 — planted recall stays 1.0 while bucket
+# size stays ~TARGET. Planes come from one LCG pool (band j owns the pool
+# slice [j*EMB_BAND_BITS_MAX, j*EMB_BAND_BITS_MAX + r)), so both engines
+# materialize identical literals; EMB_BAND_BITS_MAX = 20 caps the pool (2^20
+# buckets/band covers ~67M vectors at TARGET=64; past the cap bucket size
+# grows linearly — same documented bound as IVF_NLIST_MAX).
+EMB_NEARDUP_BANDS = 4
+EMB_BAND_BITS_MIN = 8
+EMB_BAND_BITS_MAX = 20
+EMB_BUCKET_TARGET = 64
+
+_pool_flat = _lcg_bits(EMB_NEARDUP_BANDS * EMB_BAND_BITS_MAX * EMB_DIM)
+HYPERPLANE_POOL = [
+    _pool_flat[b * EMB_DIM : (b + 1) * EMB_DIM]
+    for b in range(EMB_NEARDUP_BANDS * EMB_BAND_BITS_MAX)
+]
+
+
+def emb_band_bits(n: int) -> int:
+    """Per-band hyperplane count from the corpus size (pre-planting count,
+    matching the SQL twin's scalar subquery over `embeddings`)."""
+    import math
+
+    return max(
+        EMB_BAND_BITS_MIN,
+        min(
+            EMB_BAND_BITS_MAX,
+            math.ceil(math.log2(max(n, 1) / EMB_BUCKET_TARGET)),
+        ),
+    )
 
 # language-ID marker words (n-gram heuristic): presence counts decide 'en'
 LANG_MARKERS = ["the", "and", "with", "from", "value", "table"]

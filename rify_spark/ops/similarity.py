@@ -81,10 +81,12 @@ def knn_bruteforce_sql(n_queries: int = KNN_N_QUERIES, k: int = KNN_K) -> str:
     """
 
 
-def _bucket_expr(vec_col):
-    """Sign-random-projection bucket id: one bit per hyperplane."""
+def _bucket_expr(vec_col, planes=None):
+    """Sign-random-projection bucket id: one bit per hyperplane. `planes`
+    defaults to the fixed 8-plane ANN index; the banded near-dup path in
+    ops/dedup.py passes per-band slices of params.HYPERPLANE_POOL."""
     bucket = F.lit(0).cast("long")
-    for b, plane in enumerate(HYPERPLANES):
+    for b, plane in enumerate(HYPERPLANES if planes is None else planes):
         proj = F.aggregate(
             F.zip_with(
                 vec_col,

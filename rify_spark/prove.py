@@ -104,16 +104,27 @@ def collect_reachable_arguments(
     lrules: list,
     cfg: InferConfig,
     dtype_str: str = "long",
+    metrics: Optional[dict] = None,
 ) -> dict:
     """quad -> LowApplication for every argument reachable from the goals.
 
     Small argument tables are collected outright; large ones are walked with
     an iterative frontier join (one tiny broadcast join per proof-DAG level),
     so driver memory is bounded by the reachable proof slice, not the corpus.
+
+    ``metrics`` (optional, filled in place): ``path`` ("collect"/"frontier"),
+    ``total_argument_rows``, and per-level ``frontier_levels`` entries
+    ``{level, need, matched}`` — the at-scale observability the soak
+    harness (scripts/prove_scale.py) records.
     """
     total = args_df.count()
     by_index = {r.index: r for r in lrules}
+    if metrics is not None:
+        metrics["total_argument_rows"] = total
+        metrics["threshold"] = cfg.collect_arguments_max_rows
     if total <= cfg.collect_arguments_max_rows:
+        if metrics is not None:
+            metrics["path"] = "collect"
         rows = args_df.collect()
         return {
             (r["s"], r["p"], r["o"], r["g"]): LowApplication(
@@ -122,10 +133,14 @@ def collect_reachable_arguments(
             for r in rows
         }
 
+    if metrics is not None:
+        metrics["path"] = "frontier"
+        metrics["frontier_levels"] = []
     args: dict = {}
     visited: set = set()
     frontier = [q for q in goal_quads]
     schema = f"s {dtype_str}, p {dtype_str}, o {dtype_str}, g {dtype_str}"
+    level = 0
     while frontier:
         need = [q for q in frontier if q not in visited]
         visited.update(need)
@@ -133,6 +148,11 @@ def collect_reachable_arguments(
             break
         fdf = spark.createDataFrame(need, schema)
         rows = args_df.join(fdf, SPOG, "left_semi").collect()
+        if metrics is not None:
+            metrics["frontier_levels"].append(
+                {"level": level, "need": len(need), "matched": len(rows)}
+            )
+        level += 1
         frontier = []
         for r in rows:
             quad = (r["s"], r["p"], r["o"], r["g"])

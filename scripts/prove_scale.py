@@ -79,6 +79,34 @@ def main() -> None:
     args_rows = res.arguments.count()
     wall = time.time() - t0
 
+    # VERDICT r4 ask #8: end-to-end proof extraction at the DEFAULT
+    # collect_arguments_max_rows — the arguments table (~19M rows) is far
+    # above the 1M threshold, so the iterative frontier join MUST engage;
+    # then replay the proof through validate() and assert it implies the
+    # goal (the round-trip the unit test only exercises at threshold 0).
+    from rify_spark.prove import collect_reachable_arguments, recall_proof
+    from rify_spark.rules import RuleApplication
+    from rify_spark.validate import validate
+
+    t1 = time.time()
+    frontier_metrics: dict = {}
+    args = collect_reachable_arguments(
+        spark, res.arguments, [goal], lrules, cfg, "string",
+        metrics=frontier_metrics,
+    )
+    lproof = recall_proof([goal], args, lrules)
+    assert frontier_metrics.get("path") == "frontier", frontier_metrics
+    proof = [
+        RuleApplication(app.rule_index, list(app.instantiations))
+        for app in lproof
+    ]
+    valid = validate(rules, proof)
+    assert goal in valid.implied, "proof does not imply the goal"
+    assert all(q[1] == "parent" for q in valid.assumed), (
+        "proof assumed a non-premise quad"
+    )
+    extract_wall = time.time() - t1
+
     out = {
         "tree_n": TREE_N,
         "tree_edges": TREE_N - 1,
@@ -92,6 +120,14 @@ def main() -> None:
         "arguments_rows": args_rows,
         "wall_s": round(wall, 1),
         "lineage_rows_per_sec": round(args_rows / wall, 1),
+        "proof_extraction": {
+            "frontier": frontier_metrics,
+            "proof_steps": len(proof),
+            "validated_implied_rows": len(valid.implied),
+            "validated_assumed_rows": len(valid.assumed),
+            "goal_implied": True,
+            "wall_s": round(extract_wall, 1),
+        },
         "iter_metrics": res.metrics,
     }
     with open(os.path.join(REPO, "PROVE_RUN.json"), "w") as f:

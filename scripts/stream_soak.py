@@ -37,7 +37,22 @@ CPUS = int(os.environ.get("RIFY_SOAK_CPUS", "16"))
 TREE_N = int(os.environ.get("RIFY_SOAK_TREE_N", "1000000"))
 BATCHES = int(os.environ.get("RIFY_SOAK_BATCHES", "50"))
 RESTART_AT = int(os.environ.get("RIFY_SOAK_RESTART_AT", "25"))
-OUT = os.environ.get("RIFY_SOAK_OUT", os.path.join(REPO, "STREAM_RUN.json"))
+# key distribution (VERDICT r4 ask #7): "uniform" streams each edge once in
+# id order; "zipf" additionally re-sends, per batch, ZIPF_FRAC x batch-size
+# DUPLICATE edges whose subjects are Zipf-distributed over the ids seen so
+# far (log-uniform inverse-CDF over a deterministic 32-bit hash — rank-1/r
+# frequencies, so node:1/node:2 are re-sent thousands of times). Duplicates
+# are true tree edges, so the EXACT closed-form closure check is unchanged —
+# what the skew exercises is the insert-dedup + chained-novelty-anti path
+# and the hot-key candidate join, together.
+KEY_DIST = os.environ.get("RIFY_SOAK_KEY_DIST", "uniform")
+ZIPF_FRAC = float(os.environ.get("RIFY_SOAK_ZIPF_FRAC", "1.0"))
+OUT = os.environ.get(
+    "RIFY_SOAK_OUT",
+    os.path.join(
+        REPO, "STREAM_RUN.json" if KEY_DIST == "uniform" else "STREAM_RUN_ZIPF.json"
+    ),
+)
 
 
 def _java_rss_kb() -> int:
@@ -88,13 +103,37 @@ def main() -> None:
             spark, rules, store_dir, compact_files_every=16
         )
 
-    def batch_df(lo: int, hi: int):
-        return spark.range(lo, hi, 1, CPUS).select(
+    def _edges(ids):
+        return ids.select(
             F.concat(F.lit("node:"), F.col("id")).alias("s"),
             F.lit("parent").alias("p"),
             F.concat(F.lit("node:"), (F.col("id") / 2).cast("long")).alias("o"),
             F.lit("graph://tree").alias("g"),
         )
+
+    def batch_df(lo: int, hi: int):
+        novel = _edges(spark.range(lo, hi, 1, CPUS))
+        if KEY_DIST != "zipf":
+            return novel
+        # Zipf-distributed duplicate subjects over [1, hi): u = 32-bit hash
+        # of the row index (deterministic), id = floor(hi^u) — log-uniform,
+        # i.e. P(id = k) ~ 1/k. All are edges already sent, so the store
+        # must absorb every one of them via dedup + anti.
+        extra_n = int((hi - lo) * ZIPF_FRAC)
+        u = (
+            (F.col("id") + F.lit(lo)) * F.lit(2654435761) % F.lit(1 << 32)
+        ).cast("double") / F.lit(float(1 << 32))
+        zipf_id = F.greatest(
+            F.lit(1),
+            F.least(
+                F.lit(hi - 1),
+                F.pow(F.lit(float(hi)), u).cast("long"),
+            ),
+        )
+        dup = _edges(
+            spark.range(0, extra_n, 1, CPUS).select(zipf_id.alias("id"))
+        )
+        return novel.unionByName(dup)
 
     r = mk_reasoner()
     step = (TREE_N - 1) // BATCHES + 1
@@ -117,7 +156,8 @@ def main() -> None:
         per_batch.append(
             {
                 "batch": i,
-                "rows": hi - lo,
+                "rows": (hi - lo)
+                + (int((hi - lo) * ZIPF_FRAC) if KEY_DIST == "zipf" else 0),
                 "wall_s": round(time.time() - t0, 3),
                 "store_rows": store.total_rows,
                 "store_blocks": len(store.blocks),
@@ -141,6 +181,8 @@ def main() -> None:
     )
     out = {
         "tree_nodes": TREE_N,
+        "key_dist": KEY_DIST,
+        "zipf_frac": ZIPF_FRAC if KEY_DIST == "zipf" else 0.0,
         "batches": len(per_batch),
         "cpus": CPUS,
         "restart_at": RESTART_AT,

@@ -545,9 +545,13 @@ def test_store_growth_triggers_on_rows_not_only_block_count(spark):
 def test_fused_iterations_reach_identical_fixpoint(spark):
     """Iteration fusion (fuse_rounds>1) is a coarser chaotic iteration of the
     same monotone operator: the derived set must be identical to plain
-    semi-naive, in fewer outer iterations. Exercises the re-seeded round-2
-    plans (delta = round-1 candidates, facts = store ∪ candidates,
-    F_old = store) including the head-predicate prune set."""
+    semi-naive, in fewer outer iterations. Exercises the re-seeded fused
+    rounds (delta_k = round-k novelty minus earlier fused novelty,
+    facts = store ∪ accumulated novelty, F_old = the previous round's
+    facts) including the head-predicate prune set. fuse_rounds=3 covers
+    the k>=3 accumulation path: round 3 joins round-1 novelty against
+    round-2 novelty inside ONE outer iteration, which the pre-fix code
+    (round_facts rebuilt from the pre-fusion store) could not do."""
     from rify_spark.api import infer_df
     from rify_spark.infer import InferConfig
     from rify_spark.rules import Bound as B, Rule, Unbound as U
@@ -572,15 +576,15 @@ def test_fused_iterations_reach_identical_fixpoint(spark):
     df_plain, fx_plain = infer_df(
         spark, facts, rules, config=InferConfig(fuse_rounds=1)
     )
-    df_fused, fx_fused = infer_df(
-        spark, facts, rules,
-        config=InferConfig(fuse_rounds=2, fuse_below_rows=10**9),
-    )
-    assert sorted(map(tuple, df_fused.collect())) == sorted(
-        map(tuple, df_plain.collect())
-    )
-    assert fx_fused.iterations < fx_plain.iterations
-    assert any(m.get("fused_rounds") == 2 for m in fx_fused.metrics)
+    expected = sorted(map(tuple, df_plain.collect()))
+    for k in (2, 3):
+        df_fused, fx_fused = infer_df(
+            spark, facts, rules,
+            config=InferConfig(fuse_rounds=k, fuse_below_rows=10**9),
+        )
+        assert sorted(map(tuple, df_fused.collect())) == expected
+        assert fx_fused.iterations < fx_plain.iterations
+        assert any(m.get("fused_rounds") == k for m in fx_fused.metrics)
 
 
 def test_tiered_compaction_keeps_base_and_exact_union(spark):
