@@ -851,6 +851,7 @@ def fixpoint(
     _toggles = {
         "spark.sql.codegen.wholeStage": None,
         "spark.sql.adaptive.enabled": None,
+        "spark.sql.constraintPropagation.enabled": None,
     }
     _saved = {k: spark.conf.get(k, "true") for k in _toggles}
     _percore = 250_000 * max(1, spark.sparkContext.defaultParallelism)
@@ -865,6 +866,16 @@ def fixpoint(
             _toggles[key] = on
 
     try:
+        # constraint propagation walks every operator's expression set at
+        # optimization time — a measurable slice of the per-iteration driver
+        # floor on the fixpoint's iteration-deep join/union plans (profiled
+        # ~0.5 s/iteration on the 100k-file pipeline) and useless here: quad
+        # columns are non-null by construction and every join is an inner
+        # equi-join. Scoped to THIS fixpoint run (restored in the finally)
+        # because the global off was measured to cost the shallow ops
+        # queries ~10% (knn_lsh A/B, AB_KNN_LSH.json) — they keep the
+        # Spark default.
+        _set_conf("spark.sql.constraintPropagation.enabled", False)
         while delta_rows > 0 and cond_rules:
             if goals is not None and goals_met():
                 break

@@ -35,15 +35,12 @@ def get_spark(
         # join keys in rule-head candidates), and with this off Spark 4
         # would re-exchange the store side every fixpoint iteration
         .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
-        # constraint propagation infers IsNotNull/equality constraints by
-        # walking every operator's expression set — on the fixpoint's
-        # iteration-deep join/union plans it is a measurable slice of the
-        # per-iteration driver floor (profiled ~0.5 s/iteration on the
-        # 100k-file pipeline, invariant in core count) and buys nothing
-        # here: quad columns are non-null by construction and every join is
-        # an inner equi-join whose null rows are dropped anyway. Optimizer-
-        # only switch — result sets are unchanged.
-        .config("spark.sql.constraintPropagation.enabled", "false")
+        # NOTE: spark.sql.constraintPropagation.enabled stays at the Spark
+        # default here. Disabling it helps only the fixpoint's
+        # iteration-deep plans (~0.5 s/iteration of optimizer time) and was
+        # measured to COST the shallow ops queries ~10% (knn_lsh A/B,
+        # AB_KNN_LSH.json, round 5) — so infer.fixpoint() scopes the off
+        # toggle to its own run and restores on exit.
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")

@@ -57,7 +57,10 @@ def main() -> None:
     steals: list = []
     key = "spark.sql.constraintPropagation.enabled"
     for rep in range(REPS):
-        for arm in ("off", "on"):  # interleaved: same window hits both arms
+        # alternate arm order per rep: within-rep cache warmth must not
+        # systematically favor the second arm
+        order = ("off", "on") if rep % 2 == 0 else ("on", "off")
+        for arm in order:  # interleaved: same window hits both arms
             spark.conf.set(key, "true" if arm == "on" else "false")
             s0 = _steal()
             for q, fn in queries.items():

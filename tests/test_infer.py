@@ -542,6 +542,33 @@ def test_store_growth_triggers_on_rows_not_only_block_count(spark):
     assert store.union().count() == 1008
 
 
+def test_fixpoint_scopes_constraint_propagation(spark):
+    """The constraintPropagation off-toggle is scoped to the fixpoint run:
+    whatever the caller had set is restored on exit (round 5: the global
+    off in session.py cost the shallow ops queries ~10%, AB_KNN_LSH.json)."""
+    from rify_spark.api import infer_df
+    from rify_spark.rules import Bound as B, Rule, Unbound as U
+
+    key = "spark.sql.constraintPropagation.enabled"
+    rules = [
+        Rule.create(
+            [[U("a"), B("p"), U("b"), U("g")]],
+            [[U("a"), B("q"), U("b"), U("g")]],
+        )
+    ]
+    facts = spark.createDataFrame(
+        [("x", "p", "y", "g")], "s string, p string, o string, g string"
+    )
+    saved = spark.conf.get(key)
+    try:
+        for preset in ("true", "false"):
+            spark.conf.set(key, preset)
+            infer_df(spark, facts, rules)
+            assert spark.conf.get(key) == preset
+    finally:
+        spark.conf.set(key, saved)
+
+
 def test_fused_iterations_reach_identical_fixpoint(spark):
     """Iteration fusion (fuse_rounds>1) is a coarser chaotic iteration of the
     same monotone operator: the derived set must be identical to plain
