@@ -76,8 +76,11 @@ def main() -> None:
     entrymod._ship(spark)
     con = duckdb.connect()
     for t in TABLES:
+        # make_sf1.py writes Spark-style parquet DIRECTORIES
+        path = f"{SF1}/{t}.parquet"
+        glob = f"{path}/*.parquet" if os.path.isdir(path) else path
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF1}/{t}.parquet')"
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{glob}')"
         )
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
