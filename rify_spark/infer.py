@@ -46,6 +46,7 @@ Scale design:
 from __future__ import annotations
 
 import hashlib
+import os
 import time
 from dataclasses import dataclass, field
 from typing import Optional
@@ -57,6 +58,12 @@ from pyspark.sql import functions as F
 from .checkpoint import CheckpointManager
 from .matcher import bindings, lineage_cols, project_heads
 from .rules import LoweredRule
+
+# RIFY_PROF_CATALYST=1: per-iteration metrics carry "catalyst_s", the time
+# to force the staged block's physical plan (Catalyst analysis +
+# optimization + planning, driver-serial) — the profiling hook behind
+# scripts/prof_iter_catalyst.py's floor decomposition.
+_PROF_CATALYST = os.environ.get("RIFY_PROF_CATALYST", "") == "1"
 
 SPOG = ["s", "p", "o", "g"]
 
@@ -1039,6 +1046,18 @@ def fixpoint(
             # yields the count + next prune set. Eager checkpoint + separate
             # count + separate block fill was three driver barriers.
             block = store.stage_block(new)
+            if _PROF_CATALYST:
+                # attribute the iteration's Catalyst share: forcing the
+                # physical plan compiles analysis+optimization+planning for
+                # the deep candidate->anti->checkpoint pipeline without
+                # running it; the subsequent action reuses the cached
+                # QueryExecution, so this costs ~nothing when enabled and
+                # exactly nothing when off
+                tq = time.time()
+                block._jdf.queryExecution().executedPlan()
+                catalyst_s = round(time.time() - tq, 4)
+            else:
+                catalyst_s = None
             delta_rows, delta_preds = _count_and_preds(block, cfg)
             if lineage and delta_rows:
                 arg_blocks.append(new_full)
@@ -1077,6 +1096,8 @@ def fixpoint(
                 "store_partitions": store.partitions,
                 "compacted": store.just_compacted,
             }
+            if catalyst_s is not None:
+                m["catalyst_s"] = catalyst_s
             metrics.append(m)
             if ckpt:
                 write_base = it == 1 or (it - last_base) >= cfg.store_compact_every
