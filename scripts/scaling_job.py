@@ -23,6 +23,10 @@ TREE_N = int(os.environ.get("RIFY_SCALING_TREE_N", "1000000"))
 # fixpoint-only mode: skip the KG pipeline (used for the supplementary
 # large-tree measurement where only fixpoint scaling is under test)
 SKIP_PIPELINE = os.environ.get("RIFY_SCALING_SKIP_PIPELINE") == "1"
+# pipeline-only mode: skip the fixpoint + control (used for cheap extra
+# interleaved pipeline reps when a measurement window is visibly stolen —
+# a full pair costs ~90 s instead of ~8 min)
+SKIP_FIXPOINT = os.environ.get("RIFY_SCALING_SKIP_FIXPOINT") == "1"
 
 
 def main() -> None:
@@ -62,6 +66,10 @@ def main() -> None:
         out["pipeline_derived"] = derived
         out["pipeline_triples_per_sec"] = round(derived / wall, 1)
         out["pipeline_stage_walls"] = res.metrics.get("stage_walls", {})
+
+    if SKIP_FIXPOINT:
+        print(json.dumps(out))
+        return
 
     # (b) ancestry fixpoint over a synthetic k -> k//2 tree (same shape as
     # the reference's ancestry bench, scaled)
