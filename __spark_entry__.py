@@ -380,6 +380,79 @@ def _q_streaming_incremental(spark, sf_dir):
     return r.facts().join(edges, ["s", "p", "o", "g"], "left_anti")
 
 
+def _q_streaming_retract(spark, sf_dir):
+    """Retraction (DRed): insert the customer tree PLUS direct 'ancestor'
+    shortcut premises (custkey % 3 == 0), then retract every parent edge
+    with custkey % 4 == 0 and return the maintained 'ancestor' relation.
+    The retract set deliberately mixes (a) edges whose whole ancestor cone
+    must disappear and (b) edges shadowed by a surviving shortcut premise,
+    so over-delete, premise re-seed and transitive re-derivation all fire.
+    Oracle: DuckDB WITH RECURSIVE over exactly the surviving premise set —
+    incremental deletion must land on the from-scratch fixpoint."""
+    _ship(spark)
+    import tempfile
+
+    from rify_spark.ops.quads import TREE_G, tree_edges
+    from rify_spark.rules import Bound as B, Rule, Unbound as U
+    from rify_spark.streaming import IncrementalReasoner
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").filter(
+        F.col("c_custkey") >= 1
+    )
+    edges = tree_edges(spark, sf_dir)
+    shortcuts = cust.filter(F.col("c_custkey") % 3 == 0).select(
+        F.concat(F.lit("node:"), F.col("c_custkey")).alias("s"),
+        F.lit("ancestor").alias("p"),
+        F.concat(
+            F.lit("node:"), F.floor(F.col("c_custkey") / 2).cast("long")
+        ).alias("o"),
+        F.lit(TREE_G).alias("g"),
+    )
+    retract = edges.join(
+        cust.filter(F.col("c_custkey") % 4 == 0).select(
+            F.concat(F.lit("node:"), F.col("c_custkey")).alias("s")
+        ),
+        "s",
+        "left_semi",
+    )
+    rules = [
+        Rule.create(
+            [[U("a"), B("parent"), U("b"), U("g")]],
+            [[U("a"), B("ancestor"), U("b"), U("g")]],
+        ),
+        Rule.create(
+            [
+                [U("a"), B("ancestor"), U("b"), U("g")],
+                [U("b"), B("ancestor"), U("c"), U("g")]],
+            [[U("a"), B("ancestor"), U("c"), U("g")]],
+        ),
+    ]
+    store = tempfile.mkdtemp(prefix="rify_retract_gate_") + "/facts"
+    r = IncrementalReasoner(spark, rules, store)
+    r.process_batch(edges.unionByName(shortcuts), 0)
+    r.retract_batch(retract)
+    return r.facts().filter(F.col("p") == "ancestor")
+
+
+RETRACT_CLOSURE_SQL = """
+  WITH RECURSIVE base AS (
+    SELECT c_custkey AS child, c_custkey // 2 AS par
+    FROM customer WHERE c_custkey >= 1 AND c_custkey % 4 <> 0
+    UNION
+    SELECT c_custkey, c_custkey // 2
+    FROM customer WHERE c_custkey >= 1 AND c_custkey % 3 = 0
+  ),
+  anc AS (
+    SELECT child, par AS anc FROM base
+    UNION
+    SELECT a.child, b.par AS anc FROM anc a JOIN base b ON a.anc = b.child
+  )
+  SELECT 'node:' || child AS s, 'ancestor' AS p, 'node:' || anc AS o,
+         'graph://tree' AS g
+  FROM anc
+"""
+
+
 def _q_graph_vertices(spark, sf_dir):
     from rify_spark.ops.graph import graph_vertices
 
@@ -430,6 +503,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_salted_closure": quads.skew_salted_closure,
         # streaming IVM: two-micro-batch incremental closure == one-shot
         "streaming_incremental_closure": _q_streaming_incremental,
+        # retraction (DRed): delete premises, re-derive survivors — final
+        # state must equal the from-scratch closure over what remains
+        "streaming_retract_closure": _q_streaming_retract,
         # shipped RDFS ruleset over the TPC-H hierarchy
         "rdfs_closure": _q_rdfs_closure,
         # OWL property characteristics declared as data
@@ -540,6 +616,7 @@ def oracle_sql() -> dict[str, str]:
         "o18_rule_validation": quads.RULE_VALIDATION_SQL,
         "skew_salted_closure": quads.SKEW_SALTED_CLOSURE_SQL,
         "streaming_incremental_closure": quads.ANCESTRY_CLOSURE_SQL,
+        "streaming_retract_closure": RETRACT_CLOSURE_SQL,
         "rdfs_closure": RDFS_CLOSURE_SQL,
         "owl_property_closure": _owl_property_closure_sql(),
         "kg_graph_vertices": graph.graph_vertices_sql(),

@@ -35,6 +35,17 @@ State recovery: restart re-seeds the live store from the parquet store and
 Spark's own checkpointLocation replays unprocessed source files. Use
 ``trigger(availableNow=True)`` for catch-up-then-stop semantics (tested),
 or a processing-time trigger for continuous operation.
+
+Retraction (DRed — see :mod:`.retract`): :meth:`IncrementalReasoner.
+retract_batch` removes premises and exactly maintains the closure
+(over-delete the cone, subtract, re-derive survivors); :meth:`
+process_signed_batch` accepts CDC-style batches with an ``op`` column
+('+'/'-'). Premises are tracked in a sibling bucketed parquet directory
+(``<store>.__premises__``) so "retract X" is well-defined under set
+semantics: a fact stays iff it is still a premise or still derivable.
+Durable edits are journaled (full new content of every affected bucket is
+written and committed BEFORE any store directory is touched), so a crash
+mid-retraction replays idempotently on the next startup.
 """
 
 from __future__ import annotations
@@ -70,6 +81,7 @@ class IncrementalReasoner:
         config: Optional[InferConfig] = None,
         n_buckets: int = 64,
         compact_files_every: int = 16,
+        track_premises: bool = True,
     ):
         self.spark = spark
         self.rules = list(rules)
@@ -77,6 +89,11 @@ class IncrementalReasoner:
         self.n_buckets = n_buckets
         self.compact_files_every = max(1, compact_files_every)
         self._batches_since_compact = 0
+        # premise tracking makes retraction well-defined (a fact survives a
+        # retraction iff it is still a premise or still derivable); costs
+        # one O(batch) parquet append per batch. Disable for insert-only
+        # pipelines that will never retract.
+        self.track_premises = track_premises
         if config is None:
             # stats/hot-key scans are per-fixpoint-call full-store scans —
             # exactly the O(store)-per-batch work the live store removes
@@ -91,12 +108,20 @@ class IncrementalReasoner:
         self.lrules = [lower_rule(r, i, lambda t: t) for i, r in enumerate(self.rules)]
         self._store: Optional[FactStore] = None
         self._recover_compaction()
+        self._recover_retraction()
 
     # --- durable bucketed parquet ----------------------------------------
 
-    def _compact_paths(self) -> tuple:
-        base = self.store_dir.rstrip("/")
+    def _compact_paths(self, base: Optional[str] = None) -> tuple:
+        base = (base or self.store_dir).rstrip("/")
         return base + ".__compact__", base + ".__old__"
+
+    @property
+    def premises_dir(self) -> str:
+        return self.store_dir.rstrip("/") + ".__premises__"
+
+    def _journal_dir(self) -> str:
+        return self.store_dir.rstrip("/") + ".__retract_journal__"
 
     def _recover_compaction(self) -> None:
         """Heal a crash inside :meth:`compact_store`'s directory swap.
@@ -109,12 +134,14 @@ class IncrementalReasoner:
         rename it back (the compacted ``.__compact__`` copy, if complete,
         holds the same rows — either directory is a correct store; the
         original is the conservative pick). Leftover side directories are
-        then removed in both cases."""
-        tmp, old = self._compact_paths()
-        if not os.path.isdir(self.store_dir) and os.path.isdir(old):
-            os.rename(old, self.store_dir)
-        shutil.rmtree(tmp, ignore_errors=True)
-        shutil.rmtree(old, ignore_errors=True)
+        then removed in both cases. Applies to both the fact store and the
+        premise store (same swap discipline)."""
+        for base in (self.store_dir, self.premises_dir):
+            tmp, old = self._compact_paths(base)
+            if not os.path.isdir(base) and os.path.isdir(old):
+                os.rename(old, base)
+            shutil.rmtree(tmp, ignore_errors=True)
+            shutil.rmtree(old, ignore_errors=True)
 
     def _has_parquet(self) -> bool:
         return os.path.isdir(self.store_dir) and any(
@@ -132,7 +159,13 @@ class IncrementalReasoner:
             )
         return self.spark.createDataFrame([], QUAD_SCHEMA)
 
-    def _append_parquet(self, df: DataFrame) -> None:
+    def _bucketed(self, df: DataFrame) -> DataFrame:
+        return df.withColumn(
+            BUCKET_COL,
+            F.pmod(F.xxhash64("s"), F.lit(self.n_buckets)).cast("int"),
+        )
+
+    def _append_parquet(self, df: DataFrame, target: Optional[str] = None) -> None:
         # repartition on the bucket key first: partitionBy splits EVERY task
         # by bucket value, so an un-repartitioned append (novel + iteration
         # deltas ≈ hundreds of store-width partitions) writes tasks×buckets
@@ -140,36 +173,58 @@ class IncrementalReasoner:
         # soak, with the append wall growing to ~50 s/batch. One exchange of
         # O(delta) rows caps the append at n_buckets files per batch.
         (
-            df.withColumn(
-                BUCKET_COL,
-                F.pmod(F.xxhash64("s"), F.lit(self.n_buckets)).cast("int"),
-            )
+            self._bucketed(df)
             .repartition(self.n_buckets, BUCKET_COL)
             .write.mode("append")
             .partitionBy(BUCKET_COL)
-            .parquet(self.store_dir)
+            .parquet(target or self.store_dir)
         )
+
+    def _premises_df(self) -> DataFrame:
+        """The premise set (deduplicated read: appends may re-record a
+        premise that arrived in several batches; compaction collapses
+        them)."""
+        d = self.premises_dir
+        if os.path.isdir(d) and any(not e.startswith(".") for e in os.listdir(d)):
+            return (
+                self.spark.read.schema(f"{QUAD_SCHEMA}, {BUCKET_COL} int")
+                .parquet(d)
+                .select(*SPOG)
+                .dropDuplicates(SPOG)
+            )
+        return self.spark.createDataFrame([], QUAD_SCHEMA)
 
     def compact_store(self) -> None:
         """Rewrite the bucketed store with one file per bucket (atomic swap:
         write aside, then replace). Appends leave O(batches) small files per
-        bucket; compaction returns the store to O(n_buckets) files."""
-        if not self._has_parquet():
+        bucket; compaction returns the store to O(n_buckets) files. The
+        premise directory compacts on the same cadence, additionally
+        collapsing cross-batch duplicate premise records (appends are
+        deliberately dedup-free — set semantics are restored here and at
+        read time)."""
+        self._compact_dir(self.store_dir)
+        self._compact_dir(self.premises_dir, dedup=True)
+
+    def _compact_dir(self, base: str, dedup: bool = False) -> None:
+        if not os.path.isdir(base) or not any(
+            not e.startswith(".") for e in os.listdir(base)
+        ):
             return
-        tmp, old = self._compact_paths()
+        tmp, old = self._compact_paths(base)
         shutil.rmtree(tmp, ignore_errors=True)
+        df = self.spark.read.schema(f"{QUAD_SCHEMA}, {BUCKET_COL} int").parquet(base)
+        if dedup:
+            df = df.dropDuplicates(SPOG)
         (
-            self.spark.read.schema(f"{QUAD_SCHEMA}, {BUCKET_COL} int")
-            .parquet(self.store_dir)
-            .repartition(self.n_buckets, BUCKET_COL)
+            df.repartition(self.n_buckets, BUCKET_COL)
             .write.mode("overwrite")
             .partitionBy(BUCKET_COL)
             .parquet(tmp)
         )
         # swap window healed by _recover_compaction on the next startup
         shutil.rmtree(old, ignore_errors=True)
-        os.rename(self.store_dir, old)
-        os.rename(tmp, self.store_dir)
+        os.rename(base, old)
+        os.rename(tmp, base)
         shutil.rmtree(old, ignore_errors=True)
 
     # --- live store -------------------------------------------------------
@@ -210,6 +265,17 @@ class IncrementalReasoner:
         store = self._live_store()
         batch = batch_df.select(*SPOG).dropDuplicates(SPOG)
         try:
+            if self.track_premises:
+                # record the batch's premises FIRST (before any store
+                # mutation and before the all-duplicates early return):
+                # retraction semantics need every asserted premise on
+                # record, including re-assertions of already-derived quads.
+                # Appends are dedup-free (O(batch), no store read) —
+                # duplicates collapse at read time and at compaction. The
+                # checkpoint keeps the downstream novelty anti from
+                # re-reading the source.
+                batch = batch.localCheckpoint(eager=False)
+                self._append_parquet(batch, self.premises_dir)
             if store.total_rows == 0:
                 # first facts: unconditional heads are not yet materialized —
                 # run a full first round over seed_facts. The store was
@@ -264,6 +330,211 @@ class IncrementalReasoner:
             self.compact_store()
             self._batches_since_compact = 0
 
+    # --- retraction (DRed) -------------------------------------------------
+
+    def retract_batch(self, retract_df: DataFrame) -> dict:
+        """Remove premises and exactly maintain the closure (DRed — see
+        :mod:`.retract` for the algorithm and cost model).
+
+        Returns a metrics dict: ``retracted`` (premises actually removed —
+        quads that were never premises are ignored), ``cone`` (over-deleted
+        facts), ``readded`` (cone members that survived re-derivation),
+        ``removed`` (net deletions), plus round counts.
+
+        Failure atomicity mirrors :meth:`process_batch`: the live store is
+        rolled back (re-seeded from the committed parquet) on any error;
+        durable edits happen only after the full new bucket contents are
+        journaled and committed, and replay idempotently after a crash."""
+        if not self.track_premises:
+            raise ValueError(
+                "retract_batch requires track_premises=True (the premise set "
+                "defines what a retraction means)"
+            )
+        # constraint propagation OFF for the whole retraction (restored in
+        # the finally), for the fixpoint's perf reason (infer.py:876-884)
+        # plus a correctness one: the cone/readded unions mix eager
+        # localCheckpoints, and a checkpointed LogicalRDD carries its
+        # origin plan's constraints — when the source plan was
+        # constraint-rich (parquet reads + filters), Union's
+        # rewriteConstraints hits attributes absent from the checkpoint's
+        # output and throws NoSuchElementException ("key not found: g#N",
+        # UnionBase.rewriteConstraints). Constraints buy nothing here: every
+        # join is an equi/semi/anti join on non-null quad columns.
+        _ckey = "spark.sql.constraintPropagation.enabled"
+        _csaved = self.spark.conf.get(_ckey, "true")
+        self.spark.conf.set(_ckey, "false")
+        try:
+            return self._retract_batch_inner(retract_df)
+        finally:
+            self.spark.conf.set(_ckey, _csaved)
+
+    def _retract_batch_inner(self, retract_df: DataFrame) -> dict:
+        from .retract import (
+            _maybe_broadcast,
+            overdelete,
+            rederive,
+            store_subtract,
+            unconditional_head_quads,
+        )
+
+        store = self._live_store()
+        x_req = retract_df.select(*SPOG).dropDuplicates(SPOG)
+        premises = self._premises_df()
+        # only actual premises can be retracted; unknown quads are a no-op
+        x = x_req.join(premises, SPOG, "left_semi").localCheckpoint(eager=True)
+        x_rows = x.count()
+        m = {
+            "retracted": x_rows,
+            "cone": 0,
+            "readded": 0,
+            "removed": 0,
+            "overdelete_rounds": 0,
+            "rederive_rounds": 0,
+        }
+        if x_rows == 0 or store.total_rows == 0:
+            return m
+        dtype = store.union().schema["s"].dataType
+        try:
+            # 1. the deletion cone, over the PRE-deletion store (the cone's
+            # blocks are eager checkpoints, so the snapshot is safe to drop
+            # afterwards)
+            cone, cone_rows, m["overdelete_rounds"] = overdelete(
+                self.spark, store.union(), self.lrules, x
+            )
+            # 2. facts by fiat that the cone swept up: premises that remain
+            # asserted, and unconditional heads (they hold in any store)
+            p_rest = premises.join(_maybe_broadcast(x, x_rows), SPOG, "left_anti")
+            uncond = unconditional_head_quads(self.spark, self.lrules, QUAD_SCHEMA)
+            reseed = cone.join(p_rest, SPOG, "left_semi").unionByName(
+                uncond.join(cone, SPOG, "left_semi")
+            )
+            # 3. subtract, then re-derive survivors
+            store_subtract(store, cone, cone_rows)
+            readded, readd_rows, m["rederive_rounds"] = rederive(
+                self.spark, store, self.lrules, cone, cone_rows, reseed, dtype
+            )
+            m["cone"] = cone_rows
+            m["readded"] = readd_rows
+            if readd_rows:
+                blk = store.stage_block(readded)
+                n = blk.count()
+                store.add_block(blk, rows=n, src=readded)
+            removed = cone.join(
+                _maybe_broadcast(readded, readd_rows), SPOG, "left_anti"
+            ).localCheckpoint(eager=True)
+            m["removed"] = removed.count()
+            # 4. durable edits, journaled
+            self._apply_durable_retraction(x, x_rows, removed, readded, cone_rows)
+        except BaseException:
+            self._reset_live_store()
+            raise
+        return m
+
+    def process_signed_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        """foreachBatch body for CDC-style signed streams: quads carry an
+        ``op`` column ('+' assert / '-' retract). Retractions apply first,
+        then assertions — a batch that both retracts and re-asserts a quad
+        ends with it present (upsert-like, the usual CDC convention)."""
+        retracts = batch_df.filter(F.col("op") == "-").select(*SPOG)
+        inserts = batch_df.filter(F.col("op") == "+").select(*SPOG)
+        self.retract_batch(retracts)
+        self.process_batch(inserts, batch_id)
+
+    # durable retraction: the journal holds the COMPLETE new content of
+    # every affected bucket (facts and premises), committed with a marker
+    # file before any store directory is touched. Apply = per-bucket
+    # replace from the journal — idempotent, so `_recover_retraction`
+    # simply re-applies a committed journal after a crash and discards an
+    # uncommitted one (the live store was rolled back; durable state was
+    # never touched).
+
+    def _apply_durable_retraction(
+        self,
+        x: DataFrame,
+        x_rows: int,
+        removed: DataFrame,
+        readded: DataFrame,
+        cone_rows: int,
+    ) -> None:
+        import json
+
+        from .retract import _maybe_broadcast
+
+        jdir = self._journal_dir()
+        shutil.rmtree(jdir, ignore_errors=True)
+        drop = removed.unionByName(readded)  # = the cone (cone_rows rows)
+        fact_buckets = [
+            r[0]
+            for r in self._bucketed(drop).select(BUCKET_COL).distinct().collect()
+        ]
+        prem_buckets = [
+            r[0] for r in self._bucketed(x).select(BUCKET_COL).distinct().collect()
+        ]
+        if fact_buckets and self._has_parquet():
+            aff = (
+                self.spark.read.schema(f"{QUAD_SCHEMA}, {BUCKET_COL} int")
+                .parquet(self.store_dir)
+                .filter(F.col(BUCKET_COL).isin(fact_buckets))
+                .select(*SPOG)
+            )
+            new = aff.join(
+                _maybe_broadcast(drop, cone_rows), SPOG, "left_anti"
+            ).unionByName(readded)
+            self._bucketed(new).repartition(
+                max(1, len(fact_buckets)), BUCKET_COL
+            ).write.mode("overwrite").partitionBy(BUCKET_COL).parquet(
+                os.path.join(jdir, "facts")
+            )
+        if prem_buckets:
+            paff = (
+                self.spark.read.schema(f"{QUAD_SCHEMA}, {BUCKET_COL} int")
+                .parquet(self.premises_dir)
+                .filter(F.col(BUCKET_COL).isin(prem_buckets))
+                .select(*SPOG)
+                .dropDuplicates(SPOG)
+            )
+            pnew = paff.join(_maybe_broadcast(x, x_rows), SPOG, "left_anti")
+            self._bucketed(pnew).repartition(
+                max(1, len(prem_buckets)), BUCKET_COL
+            ).write.mode("overwrite").partitionBy(BUCKET_COL).parquet(
+                os.path.join(jdir, "premises")
+            )
+        os.makedirs(jdir, exist_ok=True)
+        with open(os.path.join(jdir, "meta.json"), "w") as f:
+            json.dump(
+                {"fact_buckets": fact_buckets, "prem_buckets": prem_buckets}, f
+            )
+        with open(os.path.join(jdir, "_COMMIT"), "w") as f:
+            f.write("1")
+        self._apply_journal()
+
+    def _apply_journal(self) -> None:
+        import json
+
+        jdir = self._journal_dir()
+        with open(os.path.join(jdir, "meta.json")) as f:
+            meta = json.load(f)
+        for sub, base, buckets in (
+            ("facts", self.store_dir, meta["fact_buckets"]),
+            ("premises", self.premises_dir, meta["prem_buckets"]),
+        ):
+            for b in buckets:
+                dst = os.path.join(base, f"{BUCKET_COL}={b}")
+                src = os.path.join(jdir, sub, f"{BUCKET_COL}={b}")
+                shutil.rmtree(dst, ignore_errors=True)
+                if os.path.isdir(src):
+                    shutil.copytree(src, dst)
+        shutil.rmtree(jdir, ignore_errors=True)
+
+    def _recover_retraction(self) -> None:
+        jdir = self._journal_dir()
+        if not os.path.isdir(jdir):
+            return
+        if os.path.exists(os.path.join(jdir, "_COMMIT")):
+            self._apply_journal()
+        else:
+            shutil.rmtree(jdir, ignore_errors=True)
+
     def start_file_stream(
         self,
         source_dir: str,
@@ -278,6 +549,25 @@ class IncrementalReasoner:
             stream.writeStream.foreachBatch(self.process_batch)
             .option("checkpointLocation", checkpoint_dir)
         )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()
+
+    def start_signed_file_stream(
+        self,
+        source_dir: str,
+        checkpoint_dir: str,
+        available_now: bool = True,
+    ):
+        """CDC-style source: quads + an ``op`` column ('+'/'-'), routed
+        through :meth:`process_signed_batch` (retracts before inserts
+        within each micro-batch)."""
+        stream = self.spark.readStream.schema(f"{QUAD_SCHEMA}, op string").parquet(
+            source_dir
+        )
+        writer = stream.writeStream.foreachBatch(
+            self.process_signed_batch
+        ).option("checkpointLocation", checkpoint_dir)
         if available_now:
             writer = writer.trigger(availableNow=True)
         return writer.start()

@@ -167,15 +167,18 @@ def test_failed_batch_rolls_back_live_store(spark, tmp_path):
     committed = _store_set(r)
     assert ("a", "anc", "b", DG) in committed
 
-    # batch 2 fails at the durable append (after the live store was mutated)
+    # batch 2 fails at the durable STORE append (after the live store was
+    # mutated — the premise append, target=premises_dir, precedes any
+    # mutation and is allowed through)
     orig_append = r._append_parquet
     calls = {"n": 0}
 
-    def failing_append(df):
-        calls["n"] += 1
-        if calls["n"] == 1:
-            raise RuntimeError("injected append failure")
-        orig_append(df)
+    def failing_append(df, target=None):
+        if target is None:
+            calls["n"] += 1
+            if calls["n"] == 1:
+                raise RuntimeError("injected append failure")
+        orig_append(df, target)
 
     r._append_parquet = failing_append
     batch2 = spark.createDataFrame([src_rows[1]], SCHEMA)
