@@ -289,6 +289,32 @@ def test_retract_constraint_rich_inputs(spark, tmp_path):
     assert _store_set(r) == _expected(spark, remaining)
 
 
+def test_signed_file_stream_end_to_end(spark, tmp_path):
+    """CDC parquet source through start_signed_file_stream: each micro-batch
+    applies its retracts then its inserts; the final store equals the batch
+    engine over the net surviving premises."""
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src, exist_ok=True)
+    signed_schema = SCHEMA + ", op string"
+
+    def _write(rows):
+        spark.createDataFrame(rows, signed_schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    r = _reasoner(spark, tmp_path)
+    _write([("a", "parent", "b", DG, "+"), ("b", "parent", "c", DG, "+")])
+    r.start_signed_file_stream(src, ckpt).awaitTermination(120)
+    assert ("a", "anc", "c", DG) in _store_set(r)
+
+    _write([("b", "parent", "c", DG, "-"), ("c", "parent", "d", DG, "+")])
+    r.start_signed_file_stream(src, ckpt).awaitTermination(120)
+    assert _store_set(r) == _expected(
+        spark, [("a", "parent", "b", DG), ("c", "parent", "d", DG)]
+    )
+
+
 def test_track_premises_off_rejects_retract(spark, tmp_path):
     r = IncrementalReasoner(
         spark, _rules(), str(tmp_path / "store"), track_premises=False
