@@ -293,6 +293,21 @@ def rederive(
     return readded, readd_rows, rounds
 
 
+def subtract_plan(store: FactStore, cone: DataFrame, cone_rows: int) -> DataFrame:
+    """The UNEXECUTED fold scan ``store_subtract`` runs: the cached block
+    chain anti-joined against the (broadcast-when-small) cone. Exposed
+    separately so the physical plan is auditable before execution
+    (scripts/explain_audit.py): the store side must read its cached
+    s-partitioned blocks with no Exchange; the cone side broadcasts below
+    BROADCAST_MAX_ROWS, else exchanges once to the store's width."""
+    anti_side = (
+        F.broadcast(cone)
+        if cone_rows <= BROADCAST_MAX_ROWS
+        else cone.repartition(store.partitions, "s")
+    )
+    return store.union().join(anti_side, SPOG, "left_anti")
+
+
 def store_subtract(store: FactStore, cone: DataFrame, cone_rows: int) -> None:
     """Remove the cone from the live FactStore in place: one fold of the
     block chain through an anti-join and a fresh checkpoint, at the store's
@@ -301,15 +316,8 @@ def store_subtract(store: FactStore, cone: DataFrame, cone_rows: int) -> None:
     re-establishing the block invariants every insert batch relies on."""
     if store.total_rows == 0 or cone_rows == 0:
         return
-    anti_side = (
-        F.broadcast(cone)
-        if cone_rows <= BROADCAST_MAX_ROWS
-        else cone.repartition(store.partitions, "s")
-    )
     old = list(store.blocks)
-    flat = (
-        store.union().join(anti_side, SPOG, "left_anti").localCheckpoint(eager=False)
-    )
+    flat = subtract_plan(store, cone, cone_rows).localCheckpoint(eager=False)
     nb = store._mk_block(flat)
     n = nb.count()  # fills the cache (and the lazy checkpoint) in one job
     store.blocks = [nb]

@@ -220,6 +220,74 @@ def main() -> None:
         )
     )
 
+    # 10. retraction (DRed, streaming/retract.py): the subtract fold must
+    # read the cached s-partitioned blocks with NO exchange and anti-join a
+    # BROADCAST cone; the goal-directed re-derive probes must start from
+    # the broadcast head-binding side and stay JVM-only.
+    from rify_spark.infer import FactStore, SPOG
+    from rify_spark.rules import Bound as RB, Rule, Unbound as RU, lower_rule
+    from rify_spark.streaming.retract import _rederive_rule, subtract_plan
+
+    dg = "dg"
+    rules = [
+        Rule.create(
+            [
+                [RU("a"), RB("anc"), RU("b"), RB(dg)],
+                [RU("b"), RB("anc"), RU("c"), RB(dg)],
+            ],
+            [[RU("a"), RB("anc"), RU("c"), RB(dg)]],
+        )
+    ]
+    lrules = [lower_rule(r, i, lambda t: t) for i, r in enumerate(rules)]
+    seed = spark.createDataFrame(
+        [(f"n{k}", "anc", f"n{k + 1}", dg) for k in range(64)],
+        "s string, p string, o string, g string",
+    )
+    fstore = FactStore(spark)
+    fstore.seed(seed)
+    cone = seed.limit(8).localCheckpoint(eager=True)
+    sub = subtract_plan(fstore, cone, 8)
+    sub_exec = sub._jdf.queryExecution().executedPlan().toString()
+    sections.append(("retract_subtract_fold", sub_exec[:4000]))
+    checks.append(
+        (
+            "retract_subtract_fold",
+            "cone side broadcast (BroadcastHashJoin LeftAnti)",
+            bool(re.search(r"BroadcastHashJoin .*LeftAnti", sub_exec)),
+        )
+    )
+    # Exchanges inside the InMemoryRelation are the cached block's
+    # ORIGIN plan (the seed repartition), not per-fold work: as in check
+    # #5, the property is zero requirement-inserted exchanges above the
+    # cached scans.
+    checks.append(
+        (
+            "retract_subtract_fold",
+            "store side scans cached blocks, no requirement exchange",
+            "ENSURE_REQUIREMENTS" not in sub_exec
+            and "InMemoryTableScan" in sub_exec,
+        )
+    )
+    red_plans = _rederive_rule(
+        fstore.union(), lrules[0], F.broadcast(cone), seed.schema["s"].dataType
+    )
+    red_exec = red_plans[0]._jdf.queryExecution().executedPlan().toString()
+    sections.append(("retract_rederive_probe", red_exec[:4000]))
+    checks.append(
+        (
+            "retract_rederive_probe",
+            "goal-directed: probe starts from broadcast cone bindings",
+            "BroadcastHashJoin" in red_exec,
+        )
+    )
+    checks.append(
+        (
+            "retract_rederive_probe",
+            "no python UDF in plan",
+            not re.search(r"(BatchEvalPython|ArrowEvalPython)", red_exec),
+        )
+    )
+
     lines = ["# PLANS — physical-plan audit", ""]
     lines.append("| query | property | status |")
     lines.append("|---|---|---|")

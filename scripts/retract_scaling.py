@@ -60,7 +60,9 @@ def run_one(cpus: int, rep: int) -> dict:
         RIFY_RSOAK_RESTART_AT=str(BATCHES + 1),
         RIFY_RSOAK_OUT=out,
         PYTHONPATH=REPO,
-        RIFY_DRIVER_MEMORY=f"{max(4, cpus * 2)}g",
+        RIFY_DRIVER_MEMORY=os.environ.get(
+            "RIFY_RSCALE_DRIVER_MEM", f"{max(4, cpus * 2)}g"
+        ),
     )
     s0 = _steal_jiffies()
     proc = subprocess.run(
