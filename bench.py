@@ -146,6 +146,15 @@ def main() -> None:
         "best_percore_hi_rps",
         "weak_scaling_efficiency",
     )
+    retract_keys = (
+        "tree_n",
+        "cpus_lo",
+        "cpus_hi",
+        "best_lo_cone_rows_per_sec",
+        "best_hi_cone_rows_per_sec",
+        "retract_scaling_efficiency",
+        "soak_scaling_efficiency",
+    )
     for fname, field, ks in (
         ("SCALING.json", "scaling", keys),
         ("SCALING_BIG.json", "scaling_big", keys),
@@ -153,6 +162,8 @@ def main() -> None:
         ("SCALING_PIPE300K.json", "scaling_pipe300k", pipe_keys),
         ("SCALING_PIPE1M.json", "scaling_pipe1m", pipe_keys),
         ("TAIL_CONTROL.json", "tail_control", tail_keys),
+        ("RETRACT_SCALING_2M.json", "scaling_retract", retract_keys),
+        ("RETRACT_CONTROL.json", "retract_control", ("store_rows", "cpus_lo", "cpus_hi", "control_scaling_efficiency")),
     ):
         p = os.path.join(REPO, fname)
         if os.path.exists(p):
