@@ -322,3 +322,36 @@ def test_track_premises_off_rejects_retract(spark, tmp_path):
     r.process_batch(_df(spark, [("a", "parent", "b", DG)]), 0)
     with pytest.raises(ValueError):
         r.retract_batch(_df(spark, [("a", "parent", "b", DG)]))
+
+
+def test_retraction_shuffle_fallback_paths(spark, tmp_path, monkeypatch):
+    """Above BROADCAST_MAX_ROWS every broadcast in the DRed path falls back
+    to shuffle joins (cluster-shaped plans, same semantics). Force the
+    fallback for ALL of over-delete / subtract / re-derive by pinning the
+    cutoff to 0, on a workload where re-derivation matters (a premise
+    shadows a retracted edge), and require the exact surviving closure."""
+    from rify_spark.streaming import retract as rmod
+
+    monkeypatch.setattr(rmod, "BROADCAST_MAX_ROWS", 0)
+
+    prem = [
+        ("a", "parent", "b", DG),
+        ("b", "parent", "c", DG),
+        ("b", "anc", "c", DG),  # shadow premise: survives the edge retract
+        ("c", "parent", "d", DG),
+    ]
+    r = _reasoner(spark, tmp_path)
+    r.process_batch(_df(spark, prem), 0)
+
+    # the shuffle-path subtract plan must NOT broadcast the cone side
+    cone = _df(spark, [("b", "parent", "c", DG)]).localCheckpoint(eager=True)
+    plan = rmod.subtract_plan(
+        r._store, cone, 1
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" not in plan
+
+    m = r.retract_batch(_df(spark, [("b", "parent", "c", DG)]))
+    assert m["retracted"] == 1
+    assert m["readded"] > 0  # the shadow premise re-derives the cone
+    remaining = [q for q in prem if q != ("b", "parent", "c", DG)]
+    assert _store_set(r) == _expected(spark, remaining)
