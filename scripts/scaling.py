@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import subprocess
 import sys
 import tempfile
@@ -36,6 +37,11 @@ CPU_HI = int(os.environ.get("RIFY_SCALING_HI", "8"))
 REPEATS = int(os.environ.get("RIFY_SCALING_REPEATS", "3"))
 SKIP_PIPELINE = os.environ.get("RIFY_SCALING_SKIP_PIPELINE") == "1"
 HEAP_PER_CORE = int(os.environ.get("RIFY_SCALING_HEAP_PER_CORE", "2"))
+# Launch each worker via `spark-submit --py-files dist/rify_spark_pyfiles.zip`
+# instead of a bare python interpreter with the repo on PYTHONPATH. This is
+# the target cluster's actual invocation (north rule), and the per-run JSON
+# records rify_spark.__file__ to prove the code ran from the zip.
+SPARK_SUBMIT = os.environ.get("RIFY_SCALING_SPARK_SUBMIT") == "1"
 OUT_PATH = os.environ.get(
     "RIFY_SCALING_OUT", os.path.join(REPO, "SCALING.json")
 )
@@ -55,26 +61,48 @@ def materialize_corpus(path: str) -> None:
     spark.stop()
 
 
+def _pyfiles_zip() -> str:
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from make_pyfiles_zip import build
+
+    return build()
+
+
 def run_one(cpus: int, corpus: str) -> dict:
+    mem = f"{max(4, cpus * HEAP_PER_CORE)}g"
     env = dict(
         os.environ,
         RIFY_SCALING_CPUS=str(cpus),
         RIFY_SCALING_CORPUS=corpus,
         RIFY_SCALING_TREE_N=str(TREE_N),
-        PYTHONPATH=REPO,
         # heap scales with cores: N vs 4N executors each bring their own
         # memory; a fixed shared heap would measure memory contention.
         # HEAP_PER_CORE stays identical across the pair — raise it for
         # workloads whose per-core state exceeds 2 GB (e.g. the 3M-node
         # tree at 2 cores), which otherwise dies in shuffle writes.
-        RIFY_DRIVER_MEMORY=f"{max(4, cpus * HEAP_PER_CORE)}g",
+        RIFY_DRIVER_MEMORY=mem,
     )
+    job = os.path.join(REPO, "scripts", "scaling_job.py")
+    if SPARK_SUBMIT:
+        # the cluster invocation: no repo on PYTHONPATH — rify_spark and
+        # __spark_entry__ resolve from the --py-files zip on the driver and
+        # on every python worker. --driver-memory must ride the CLI (the
+        # JVM is launched by spark-submit before the app's builder conf).
+        env.pop("PYTHONPATH", None)
+        env["RIFY_SCALING_SUBMIT"] = "1"
+        submit = shutil.which("spark-submit") or "/opt/spark/bin/spark-submit"
+        cmd = [
+            submit,
+            "--master", f"local[{cpus}]",
+            "--driver-memory", mem,
+            "--py-files", _pyfiles_zip(),
+            job,
+        ]
+    else:
+        env["PYTHONPATH"] = REPO
+        cmd = [sys.executable, job]
     proc = subprocess.run(
-        [sys.executable, os.path.join(REPO, "scripts", "scaling_job.py")],
-        env=env,
-        capture_output=True,
-        text=True,
-        timeout=3600,
+        cmd, env=env, capture_output=True, text=True, timeout=3600
     )
     if proc.returncode != 0:
         raise RuntimeError(f"scaling job cpus={cpus} failed:\n{proc.stderr[-3000:]}")
@@ -111,6 +139,7 @@ def main() -> None:
         return round((best(CPU_HI, metric) / best(CPU_LO, metric)) / ratio, 3)
 
     out = {
+        "launcher": "spark-submit --py-files" if SPARK_SUBMIT else "python",
         "corpus_files": None if SKIP_PIPELINE else N_REPOS * N_MODULES,
         "tree_nodes": TREE_N,
         "cpus_lo": CPU_LO,

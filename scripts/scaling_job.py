@@ -15,7 +15,12 @@ import sys
 import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-sys.path.insert(0, REPO)
+# Under `spark-submit --py-files` (RIFY_SCALING_SUBMIT=1) the repo must NOT
+# be importable: rify_spark and __spark_entry__ resolve from the shipped
+# zip, and the output JSON records where the import actually landed.
+SUBMIT = os.environ.get("RIFY_SCALING_SUBMIT") == "1"
+if not SUBMIT:
+    sys.path.insert(0, REPO)
 
 CPUS = int(os.environ.get("RIFY_SCALING_CPUS", "32"))
 CORPUS_PATH = os.environ.get("RIFY_SCALING_CORPUS", "")
@@ -43,7 +48,10 @@ def main() -> None:
         app_name=f"rify-scaling-{CPUS}",
         shuffle_partitions=2 * CPUS,
     )
-    entrymod._ship(spark)
+    if not SUBMIT:
+        # interpreter launch: ship the package to python workers ourselves;
+        # under spark-submit the --py-files zip already rides every worker.
+        entrymod._ship(spark)
     spark.range(1_000_000).selectExpr("sum(id)").collect()  # JVM warmup
     # python-worker warmup (identical at both parallelisms): the first
     # Arrow-UDF stage pays ~2 s of worker fork + pandas import — JIT-class
@@ -54,7 +62,14 @@ def main() -> None:
 
     spark.range(0, 1000, 1, 2 * CPUS).mapInPandas(_ident, "id long").count()
 
-    out = {"cpus": CPUS}
+    import rify_spark
+
+    out = {
+        "cpus": CPUS,
+        "launcher": "spark-submit" if SUBMIT else "python",
+        # provenance: under --py-files this points INSIDE the zip
+        "rify_spark_origin": rify_spark.__file__,
+    }
 
     # (a) KG pipeline over the shared corpus
     if not SKIP_PIPELINE:
