@@ -626,9 +626,16 @@ def embedding_neardup_pairs(emb: DataFrame) -> DataFrame:
     corpus true near-dups are the planted twins (see
     similarity._planted_emb), which this op plants itself so the gate has
     positives to find."""
+    withb, r = _emb_banded(emb)
+    return _emb_pairs_from_banded(withb, r)
+
+
+def _emb_pairs_from_banded(withb: DataFrame, r: int) -> DataFrame:
+    """Pair scoring over an already-built banded index (lets the recall
+    gate reuse one banding — and its corpus-size count job — for both the
+    pair pipeline and the occupancy bound)."""
     from .similarity import _int_dot
 
-    withb, r = _emb_banded(emb)
     cand = _emb_candidates(withb, r)
     dec = "decimal(38,0)"
     scored = cand.select(
@@ -724,7 +731,7 @@ def embedding_neardup_recall(emb: DataFrame) -> DataFrame:
     from .similarity import ANN_PLANT_EVERY, ANN_PLANT_OFFSET
 
     withb, r = _emb_banded(emb)
-    pairs = embedding_neardup_pairs(emb)
+    pairs = _emb_pairs_from_banded(withb, r)
     n_planted = emb.filter(F.col("vec_id") % ANN_PLANT_EVERY == 0).agg(
         F.count("*").alias("n_planted")
     )

@@ -391,7 +391,15 @@ class IncrementalReasoner:
             "overdelete_rounds": 0,
             "rederive_rounds": 0,
         }
-        if x_rows == 0 or store.total_rows == 0:
+        if x_rows == 0:
+            return m
+        if store.total_rows == 0:
+            # fact store empty but premise records exist (possible after a
+            # crash between the premise append and the fact write): the
+            # premise removal must still happen durably — a stale premise
+            # would re-seed future retractions' cones as "still asserted".
+            empty = x.limit(0)
+            self._apply_durable_retraction(x, x_rows, empty, empty, 0)
             return m
         dtype = store.union().schema["s"].dataType
         try:
@@ -399,14 +407,19 @@ class IncrementalReasoner:
             # blocks are eager checkpoints, so the snapshot is safe to drop
             # afterwards)
             cone, cone_rows, m["overdelete_rounds"] = overdelete(
-                self.spark, store.union(), self.lrules, x
+                self.spark, store.union(), self.lrules, x, rows=x_rows
             )
             # 2. facts by fiat that the cone swept up: premises that remain
-            # asserted, and unconditional heads (they hold in any store)
+            # asserted, and unconditional heads (they hold in any store).
+            # dropDuplicates: a cone member that is BOTH a surviving premise
+            # and an unconditional head appears in both arms, and nothing
+            # downstream dedups (stage_block and the journal keep rows as-is)
             p_rest = premises.join(_maybe_broadcast(x, x_rows), SPOG, "left_anti")
             uncond = unconditional_head_quads(self.spark, self.lrules, QUAD_SCHEMA)
-            reseed = cone.join(p_rest, SPOG, "left_semi").unionByName(
-                uncond.join(cone, SPOG, "left_semi")
+            reseed = (
+                cone.join(p_rest, SPOG, "left_semi")
+                .unionByName(uncond.join(cone, SPOG, "left_semi"))
+                .dropDuplicates(SPOG)
             )
             # 3. subtract, then re-derive survivors
             store_subtract(store, cone, cone_rows)

@@ -46,7 +46,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..infer import SPOG, FactStore, _union_all
-from ..matcher import _atom_vars, atom_relation, bindings, term_lit
+from ..matcher import _atom_vars, atom_relation, bindings, project_heads, term_lit
 
 # above this cone size the per-block broadcast joins would OOM the driver;
 # the subtract falls back to a shuffle anti and re-derivation to shuffle
@@ -64,6 +64,7 @@ def overdelete(
     lrules: list,
     retracted: DataFrame,
     max_rounds: Optional[int] = None,
+    rows: Optional[int] = None,
 ) -> tuple:
     """The deletion cone: all facts some derivation of which used a
     retracted fact, transitively — computed by the SAME delta-restricted
@@ -81,7 +82,9 @@ def overdelete(
     dtype = facts_pre.schema["s"].dataType
     cond = [r for r in lrules if not r.unconditional]
     blocks = [retracted]
-    rows = [retracted.count()]
+    # callers that already counted the (checkpointed) retraction set pass
+    # `rows` and save one Spark job per retraction batch
+    rows = [retracted.count() if rows is None else rows]
     delta, delta_rows = retracted, rows[0]
     rounds = 0
     while delta_rows > 0 and cond:
@@ -107,23 +110,9 @@ def overdelete(
 
 
 def _project_head_quads(binding_df: DataFrame, lrule, dtype) -> DataFrame:
-    """matcher.project_heads without lineage extras (local, to keep this
-    module's imports explicit)."""
-    outs = []
-    for atom in lrule.head:
-        cols = []
-        for colname, slot in zip(SPOG, atom):
-            kind, val = slot
-            cols.append(
-                (term_lit(val, dtype) if kind == "c" else F.col(f"v{val}")).alias(
-                    colname
-                )
-            )
-        outs.append(binding_df.select(*cols))
-    out = outs[0]
-    for o in outs[1:]:
-        out = out.unionByName(o)
-    return out
+    """Head projection without lineage extras — matcher.project_heads with
+    its default ``extra=()`` does exactly this."""
+    return project_heads(binding_df, lrule, dtype)
 
 
 def _head_bindings(D: DataFrame, head_atom, dtype) -> tuple:
@@ -191,16 +180,16 @@ def _rederive_rule(
                     # forward matcher's crossJoin fallback
                     acc = acc.crossJoin(rel)
                 acc_vars |= set(rel_vars)
-            cols = []
-            for colname, slot in zip(SPOG, head_atom):
-                kind, val = slot
-                cols.append(
-                    (
-                        term_lit(val, dtype) if kind == "c" else F.col(f"v{val}")
-                    ).alias(colname)
-                )
-            plans.append(acc.select(*cols))
+            plans.append(acc.select(*_head_cols(head_atom, dtype)))
     return plans
+
+
+def _head_cols(head_atom, dtype) -> list:
+    """Quad column expressions for one head atom under current bindings."""
+    return [
+        (term_lit(val, dtype) if kind == "c" else F.col(f"v{val}")).alias(colname)
+        for colname, (kind, val) in zip(SPOG, head_atom)
+    ]
 
 
 def _connected_order(body, bound_vars: set) -> list:

@@ -355,3 +355,54 @@ def test_retraction_shuffle_fallback_paths(spark, tmp_path, monkeypatch):
     assert m["readded"] > 0  # the shadow premise re-derives the cone
     remaining = [q for q in prem if q != ("b", "parent", "c", DG)]
     assert _store_set(r) == _expected(spark, remaining)
+
+
+def test_reseed_overlap_no_duplicate_rows(spark, tmp_path):
+    """A cone member that is BOTH a surviving premise and an unconditional
+    head enters the reseed through both arms; the store and the durable
+    parquet must still hold exactly one copy (set semantics — regression
+    for a duplicated reseed union)."""
+    quad = ("sys", "status", "ok", DG)
+    rules = [
+        Rule.create([], [[B("sys"), B("status"), B("ok"), B(DG)]]),
+        Rule.create(
+            [[U("a"), B("parent"), U("b"), B(DG)]],
+            [[B("sys"), B("status"), B("ok"), B(DG)]],
+        ),
+    ]
+    prem = [("a", "parent", "b", DG), quad]
+    r = _reasoner(spark, tmp_path, rules=rules)
+    r.process_batch(_df(spark, prem), 0)
+
+    m = r.retract_batch(_df(spark, [prem[0]]))
+    assert m["readded"] == 1  # one surviving quad, not one per reseed arm
+    durable = [tuple(x) for x in r.facts().collect()]
+    assert len(durable) == len(set(durable)) == 1
+    live = [tuple(x) for x in r._live_store().union().collect()]
+    assert len(live) == len(set(live)) == 1
+    assert r._live_store().total_rows == 1
+    assert _store_set(r) == {quad}
+
+
+def test_retract_with_empty_fact_store_removes_premises(spark, tmp_path):
+    """Crash window: premise records exist but the fact store is empty
+    (process_batch appends premises before facts). Retraction must still
+    remove the premises durably — a stale premise would reseed future
+    cones as 'still asserted' (regression for an early return that skipped
+    the durable edit)."""
+    import shutil as _sh
+
+    prem = [("a", "parent", "b", DG)]
+    r0 = _reasoner(spark, tmp_path)
+    r0.process_batch(_df(spark, prem), 0)
+    _sh.rmtree(r0.store_dir)  # simulate the crash before the fact write
+
+    r = _reasoner(spark, tmp_path)  # restart over the same paths
+    assert r.facts().count() == 0
+    assert r._premises_df().count() == 1
+
+    m = r.retract_batch(_df(spark, prem))
+    assert m["retracted"] == 1 and m["cone"] == 0
+    assert r._premises_df().count() == 0
+    # and the premise stays gone across another restart
+    assert _reasoner(spark, tmp_path)._premises_df().count() == 0
