@@ -1,0 +1,183 @@
+"""Property-based randomized parity against an independent Python oracle.
+
+The reference engine (src/reasoner.rs:120-227) is a tuple-at-a-time
+backtracking forward chainer; the Spark engine is set-at-a-time joins with
+semi-naive deltas, join-order heuristics, hash encoding and anti-join
+dedup. Hand-written vectors exercise the paths we thought of; these
+Hypothesis tests generate random rule sets and fact sets over a small
+constant alphabet (dense accidental joins, multi-head rules, empty bodies,
+repeated variables, non-ASCII terms) and require EXACT agreement with
+``_naive_closure`` — a ~20-line backtracking evaluator written directly
+from the semantics, sharing no code with the engine.
+
+Three properties:
+  1. infer == naive closure minus premises (both encode paths);
+  2. prove on any derivable quad yields a proof that ``validate`` replays:
+     assumptions ⊆ premises ∪ unconditional heads, goal ∈ implied ∪ assumed
+     (the reference's soundness contract, src/validate.rs:13-19);
+  3. DRed retraction of a random premise subset lands on exactly the
+     naive closure of the surviving premises (streaming/retract.py's
+     gold-standard contract, checked against the INDEPENDENT oracle, not
+     the repo's own batch engine).
+
+``derandomize=True`` keeps the gate deterministic run-to-run; example
+counts are small because each example is a full Spark fixpoint (~2-4 s).
+For a deeper one-off sweep set ``RIFY_PROP_EXAMPLES_SCALE=N``: example
+counts multiply by N and derandomization turns OFF so fresh random inputs
+are explored (used as an out-of-band fuzz pass, not in the CI gate).
+"""
+
+import os
+import shutil
+import tempfile
+
+import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+from rify_spark import Bound as B, InferConfig, Rule, Unbound as U, infer
+from rify_spark.api import prove
+from rify_spark.errors import ExhaustedSearchSpace
+from rify_spark.streaming import IncrementalReasoner
+from rify_spark.validate import validate
+
+# Small alphabet => dense collisions between rules and facts. The last
+# constant stresses the dictionary path (non-ASCII, mixed script).
+CONSTS = ("c0", "c1", "c2", "p", "q", "ß-混合")
+VARS = ("x", "y", "z")
+SCHEMA = "s string, p string, o string, g string"
+
+_SCALE = max(1, int(os.environ.get("RIFY_PROP_EXAMPLES_SCALE", "1")))
+_SETTINGS = dict(
+    derandomize=_SCALE == 1,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.filter_too_much],
+)
+
+
+# ---------------------------------------------------------------------------
+# independent oracle: naive backtracking forward chainer over Python sets
+# ---------------------------------------------------------------------------
+
+def _bindings(atoms, store, binding):
+    """All extensions of ``binding`` matching ``atoms`` against ``store``."""
+    if not atoms:
+        yield binding
+        return
+    first, rest = atoms[0], atoms[1:]
+    for quad in store:
+        b = dict(binding)
+        for e, val in zip(first, quad):
+            if e.is_var:
+                if b.setdefault(e.value, val) != val:
+                    break
+            elif e.value != val:
+                break
+        else:
+            yield from _bindings(rest, store, b)
+
+
+def _naive_closure(facts, rules):
+    store = set(facts)
+    while True:
+        new = set()
+        for r in rules:
+            for b in _bindings(list(r.if_all), list(store), {}):
+                for atom in r.then:
+                    q = tuple(b[e.value] if e.is_var else e.value for e in atom)
+                    if q not in store:
+                        new.add(q)
+        if not new:
+            return store
+        store |= new
+
+
+# ---------------------------------------------------------------------------
+# strategies
+# ---------------------------------------------------------------------------
+
+def _atom(slot_pool):
+    return st.tuples(*[st.sampled_from(slot_pool) for _ in range(4)])
+
+
+@st.composite
+def rule_st(draw):
+    """A range-restricted rule: body drawn over vars+consts, head slots
+    restricted to constants and the body's own variables."""
+    body_pool = [U(v) for v in VARS] + [B(c) for c in CONSTS]
+    body = draw(st.lists(_atom(body_pool), min_size=0, max_size=2))
+    body_vars = {e.value for a in body for e in a if e.is_var}
+    head_pool = [B(c) for c in CONSTS] + [U(v) for v in sorted(body_vars)]
+    head = draw(st.lists(_atom(head_pool), min_size=1, max_size=2))
+    return Rule.create([list(a) for a in body], [list(a) for a in head])
+
+
+rules_st = st.lists(rule_st(), min_size=1, max_size=3)
+facts_st = st.lists(
+    st.tuples(*[st.sampled_from(CONSTS) for _ in range(4)]),
+    min_size=0,
+    max_size=15,
+).map(lambda fs: sorted(set(fs)))
+
+
+# ---------------------------------------------------------------------------
+# properties
+# ---------------------------------------------------------------------------
+
+@settings(max_examples=10 * _SCALE, **_SETTINGS)
+@given(facts=facts_st, rules=rules_st, encode=st.booleans())
+def test_infer_matches_naive_oracle(spark, facts, rules, encode):
+    got = infer(spark, facts, rules, InferConfig(encode_terms=encode))
+    want = sorted(_naive_closure(facts, rules) - set(facts))
+    assert got == want
+
+
+@settings(max_examples=5 * _SCALE, **_SETTINGS)
+@given(facts=facts_st, rules=rules_st, data=st.data())
+def test_prove_validate_roundtrip(spark, facts, rules, data):
+    closure = _naive_closure(facts, rules)
+    derived = sorted(closure - set(facts))
+    if not derived:
+        # nothing derivable: a known-term non-fact must be unprovable
+        known = {t for q in facts for t in q} | {
+            t for r in rules for t in r.bound_terms()
+        }
+        non_facts = sorted(
+            q
+            for q in ((s, p, o, g) for s in known for p in known
+                      for o in known for g in known)
+            if q not in closure
+        )
+        if not non_facts or not facts:
+            return
+        with pytest.raises(ExhaustedSearchSpace):
+            prove(spark, facts, [non_facts[0]], rules)
+        return
+    goal = data.draw(st.sampled_from(derived), label="goal")
+    proof = prove(spark, facts, [goal], rules)
+    v = validate(rules, proof)
+    # soundness: assumptions may only be premises (unconditional heads are
+    # implied by zero-assumption steps, so they land in ``implied``)
+    assert v.assumed <= set(facts)
+    assert goal in (v.implied | v.assumed)
+    # every implied quad really is in the closure of the premises
+    assert v.implied <= closure
+
+
+@settings(max_examples=4 * _SCALE, **_SETTINGS)
+@given(facts=facts_st, rules=rules_st, data=st.data())
+def test_retraction_matches_naive_oracle(spark, facts, rules, data):
+    if not facts:
+        return
+    retract = data.draw(
+        st.lists(st.sampled_from(facts), unique=True, min_size=1), label="retract"
+    )
+    remaining = [q for q in facts if q not in set(retract)]
+    store_dir = tempfile.mkdtemp(prefix="rify-prop-")
+    try:
+        r = IncrementalReasoner(spark, rules, store_dir)
+        r.process_batch(spark.createDataFrame(facts, SCHEMA), 0)
+        r.retract_batch(spark.createDataFrame(retract, SCHEMA))
+        got = {tuple(row) for row in r.facts().collect()}
+    finally:
+        shutil.rmtree(store_dir, ignore_errors=True)
+    assert got == _naive_closure(remaining, rules)
