@@ -529,6 +529,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_recall": lambda s, d: dedup.embedding_neardup_recall(
             _emb(s, d)
         ),
+        "dedup_clusters": lambda s, d: dedup.neardup_clusters(_docs(s, d)),
         "dedup_simhash": lambda s, d: dedup.simhash(_docs(s, d)),
         "dedup_ngram_jaccard": lambda s, d: dedup.ngram_jaccard_pairs(_docs(s, d)),
         "dedup_ngram_lsh_verify": lambda s, d: dedup.ngram_jaccard_verify_lsh(
@@ -637,6 +638,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_lsh_recall": dedup.lsh_planted_recall_sql(),
         "dedup_embedding_pairs": dedup.embedding_neardup_pairs_sql(),
         "dedup_embedding_recall": dedup.embedding_neardup_recall_sql(),
+        "dedup_clusters": dedup.neardup_clusters_sql(),
         "dedup_simhash": dedup.simhash_sql(),
         "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs_sql(),
         "dedup_ngram_lsh_verify": dedup.ngram_jaccard_verify_lsh_sql(),

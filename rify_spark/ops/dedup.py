@@ -787,3 +787,86 @@ def embedding_neardup_recall_sql() -> str:
            (SELECT max(c) FROM (
               SELECT count(*) AS c FROM buck GROUP BY band, bucket)) AS max_bucket
     """
+
+
+# --- fuzzy-dedup clustering (LSH pairs -> connected components -> keep) ------
+
+
+def neardup_clusters(docs: DataFrame) -> DataFrame:
+    """Fuzzy-dedup clustering: (doc_id, canon_id, cluster_size) for every
+    document in at least one LSH candidate pair; canon_id = min doc_id of
+    the undirected connected component, i.e. the one document a training
+    pipeline KEEPS per near-duplicate cluster.
+
+    Composition, all O(near-duplicates): :func:`lsh_candidate_pairs`
+    (banded equi-join, never all-pairs) feeds min-label-propagation
+    connected components on 8-byte doc_id keys — the same fused-hops +
+    edge-consistency-convergence design as the entity canonicalizer
+    (extract/canonicalize.py:48), restated here on numeric labels because
+    doc ids need no rank ordering and long shuffle keys beat strings.
+    Rounds are bounded by cluster diameter; near-dup clusters are
+    clique-ish (every pair of twins collides on some band), so 1-2 rounds
+    is typical regardless of corpus size. Labels stay hash-partitioned by
+    doc_id — no skew: a mega-cluster spreads across partitions and only
+    its (node, label) rows shuffle, never document text.
+    """
+    pairs = lsh_candidate_pairs(docs)
+    sym = pairs.select(
+        F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+    ).unionByName(pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b")))
+    sym = sym.localCheckpoint(eager=False)  # reused every round: cut the LSH plan
+    labels = (
+        sym.select(F.col("a").alias("node")).distinct().withColumn("lab", F.col("node"))
+    )
+    for _round in range(50):
+        neighbor = sym.join(labels, sym["a"] == labels["node"]).select(
+            F.col("b").alias("node"), F.col("lab")
+        )
+        labels = (
+            labels.unionByName(neighbor)
+            .groupBy("node")
+            .agg(F.min("lab").alias("lab"))
+            .localCheckpoint(eager=False)  # materialized by the check below
+        )
+        la = labels.select(F.col("node").alias("a"), F.col("lab").alias("__la"))
+        lb = labels.select(F.col("node").alias("b"), F.col("lab").alias("__lb"))
+        straddling = (
+            sym.join(la, "a").join(lb, "b").filter(F.col("__la") != F.col("__lb"))
+        )
+        if straddling.count() == 0:
+            break
+    else:
+        raise RuntimeError("neardup_clusters: component diameter > 50 rounds")
+    sizes = labels.groupBy("lab").agg(F.count("*").alias("cluster_size"))
+    return labels.join(sizes, "lab").select(
+        F.col("node").alias("doc_id"),
+        F.col("lab").alias("canon_id"),
+        "cluster_size",
+    )
+
+
+def neardup_clusters_sql(table: str = "documents") -> str:
+    """DuckDB twin: recursive reachability closure over the same LSH pairs,
+    then min over reachable ids. O(cluster_size^2) rows per cluster — fine
+    for an oracle, which is why the Spark side uses label propagation
+    (O(cluster_size * diameter)) instead."""
+    return f"""
+    WITH RECURSIVE pairs AS ({lsh_candidate_pairs_sql(table)}),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(node, other) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.node, e.b FROM reach r JOIN edges e ON r.other = e.a
+    ),
+    lab AS (
+      SELECT node AS doc_id, LEAST(node, MIN(other)) AS canon_id
+      FROM reach GROUP BY node
+    )
+    SELECT l.doc_id, l.canon_id, s.cluster_size
+    FROM lab l JOIN (
+      SELECT canon_id, count(*) AS cluster_size FROM lab GROUP BY canon_id
+    ) s USING (canon_id)
+    """

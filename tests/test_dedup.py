@@ -190,3 +190,55 @@ def test_short_docs_have_empty_shingles(spark):
     )
     assert _shingles(docs).filter(F.col("n_sh") > 0).count() == 0
     assert dedup.ngram_jaccard_pairs(docs).count() == 0
+
+
+# --- fuzzy-dedup clustering ---------------------------------------------------
+
+
+def test_neardup_clusters_partition_planted_groups(spark):
+    """Planted identical-text groups (sizes 2 and 3) become exactly one
+    cluster each with canon = min doc_id; unique docs (disjoint token sets)
+    never enter the output."""
+    uniq = spark.range(30).select(
+        F.col("id").alias("doc_id"),
+        F.lit("u").alias("source"),
+        F.concat(
+            F.lit("alpha"), F.col("id"), F.lit(" beta"), F.col("id"),
+            F.lit(" gamma"), F.col("id"), F.lit(" delta"), F.col("id"),
+            F.lit(" epsilon"), F.col("id"),
+        ).alias("text"),
+    )
+    t1 = "shared group one text with several common tokens here"
+    t2 = "another shared body of text for the second planted group"
+    groups = spark.createDataFrame(
+        [(100, "u", t1), (101, "u", t1), (200, "u", t2), (201, "u", t2), (202, "u", t2)],
+        "doc_id long, source string, text string",
+    )
+    out = dedup.neardup_clusters(uniq.unionByName(groups))
+    got = {tuple(r) for r in out.collect()}
+    assert got == {
+        (100, 100, 2),
+        (101, 100, 2),
+        (200, 200, 3),
+        (201, 200, 3),
+        (202, 200, 3),
+    }
+
+
+def test_neardup_clusters_consistent_with_pairs(spark, hot_shingle_docs):
+    """Structural contract on a real-ish corpus: both endpoints of every LSH
+    candidate pair share a canon; canon is the min member; sizes count
+    members."""
+    clusters = dedup.neardup_clusters(hot_shingle_docs)
+    lab = {r["doc_id"]: (r["canon_id"], r["cluster_size"]) for r in clusters.collect()}
+    pairs = dedup.lsh_candidate_pairs(hot_shingle_docs).collect()
+    assert pairs, "fixture must produce candidate pairs"
+    assert set(lab) == {d for p in pairs for d in (p["doc_a"], p["doc_b"])}
+    for p in pairs:
+        assert lab[p["doc_a"]][0] == lab[p["doc_b"]][0]
+    by_canon = {}
+    for d, (c, size) in lab.items():
+        by_canon.setdefault(c, []).append((d, size))
+    for c, members in by_canon.items():
+        assert c == min(d for d, _ in members)
+        assert all(size == len(members) for _, size in members)
