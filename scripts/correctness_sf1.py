@@ -33,6 +33,10 @@ PARAMETERIZED = [
     "dedup_simhash",
     "dedup_ngram_jaccard",
     "dedup_ngram_lsh_verify",
+    # cluster structure is n-dependent (more/larger components at sf1, so
+    # the CC loop's multi-round + DuckDB recursive-reachability paths are
+    # actually exercised)
+    "dedup_clusters",
     "dedup_embedding_pairs",
     "dedup_embedding_recall",
     "knn_lsh_buckets",
