@@ -789,7 +789,35 @@ def embedding_neardup_recall_sql() -> str:
     """
 
 
-# --- fuzzy-dedup clustering (LSH pairs -> connected components -> keep) ------
+# --- fuzzy-dedup clustering (LSH buckets -> connected components -> keep) ----
+
+
+def _star_edges(docs: DataFrame) -> DataFrame:
+    """Connectivity-preserving LSH edges, O(bucket size) per bucket.
+
+    A full band bucket of k docs is a k-clique of candidate pairs — but
+    connected components only need the bucket to be CONNECTED, so linking
+    every member to the bucket's min member (a star) yields exactly the
+    same components with k-1 edges instead of k(k-1)/2. This is the fix
+    for the mega-cluster blowup: 10^6 copies of a boilerplate doc share
+    every band bucket, which is 5*10^11 pairs under the pair join but
+    10^6 - 1 star edges here (tested: test_star_edges_linear_in_mega_
+    cluster). One groupBy over the band rows + one join back on the band
+    key — no self-join anywhere.
+    """
+    allb = _band_rows(minhash_signatures(docs))
+    mins = (
+        allb.groupBy(*_BAND_KEYS)
+        .agg(F.min("doc_id").alias("a"), F.count("*").alias("n_in_bucket"))
+        .filter(F.col("n_in_bucket") >= 2)
+        .drop("n_in_bucket")
+    )
+    return (
+        allb.join(mins, _BAND_KEYS)
+        .filter(F.col("doc_id") != F.col("a"))
+        .select("a", F.col("doc_id").alias("b"))
+        .distinct()
+    )
 
 
 def neardup_clusters(docs: DataFrame) -> DataFrame:
@@ -798,22 +826,26 @@ def neardup_clusters(docs: DataFrame) -> DataFrame:
     the undirected connected component, i.e. the one document a training
     pipeline KEEPS per near-duplicate cluster.
 
-    Composition, all O(near-duplicates): :func:`lsh_candidate_pairs`
-    (banded equi-join, never all-pairs) feeds min-label-propagation
-    connected components on 8-byte doc_id keys — the same fused-hops +
-    edge-consistency-convergence design as the entity canonicalizer
-    (extract/canonicalize.py:48), restated here on numeric labels because
-    doc ids need no rank ordering and long shuffle keys beat strings.
-    Rounds are bounded by cluster diameter; near-dup clusters are
-    clique-ish (every pair of twins collides on some band), so 1-2 rounds
-    is typical regardless of corpus size. Labels stay hash-partitioned by
-    doc_id — no skew: a mega-cluster spreads across partitions and only
-    its (node, label) rows shuffle, never document text.
+    Composition, all O(near-duplicates) and never quadratic in bucket
+    size: :func:`_star_edges` (bucket-min stars — same components as the
+    full candidate-pair cliques, k-1 edges per k-bucket) feeds
+    min-label-propagation connected components on 8-byte doc_id keys —
+    the same fused-hops + edge-consistency-convergence design as the
+    entity canonicalizer (extract/canonicalize.py:48), restated here on
+    numeric labels because doc ids need no rank ordering and long shuffle
+    keys beat strings. Rounds are bounded by component diameter; star
+    edges keep each bucket at diameter 2, so rounds only grow when
+    buckets genuinely chain. Labels stay hash-partitioned by doc_id — no
+    skew: a mega-cluster spreads across partitions and only its (node,
+    label) rows shuffle, never document text. The DuckDB oracle
+    (:func:`neardup_clusters_sql`) computes reachability over the FULL
+    candidate-pair graph — its exact agreement is also the proof that the
+    star reduction preserves components.
     """
-    pairs = lsh_candidate_pairs(docs)
-    sym = pairs.select(
-        F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
-    ).unionByName(pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b")))
+    star = _star_edges(docs)
+    sym = star.unionByName(
+        star.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
     sym = sym.localCheckpoint(eager=False)  # reused every round: cut the LSH plan
     labels = (
         sym.select(F.col("a").alias("node")).distinct().withColumn("lab", F.col("node"))

@@ -242,3 +242,18 @@ def test_neardup_clusters_consistent_with_pairs(spark, hot_shingle_docs):
     for c, members in by_canon.items():
         assert c == min(d for d, _ in members)
         assert all(size == len(members) for _, size in members)
+
+
+def test_star_edges_linear_in_mega_cluster(spark):
+    """1000 identical docs (one mega near-dup group): the pair join would
+    emit 499,500 rows; star edges emit exactly 999 — O(bucket size)."""
+    mega = spark.range(1000).select(
+        (F.col("id") + 5000).alias("doc_id"),
+        F.lit("m").alias("source"),
+        F.lit("the same boilerplate text repeated across the corpus").alias("text"),
+    )
+    edges = dedup._star_edges(mega).collect()
+    assert len(edges) == 999
+    assert all(e["a"] == 5000 for e in edges)
+    out = {tuple(r) for r in dedup.neardup_clusters(mega).collect()}
+    assert out == {(5000 + i, 5000, 1000) for i in range(1000)}
