@@ -288,6 +288,43 @@ def main() -> None:
         )
     )
 
+    # 11. fuzzy-dedup clustering: the star-edge build must contain no
+    # self-join / cartesian blowup — exactly one join (band rows back to
+    # per-bucket mins) and one partial-aggregated groupBy, all JVM-side.
+    from rify_spark.ops.dedup import _star_edges
+
+    star = _star_edges(docs)
+    star_exec = star._jdf.queryExecution().executedPlan().toString()
+    sections.append(("dedup_star_edges", star_exec[:4000]))
+    checks.append(
+        (
+            "dedup_star_edges",
+            "no cartesian / nested-loop join",
+            not re.search(r"(CartesianProduct|BroadcastNestedLoopJoin)", star_exec),
+        )
+    )
+    checks.append(
+        (
+            "dedup_star_edges",
+            "single equi-join back to bucket mins (no pair self-join)",
+            len(re.findall(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", star_exec)) == 1,
+        )
+    )
+    checks.append(
+        (
+            "dedup_star_edges",
+            "bucket-min aggregate is map-side partial (HashAggregate x2)",
+            len(re.findall(r"HashAggregate", star_exec)) >= 2,
+        )
+    )
+    checks.append(
+        (
+            "dedup_star_edges",
+            "no python UDF in plan",
+            not re.search(r"(BatchEvalPython|ArrowEvalPython)", star_exec),
+        )
+    )
+
     lines = ["# PLANS — physical-plan audit", ""]
     lines.append("| query | property | status |")
     lines.append("|---|---|---|")
