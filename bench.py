@@ -81,6 +81,9 @@ def main() -> None:
         "conjunctive_match": quads.conjunctive_match,
         "dedup_minhash": lambda s, d: dedup.minhash_signatures(docs),
         "dedup_lsh_pairs": lambda s, d: dedup.lsh_candidate_pairs(docs),
+        # added round 5 (not in the round-1 baseline table): LSH -> CC
+        # clustering — totals before/after r5 differ by this query's wall
+        "dedup_clusters": lambda s, d: dedup.neardup_clusters(docs),
         "text_quality": lambda s, d: text.quality_score(docs),
         "knn_bruteforce": lambda s, d: similarity.knn_bruteforce(emb),
         "knn_lsh": lambda s, d: similarity.knn_lsh(emb),
