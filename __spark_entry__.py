@@ -530,6 +530,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _emb(s, d)
         ),
         "dedup_clusters": lambda s, d: dedup.neardup_clusters(_docs(s, d)),
+        "docs_keep": lambda s, d: dedup.docs_keep(_docs(s, d)),
         "dedup_simhash": lambda s, d: dedup.simhash(_docs(s, d)),
         "dedup_ngram_jaccard": lambda s, d: dedup.ngram_jaccard_pairs(_docs(s, d)),
         "dedup_ngram_lsh_verify": lambda s, d: dedup.ngram_jaccard_verify_lsh(
@@ -639,6 +640,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_embedding_pairs": dedup.embedding_neardup_pairs_sql(),
         "dedup_embedding_recall": dedup.embedding_neardup_recall_sql(),
         "dedup_clusters": dedup.neardup_clusters_sql(),
+        "docs_keep": dedup.docs_keep_sql(),
         "dedup_simhash": dedup.simhash_sql(),
         "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs_sql(),
         "dedup_ngram_lsh_verify": dedup.ngram_jaccard_verify_lsh_sql(),

@@ -902,3 +902,63 @@ def neardup_clusters_sql(table: str = "documents") -> str:
       SELECT canon_id, count(*) AS cluster_size FROM lab GROUP BY canon_id
     ) s USING (canon_id)
     """
+
+
+# --- end-to-end curation keep-list -------------------------------------------
+
+# quality floor for the keep-list: drop fragments shorter than this many
+# whitespace tokens (mirrored literally into the SQL twin)
+KEEP_MIN_TOKENS = 5
+
+
+def docs_keep(docs: DataFrame) -> DataFrame:
+    """The curation pipeline's final deliverable: doc_ids that SURVIVE
+    exact dedup -> fuzzy dedup -> quality floor, in that order.
+
+      1. exact: keep min doc_id per md5(text) group (one hash-groupBy —
+         collapses verbatim copies before any signature work, which is the
+         order a 100-TB pipeline must use: minhash over unique texts only);
+      2. fuzzy: :func:`neardup_clusters` over the exact survivors; a doc in
+         a near-dup cluster survives only as its cluster's canon;
+      3. quality: at least ``KEEP_MIN_TOKENS`` whitespace tokens.
+
+    Every stage is a semi/anti join on doc_id against a much-smaller loser
+    set — no stage rereads text except the signature pass inside step 2.
+    """
+    winners = (
+        docs.select("doc_id", F.md5("text").alias("h"))
+        .groupBy("h")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    survivors = docs.join(winners, "doc_id", "left_semi")
+    losers = (
+        neardup_clusters(survivors)
+        .filter(F.col("doc_id") != F.col("canon_id"))
+        .select("doc_id")
+    )
+    return (
+        survivors.join(losers, "doc_id", "left_anti")
+        .filter(F.size(F.split("text", " ")) >= KEEP_MIN_TOKENS)
+        .select("doc_id")
+    )
+
+
+def docs_keep_sql(table: str = "documents") -> str:
+    return f"""
+    WITH winners AS (
+      SELECT min(doc_id) AS doc_id FROM {table} GROUP BY md5(text)
+    ),
+    survivors AS (
+      SELECT d.* FROM {table} d JOIN winners w USING (doc_id)
+    ),
+    clusters AS (
+      {neardup_clusters_sql("survivors")}
+    )
+    SELECT s.doc_id
+    FROM survivors s
+    LEFT JOIN (SELECT doc_id FROM clusters WHERE doc_id <> canon_id) l
+      USING (doc_id)
+    WHERE l.doc_id IS NULL
+      AND len(string_split(s.text, ' ')) >= {KEEP_MIN_TOKENS}
+    """

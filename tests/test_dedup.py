@@ -257,3 +257,22 @@ def test_star_edges_linear_in_mega_cluster(spark):
     assert all(e["a"] == 5000 for e in edges)
     out = {tuple(r) for r in dedup.neardup_clusters(mega).collect()}
     assert out == {(5000 + i, 5000, 1000) for i in range(1000)}
+
+
+def test_docs_keep_composition(spark):
+    """Planted corpus covering every stage: exact-dup pair (loser dropped by
+    stage 1), near-dup pair (loser dropped by stage 2 as non-canon), short
+    fragment (dropped by the quality floor), plus healthy unique docs."""
+    t_near = "a reasonably long shared body of text used twice with tiny edits"
+    rows = [
+        (1, "u", "unique healthy document number one with plenty of tokens"),
+        (2, "u", "unique healthy document number two with plenty of tokens"),
+        (10, "u", "verbatim copied text that appears exactly twice in the corpus"),
+        (11, "u", "verbatim copied text that appears exactly twice in the corpus"),
+        (20, "u", t_near),
+        (21, "u", t_near + " zz"),
+        (30, "u", "too short"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    kept = sorted(r[0] for r in dedup.docs_keep(docs).collect())
+    assert kept == [1, 2, 10, 20]
