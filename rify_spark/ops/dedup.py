@@ -850,16 +850,21 @@ def neardup_clusters(docs: DataFrame) -> DataFrame:
     labels = (
         sym.select(F.col("a").alias("node")).distinct().withColumn("lab", F.col("node"))
     )
-    for _round in range(50):
-        neighbor = sym.join(labels, sym["a"] == labels["node"]).select(
-            F.col("b").alias("node"), F.col("lab")
-        )
-        labels = (
-            labels.unionByName(neighbor)
-            .groupBy("node")
-            .agg(F.min("lab").alias("lab"))
-            .localCheckpoint(eager=False)  # materialized by the check below
-        )
+    for _round in range(25):
+        # two propagation hops fused lazily per round (same trick as
+        # extract/canonicalize.py): star components have diameter 2, so
+        # the common case is ONE barrier — the straddle count below
+        # materializes the checkpoint and checks convergence in one job
+        for _hop in range(2):
+            neighbor = sym.join(labels, sym["a"] == labels["node"]).select(
+                F.col("b").alias("node"), F.col("lab")
+            )
+            labels = (
+                labels.unionByName(neighbor)
+                .groupBy("node")
+                .agg(F.min("lab").alias("lab"))
+            )
+        labels = labels.localCheckpoint(eager=False)
         la = labels.select(F.col("node").alias("a"), F.col("lab").alias("__la"))
         lb = labels.select(F.col("node").alias("b"), F.col("lab").alias("__lb"))
         straddling = (
@@ -868,7 +873,7 @@ def neardup_clusters(docs: DataFrame) -> DataFrame:
         if straddling.count() == 0:
             break
     else:
-        raise RuntimeError("neardup_clusters: component diameter > 50 rounds")
+        raise RuntimeError("neardup_clusters: component diameter > 50 hops")
     sizes = labels.groupBy("lab").agg(F.count("*").alias("cluster_size"))
     return labels.join(sizes, "lab").select(
         F.col("node").alias("doc_id"),
