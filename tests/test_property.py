@@ -181,3 +181,54 @@ def test_retraction_matches_naive_oracle(spark, facts, rules, data):
     finally:
         shutil.rmtree(store_dir, ignore_errors=True)
     assert got == _naive_closure(remaining, rules)
+
+
+# ---------------------------------------------------------------------------
+# fuzzy-dedup clustering: star-edge CC == components of the full pair graph
+# ---------------------------------------------------------------------------
+
+TOKENS = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+
+docs_st = st.lists(
+    st.lists(st.sampled_from(TOKENS), min_size=1, max_size=8),
+    min_size=2,
+    max_size=25,
+)
+
+
+@settings(max_examples=4 * _SCALE, **_SETTINGS)
+@given(token_lists=docs_st)
+def test_neardup_clusters_match_pair_graph_components(spark, token_lists):
+    """Random tiny-vocabulary corpora (dense accidental near-dups): the
+    star-edge clustering must equal connected components computed in pure
+    Python over the FULL lsh_candidate_pairs graph — the equivalence the
+    bucket-min star reduction claims."""
+    from rify_spark.ops import dedup
+
+    rows = [(i, "s", " ".join(toks)) for i, toks in enumerate(token_lists)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    pairs = [(r["doc_a"], r["doc_b"]) for r in dedup.lsh_candidate_pairs(docs).collect()]
+    # union-find over the pair graph
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comps: dict = {}
+    for d in parent:
+        comps.setdefault(find(d), set()).add(d)
+    want = {
+        (d, root, len(members))
+        for root, members in comps.items()
+        for d in members
+    }
+    got = {tuple(r) for r in dedup.neardup_clusters(docs).collect()}
+    assert got == want
