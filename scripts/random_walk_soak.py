@@ -1,0 +1,177 @@
+"""Randomized insert/retract walk soak: the IncrementalReasoner driven by a
+seeded random sequence of assert and retract batches, with the store checked
+against an independent pure-Python naive closure after EVERY batch.
+
+The structured soaks (STREAM_RUN, RETRACT_RUN) use tree workloads with
+closed-form expectations; this one walks the state space adversarially —
+re-asserting retracted premises, retracting freshly-inserted ones, empty
+batches, overlapping duplicates — under a mixed ruleset (transitivity,
+symmetry, cross-predicate bridge, an unconditional head). Exactness after
+every batch means the incremental store NEVER drifts from
+closure(current premises), which is the IVM contract.
+
+Writes RANDOM_WALK_SOAK.json. Seeded (default 5); runtime a few minutes.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import random
+import shutil
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+SEED = int(os.environ.get("RIFY_WALK_SEED", "5"))
+BATCHES = int(os.environ.get("RIFY_WALK_BATCHES", "40"))
+CPUS = int(os.environ.get("RIFY_WALK_CPUS", "8"))
+
+DG = "g"
+SCHEMA = "s string, p string, o string, g string"
+
+
+def naive_closure(facts, rules):
+    """Independent oracle: naive backtracking forward chainer (same one the
+    property suite pins the batch engine against, tests/test_property.py)."""
+
+    def bindings(atoms, store, binding):
+        if not atoms:
+            yield binding
+            return
+        first, rest = atoms[0], atoms[1:]
+        for quad in store:
+            b = dict(binding)
+            for e, val in zip(first, quad):
+                if e.is_var:
+                    if b.setdefault(e.value, val) != val:
+                        break
+                elif e.value != val:
+                    break
+            else:
+                yield from bindings(rest, store, b)
+
+    store = set(facts)
+    while True:
+        new = set()
+        for r in rules:
+            for b in bindings(list(r.if_all), list(store), {}):
+                for atom in r.then:
+                    q = tuple(b[e.value] if e.is_var else e.value for e in atom)
+                    if q not in store:
+                        new.add(q)
+        if not new:
+            return store
+        store |= new
+
+
+def main() -> None:
+    from rify_spark.rules import Bound as B, Rule, Unbound as U
+    from rify_spark.session import get_spark
+    from rify_spark.streaming import IncrementalReasoner
+
+    rules = [
+        # transitive closure on `anc`
+        Rule.create(
+            [
+                [U("a"), B("anc"), U("b"), B(DG)],
+                [U("b"), B("anc"), U("c"), B(DG)],
+            ],
+            [[U("a"), B("anc"), U("c"), B(DG)]],
+        ),
+        # parent feeds anc
+        Rule.create(
+            [[U("a"), B("parent"), U("b"), B(DG)]],
+            [[U("a"), B("anc"), U("b"), B(DG)]],
+        ),
+        # `near` is symmetric
+        Rule.create(
+            [[U("a"), B("near"), U("b"), B(DG)]],
+            [[U("b"), B("near"), U("a"), B(DG)]],
+        ),
+        # bridge: near neighbors of an ancestor are `kin`
+        Rule.create(
+            [
+                [U("a"), B("anc"), U("b"), B(DG)],
+                [U("b"), B("near"), U("c"), B(DG)],
+            ],
+            [[U("a"), B("kin"), U("c"), B(DG)]],
+        ),
+        # unconditional head (never deletable)
+        Rule.create([], [[B("root"), B("is"), B("axiom"), B(DG)]]),
+    ]
+
+    rng = random.Random(SEED)
+    nodes = [f"n{i}" for i in range(20)]
+
+    def rand_quad():
+        p = rng.choice(["parent", "near", "anc"])
+        return (rng.choice(nodes), p, rng.choice(nodes), DG)
+
+    spark = get_spark(
+        master=f"local[{CPUS}]",
+        app_name="rify-random-walk-soak",
+        shuffle_partitions=2 * CPUS,
+    )
+    store_dir = tempfile.mkdtemp(prefix="rify-walk-")
+    r = IncrementalReasoner(spark, rules, store_dir)
+    premises: set = set()
+    walls = []
+    max_store = 0
+    t_all = time.time()
+    try:
+        for k in range(BATCHES):
+            t0 = time.time()
+            if premises and rng.random() < 0.35:
+                # retract batch: mostly current premises, some junk/dupes
+                n = rng.randint(1, min(6, len(premises)))
+                batch = rng.sample(sorted(premises), n)
+                if rng.random() < 0.3:
+                    batch.append(rand_quad())  # may or may not be a premise
+                df = spark.createDataFrame(batch, SCHEMA)
+                r.retract_batch(df)
+                premises -= set(batch)
+                kind = f"retract({len(batch)})"
+            else:
+                n = rng.randint(0, 5)
+                batch = [rand_quad() for _ in range(n)]
+                df = spark.createDataFrame(batch, SCHEMA) if batch else (
+                    spark.createDataFrame([], SCHEMA)
+                )
+                r.process_batch(df, k)
+                premises |= set(batch)
+                kind = f"insert({len(batch)})"
+            got = {tuple(x) for x in r.facts().collect()}
+            want = naive_closure(premises, rules)
+            assert got == want, (
+                f"batch {k} ({kind}): store diverged — "
+                f"{len(got - want)} extra, {len(want - got)} missing"
+            )
+            max_store = max(max_store, len(got))
+            walls.append(round(time.time() - t0, 2))
+            print(f"batch {k:2d} {kind:12s} store={len(got):5d} exact "
+                  f"{walls[-1]}s", flush=True)
+        art = {
+            "seed": SEED,
+            "batches": BATCHES,
+            "final_premises": len(premises),
+            "final_store_rows": max_store and len(got),
+            "max_store_rows": max_store,
+            "exact_after_every_batch": True,
+            "mean_batch_wall_s": round(sum(walls) / len(walls), 2),
+            "max_batch_wall_s": max(walls),
+            "total_wall_s": round(time.time() - t_all, 1),
+            "batch_walls": walls,
+        }
+        with open(os.path.join(REPO, "RANDOM_WALK_SOAK.json"), "w") as f:
+            json.dump(art, f, indent=1)
+        print(json.dumps({k: v for k, v in art.items() if k != "batch_walls"}))
+    finally:
+        shutil.rmtree(store_dir, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
