@@ -18,6 +18,12 @@ store-compaction interval):
 wall-clock and ``base_iter`` (the newest iteration whose directory holds a
 full facts.parquet) — resume reads that base and unions the deltas after
 it. An iteration directory without meta.json is incomplete and ignored.
+
+Storage is bounded, not historical: after each base commit the fixpoint
+prunes iteration dirs older than the base (:meth:`CheckpointManager.prune`
+— resume never reads them), so the directory holds O(store + one
+compaction interval of deltas). ``InferConfig.checkpoint_retain_history``
+keeps everything instead.
 """
 
 from __future__ import annotations
@@ -92,6 +98,36 @@ class CheckpointManager:
             meta.update(extra_meta)
         with open(os.path.join(d, "meta.json"), "w") as f:
             json.dump(meta, f)
+
+    def prune(self, keep_from: int) -> list:
+        """Delete iteration directories strictly older than ``keep_from``.
+
+        Called after a new full-facts base commits at iteration
+        ``keep_from``: resume reads only the newest base and the deltas
+        after it (:meth:`latest`), so older iterations are dead weight —
+        without pruning the checkpoint directory grows O(total history)
+        instead of O(store + one compaction interval of deltas), which is
+        the difference between bounded and unbounded storage when deltas
+        are TB-sized. Torn directories (no meta.json — a crash mid-write)
+        older than the base are removed too. Safe mid-run: by the time a
+        new base commits, the current run has long materialized anything
+        it read from older checkpoints (the resume seed is checkpointed by
+        the first iteration's counts). Returns pruned iteration numbers.
+        """
+        import shutil
+
+        pruned = []
+        for name in os.listdir(self.dir):
+            if not name.startswith("iter="):
+                continue
+            try:
+                n = int(name.split("=")[1])
+            except ValueError:
+                continue
+            if n < keep_from:
+                shutil.rmtree(os.path.join(self.dir, name), ignore_errors=True)
+                pruned.append(n)
+        return sorted(pruned)
 
     def latest(self) -> Optional[tuple]:
         """(iteration, facts, delta, arguments|None, meta) of the newest

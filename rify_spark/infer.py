@@ -356,6 +356,11 @@ class InferConfig:
     # persistent checkpoints (resumable); None -> localCheckpoint only
     checkpoint_dir: Optional[str] = None
     resume: bool = False
+    # prune iteration dirs older than the newest full-facts base after each
+    # base commit, bounding checkpoint storage at O(store + one compaction
+    # interval of deltas) instead of O(history). True keeps everything
+    # (debugging / audit trails).
+    checkpoint_retain_history: bool = False
     max_iterations: Optional[int] = None
     # per-predicate cardinality stats for join ordering; disabled when the
     # predicate vocabulary is unexpectedly large
@@ -1115,6 +1120,20 @@ def fixpoint(
                         "base_iter": last_base,
                     },
                 )
+                if lineage and write_base:
+                    # re-point the lineage union at the base parquet just
+                    # written: bounds the union plan width to base + tail
+                    # blocks AND drops any dependency a RESUMED run carried
+                    # on older checkpoint files (about to be pruned below) —
+                    # without this, the next base write or a post-run
+                    # res.arguments consumer would re-read pruned parquet
+                    arguments = spark.read.parquet(
+                        os.path.join(ckpt._iter_dir(it), "arguments.parquet")
+                    )
+                    arg_blocks.clear()
+                    arg_blocks.append(arguments)
+                if write_base and not cfg.checkpoint_retain_history:
+                    ckpt.prune(last_base)
     finally:
         for k, v in _saved.items():
             if _toggles[k] is not None:

@@ -128,3 +128,91 @@ def test_prove_mode_resume_reconstructs_arguments(spark, tmp_path):
     args = {tuple(r)[:4] for r in res.arguments.collect()}
     assert args == expected  # exactly one argument row per derived quad
     assert res.arguments.count() == len(expected)
+
+
+def test_checkpoint_pruned_to_newest_base_and_still_resumes(spark, tmp_path):
+    """After each base commit, iterations older than the base are pruned
+    (storage bounded at O(store + one compaction interval), not
+    O(history)) — and a resume over the pruned directory still lands the
+    exact closure."""
+    ckdir = str(tmp_path / "ck")
+    facts, lrules, expected = _chain_setup(spark)
+    partial_cfg = InferConfig(
+        encode_terms=False,
+        checkpoint_dir=ckdir,
+        store_compact_every=2,
+        max_iterations=3,
+    )
+    fixpoint(spark, seed_facts(spark, facts, lrules, "string"), lrules, partial_cfg)
+    iters = sorted(
+        int(d.split("=")[1]) for d in os.listdir(ckdir) if d.startswith("iter=")
+    )
+    # bases at 1 and 3 (compact_every=2): iterations 1-2 pruned at the
+    # iteration-3 base commit
+    assert iters == [3]
+    assert json.load(open(os.path.join(ckdir, "iter=00003", "meta.json")))[
+        "has_facts"
+    ]
+    resume_cfg = InferConfig(
+        encode_terms=False,
+        checkpoint_dir=ckdir,
+        store_compact_every=2,
+        resume=True,
+    )
+    res = fixpoint(spark, seed_facts(spark, facts, lrules, "string"), lrules, resume_cfg)
+    assert res.resumed and res.metrics[0]["iteration"] == 3
+    assert expected <= {tuple(r) for r in res.facts.collect()}
+
+
+def test_checkpoint_retain_history_keeps_everything(spark, tmp_path):
+    ckdir = str(tmp_path / "ck")
+    facts, lrules, _ = _chain_setup(spark)
+    cfg = InferConfig(
+        encode_terms=False,
+        checkpoint_dir=ckdir,
+        store_compact_every=2,
+        max_iterations=3,
+        checkpoint_retain_history=True,
+    )
+    fixpoint(spark, seed_facts(spark, facts, lrules, "string"), lrules, cfg)
+    iters = sorted(
+        int(d.split("=")[1]) for d in os.listdir(ckdir) if d.startswith("iter=")
+    )
+    assert iters == [1, 2, 3]
+
+
+def test_pruned_lineage_resume_repoints_arguments(spark, tmp_path):
+    """The hazard pruning must not introduce: a RESUMED prove-mode run
+    carries a lazy parquet-backed arguments base from the OLD iteration
+    dirs; when the resumed run commits a new base and prunes them, the
+    lineage union must have been re-pointed at the new base parquet —
+    otherwise the next base write / post-run res.arguments consumers
+    re-read deleted files."""
+    ckdir = str(tmp_path / "ck")
+    facts, lrules, expected = _chain_setup(spark)
+    facts0 = seed_facts(spark, facts, lrules, "string")
+    partial_cfg = InferConfig(
+        encode_terms=False,
+        checkpoint_dir=ckdir,
+        store_compact_every=2,
+        max_iterations=3,
+    )
+    fixpoint(spark, facts0, lrules, partial_cfg, lineage=True)
+    resume_cfg = InferConfig(
+        encode_terms=False,
+        checkpoint_dir=ckdir,
+        store_compact_every=2,
+        resume=True,
+    )
+    res = fixpoint(spark, facts0, lrules, resume_cfg, lineage=True)
+    assert res.resumed
+    # the resumed run committed at least one new base (iterations 5+), so
+    # the pre-resume dirs are gone...
+    iters = sorted(
+        int(d.split("=")[1]) for d in os.listdir(ckdir) if d.startswith("iter=")
+    )
+    assert min(iters) > 3
+    # ...and the full lineage is still consumable — one row per derived quad
+    args = {tuple(r)[:4] for r in res.arguments.collect()}
+    assert args == expected
+    assert res.arguments.count() == len(expected)
