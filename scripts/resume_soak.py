@@ -169,10 +169,27 @@ def main() -> None:
         "exit": p.returncode,  # -9
     }
 
+    def _du(path: str) -> int:
+        total = 0
+        for root, _dirs, files in os.walk(path):
+            for fn in files:
+                try:
+                    total += os.path.getsize(os.path.join(root, fn))
+                except OSError:
+                    pass
+        return total
+
+    art["kill"]["ck_bytes_at_kill"] = _du(ckdir)
+
     # phase 3: resume run — must pick up a committed iteration and finish
     p = _launch(ckdir, resume=True)
     res = _result(p)
     art["resume"] = res
+    # bounded storage: the resume run prunes superseded iterations at each
+    # base commit, so the directory ends at O(newest base + tail deltas),
+    # not O(history)
+    art["resume"]["ck_dirs_after"] = _committed_iters(ckdir)
+    art["resume"]["ck_bytes_after"] = _du(ckdir)
     assert res["resumed"] is True, res
     assert res["resumed_from_iter"] >= KILL_AFTER, res
     assert res["derived"] == expected, (res, expected)
