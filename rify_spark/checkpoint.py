@@ -99,6 +99,12 @@ class CheckpointManager:
         with open(os.path.join(d, "meta.json"), "w") as f:
             json.dump(meta, f)
 
+    def arguments_path(self, it: int) -> str:
+        """Path of the full-lineage parquet written at base iteration
+        ``it`` (the fixpoint re-points its lineage union here after each
+        base commit)."""
+        return os.path.join(self._iter_dir(it), "arguments.parquet")
+
     def prune(self, keep_from: int) -> list:
         """Delete iteration directories strictly older than ``keep_from``.
 

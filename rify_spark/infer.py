@@ -1127,9 +1127,7 @@ def fixpoint(
                     # on older checkpoint files (about to be pruned below) —
                     # without this, the next base write or a post-run
                     # res.arguments consumer would re-read pruned parquet
-                    arguments = spark.read.parquet(
-                        os.path.join(ckpt._iter_dir(it), "arguments.parquet")
-                    )
+                    arguments = spark.read.parquet(ckpt.arguments_path(it))
                     arg_blocks.clear()
                     arg_blocks.append(arguments)
                 if write_base and not cfg.checkpoint_retain_history:

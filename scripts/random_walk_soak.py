@@ -158,7 +158,7 @@ def main() -> None:
             "seed": SEED,
             "batches": BATCHES,
             "final_premises": len(premises),
-            "final_store_rows": max_store and len(got),
+            "final_store_rows": len(got),
             "max_store_rows": max_store,
             "exact_after_every_batch": True,
             "mean_batch_wall_s": round(sum(walls) / len(walls), 2),
