@@ -474,7 +474,7 @@ def _q_multimodal_codec(spark, sf_dir):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    from rify_spark.ops import dedup, events, quads, similarity, text
+    from rify_spark.ops import dedup, events, quads, sample, similarity, text
 
     def _events(s_, d_):
         return s_.read.parquet(f"{d_}/events.parquet")
@@ -531,6 +531,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "dedup_clusters": lambda s, d: dedup.neardup_clusters(_docs(s, d)),
         "docs_keep": lambda s, d: dedup.docs_keep(_docs(s, d)),
+        "docs_sample_stratified": lambda s, d: sample.docs_sample_stratified(
+            _docs(s, d)
+        ),
         "dedup_simhash": lambda s, d: dedup.simhash(_docs(s, d)),
         "dedup_ngram_jaccard": lambda s, d: dedup.ngram_jaccard_pairs(_docs(s, d)),
         "dedup_ngram_lsh_verify": lambda s, d: dedup.ngram_jaccard_verify_lsh(
@@ -595,7 +598,9 @@ KG_PIPELINE_SQL = """
 
 
 def oracle_sql() -> dict[str, str]:
-    from rify_spark.ops import dedup, events, graph, multimodal, quads, similarity, text
+    from rify_spark.ops import (
+        dedup, events, graph, multimodal, quads, sample, similarity, text,
+    )
 
     return {
         "o1_dict_build": quads.DICT_BUILD_SQL,
@@ -641,6 +646,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_embedding_recall": dedup.embedding_neardup_recall_sql(),
         "dedup_clusters": dedup.neardup_clusters_sql(),
         "docs_keep": dedup.docs_keep_sql(),
+        "docs_sample_stratified": sample.docs_sample_stratified_sql(),
         "dedup_simhash": dedup.simhash_sql(),
         "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs_sql(),
         "dedup_ngram_lsh_verify": dedup.ngram_jaccard_verify_lsh_sql(),
