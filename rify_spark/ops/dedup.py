@@ -946,6 +946,12 @@ def docs_keep(docs: DataFrame) -> DataFrame:
         survivors.join(losers, "doc_id", "left_anti")
         .filter(F.size(F.split("text", " ")) >= KEEP_MIN_TOKENS)
         .select("doc_id")
+        # the keep-list is a SET: under duplicate doc_ids (dirty inputs
+        # happen at 100 TB) the winner semi-join and the oracle's inner
+        # join multiply rows differently while agreeing on the set — the
+        # distinct pins the contract (caught by the sf1 gate, where the
+        # derived table carries ~50 colliding ids)
+        .distinct()
     )
 
 
@@ -960,7 +966,7 @@ def docs_keep_sql(table: str = "documents") -> str:
     clusters AS (
       {neardup_clusters_sql("survivors")}
     )
-    SELECT s.doc_id
+    SELECT DISTINCT s.doc_id
     FROM survivors s
     LEFT JOIN (SELECT doc_id FROM clusters WHERE doc_id <> canon_id) l
       USING (doc_id)
