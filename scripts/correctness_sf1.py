@@ -37,6 +37,8 @@ PARAMETERIZED = [
     # the CC loop's multi-round + DuckDB recursive-reachability paths are
     # actually exercised)
     "dedup_clusters",
+    "docs_keep",
+    "docs_sample_stratified",
     "dedup_embedding_pairs",
     "dedup_embedding_recall",
     "knn_lsh_buckets",
