@@ -83,11 +83,19 @@ class CheckpointManager:
             )
         if facts is not None:
             facts.write.mode("overwrite").parquet(os.path.join(d, "facts.parquet"))
-        delta2 = self.spark.read.parquet(os.path.join(d, "delta.parquet"))
+        delta_dir = os.path.join(d, "delta.parquet")
+        # partition count = written part files; counting them via listdir is
+        # free, vs re-opening the parquet and converting to RDD (a plan
+        # compile on the hot per-iteration path — the same cost the fixpoint
+        # metrics avoided, infer.py "delta_partitions" note)
+        n_parts = sum(
+            1 for fn in os.listdir(delta_dir)
+            if fn.startswith("part-") and not fn.endswith(".crc")
+        )
         meta = {
             "iteration": it,
             "write_wall_s": round(time.time() - t0, 4),
-            "delta_partitions": delta2.rdd.getNumPartitions(),
+            "delta_partitions": n_parts,
             "ts": time.time(),
             "has_arguments": arguments is not None,
             "has_args_delta": arguments is None and arguments_delta is not None,

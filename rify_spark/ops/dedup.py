@@ -918,25 +918,31 @@ KEEP_MIN_TOKENS = 5
 
 def docs_keep(docs: DataFrame) -> DataFrame:
     """The curation pipeline's final deliverable: doc_ids that SURVIVE
-    exact dedup -> fuzzy dedup -> quality floor, in that order.
+    quality floor -> exact dedup -> fuzzy dedup, in that order.
 
-      1. exact: keep min doc_id per md5(text) group (one hash-groupBy —
-         collapses verbatim copies before any signature work, which is the
-         order a 100-TB pipeline must use: minhash over unique texts only);
-      2. fuzzy: :func:`neardup_clusters` over the exact survivors; a doc in
-         a near-dup cluster survives only as its cluster's canon;
-      3. quality: at least ``KEEP_MIN_TOKENS`` whitespace tokens.
+      1. quality: at least ``KEEP_MIN_TOKENS`` whitespace tokens. FIRST for
+         two reasons: it is the cheapest stage (a narrow no-shuffle filter
+         — at 100 TB it must run before any signature work), and ordering
+         it after clustering would silently annihilate a whole near-dup
+         cluster whenever its min-id canon happens to fail the floor while
+         other members pass;
+      2. exact: keep min doc_id per md5(text) group (one hash-groupBy —
+         collapses verbatim copies before minhash, so signatures run over
+         unique texts only);
+      3. fuzzy: :func:`neardup_clusters` over the exact survivors; a doc in
+         a near-dup cluster survives only as its cluster's canon.
 
     Every stage is a semi/anti join on doc_id against a much-smaller loser
-    set — no stage rereads text except the signature pass inside step 2.
+    set — no stage rereads text except the signature pass inside step 3.
     """
+    quality = docs.filter(F.size(F.split("text", " ")) >= KEEP_MIN_TOKENS)
     winners = (
-        docs.select("doc_id", F.md5("text").alias("h"))
+        quality.select("doc_id", F.md5("text").alias("h"))
         .groupBy("h")
         .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id")
     )
-    survivors = docs.join(winners, "doc_id", "left_semi")
+    survivors = quality.join(winners, "doc_id", "left_semi")
     losers = (
         neardup_clusters(survivors)
         .filter(F.col("doc_id") != F.col("canon_id"))
@@ -944,7 +950,6 @@ def docs_keep(docs: DataFrame) -> DataFrame:
     )
     return (
         survivors.join(losers, "doc_id", "left_anti")
-        .filter(F.size(F.split("text", " ")) >= KEEP_MIN_TOKENS)
         .select("doc_id")
         # the keep-list is a SET: under duplicate doc_ids (dirty inputs
         # happen at 100 TB) the winner semi-join and the oracle's inner
@@ -957,11 +962,15 @@ def docs_keep(docs: DataFrame) -> DataFrame:
 
 def docs_keep_sql(table: str = "documents") -> str:
     return f"""
-    WITH winners AS (
-      SELECT min(doc_id) AS doc_id FROM {table} GROUP BY md5(text)
+    WITH quality AS (
+      SELECT * FROM {table}
+      WHERE len(string_split(text, ' ')) >= {KEEP_MIN_TOKENS}
+    ),
+    winners AS (
+      SELECT min(doc_id) AS doc_id FROM quality GROUP BY md5(text)
     ),
     survivors AS (
-      SELECT d.* FROM {table} d JOIN winners w USING (doc_id)
+      SELECT d.* FROM quality d JOIN winners w USING (doc_id)
     ),
     clusters AS (
       {neardup_clusters_sql("survivors")}
@@ -971,5 +980,4 @@ def docs_keep_sql(table: str = "documents") -> str:
     LEFT JOIN (SELECT doc_id FROM clusters WHERE doc_id <> canon_id) l
       USING (doc_id)
     WHERE l.doc_id IS NULL
-      AND len(string_split(s.text, ' ')) >= {KEEP_MIN_TOKENS}
     """

@@ -1,6 +1,7 @@
 """Randomized insert/retract walk soak: the IncrementalReasoner driven by a
 seeded random sequence of assert and retract batches, with the store checked
-against an independent pure-Python naive closure after EVERY batch.
+against the independent pure-Python reference evaluator
+(rify_spark/reference.py) after EVERY batch.
 
 The structured soaks (STREAM_RUN, RETRACT_RUN) use tree workloads with
 closed-form expectations; this one walks the state space adversarially —
@@ -34,41 +35,8 @@ DG = "g"
 SCHEMA = "s string, p string, o string, g string"
 
 
-def naive_closure(facts, rules):
-    """Independent oracle: naive backtracking forward chainer (same one the
-    property suite pins the batch engine against, tests/test_property.py)."""
-
-    def bindings(atoms, store, binding):
-        if not atoms:
-            yield binding
-            return
-        first, rest = atoms[0], atoms[1:]
-        for quad in store:
-            b = dict(binding)
-            for e, val in zip(first, quad):
-                if e.is_var:
-                    if b.setdefault(e.value, val) != val:
-                        break
-                elif e.value != val:
-                    break
-            else:
-                yield from bindings(rest, store, b)
-
-    store = set(facts)
-    while True:
-        new = set()
-        for r in rules:
-            for b in bindings(list(r.if_all), list(store), {}):
-                for atom in r.then:
-                    q = tuple(b[e.value] if e.is_var else e.value for e in atom)
-                    if q not in store:
-                        new.add(q)
-        if not new:
-            return store
-        store |= new
-
-
 def main() -> None:
+    from rify_spark.reference import naive_closure
     from rify_spark.rules import Bound as B, Rule, Unbound as U
     from rify_spark.session import get_spark
     from rify_spark.streaming import IncrementalReasoner
@@ -138,9 +106,7 @@ def main() -> None:
             else:
                 n = rng.randint(0, 5)
                 batch = [rand_quad() for _ in range(n)]
-                df = spark.createDataFrame(batch, SCHEMA) if batch else (
-                    spark.createDataFrame([], SCHEMA)
-                )
+                df = spark.createDataFrame(batch, SCHEMA)
                 r.process_batch(df, k)
                 premises |= set(batch)
                 kind = f"insert({len(batch)})"

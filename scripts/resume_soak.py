@@ -133,6 +133,20 @@ def _committed_iters(ckdir: str) -> list:
 
 
 def main() -> None:
+    import shutil
+
+    # /dev/shm checkpoints are RAM: clean up even when an assertion or a
+    # worker failure aborts the run mid-way
+    ctl_dir = tempfile.mkdtemp(prefix="rify-resume-ctl-", dir=TMP)
+    ckdir = tempfile.mkdtemp(prefix="rify-resume-kill-", dir=TMP)
+    try:
+        _run(ctl_dir, ckdir)
+    finally:
+        shutil.rmtree(ctl_dir, ignore_errors=True)
+        shutil.rmtree(ckdir, ignore_errors=True)
+
+
+def _run(ctl_dir: str, ckdir: str) -> None:
     expected = sum(i.bit_length() for i in range(1, TREE_N))
     art = {
         "tree_nodes": TREE_N,
@@ -142,14 +156,12 @@ def main() -> None:
     }
 
     # phase 1: scratch control (checkpointing on, runs to completion)
-    ctl_dir = tempfile.mkdtemp(prefix="rify-resume-ctl-", dir=TMP)
     p = _launch(ctl_dir, resume=False)
     ctl = _result(p)
     assert ctl["derived"] == expected, (ctl, expected)
     art["scratch"] = ctl
 
     # phase 2: kill run — SIGKILL the process group mid-iteration
-    ckdir = tempfile.mkdtemp(prefix="rify-resume-kill-", dir=TMP)
     p = _launch(ckdir, resume=False)
     t0 = time.time()
     while True:
@@ -206,11 +218,6 @@ def main() -> None:
     with open(os.path.join(REPO, "RESUME_RUN.json"), "w") as f:
         json.dump(art, f, indent=1)
     print(json.dumps(art, indent=1))
-
-    import shutil
-
-    shutil.rmtree(ctl_dir, ignore_errors=True)
-    shutil.rmtree(ckdir, ignore_errors=True)
 
 
 if __name__ == "__main__":

@@ -54,41 +54,9 @@ _SETTINGS = dict(
 )
 
 
-# ---------------------------------------------------------------------------
-# independent oracle: naive backtracking forward chainer over Python sets
-# ---------------------------------------------------------------------------
-
-def _bindings(atoms, store, binding):
-    """All extensions of ``binding`` matching ``atoms`` against ``store``."""
-    if not atoms:
-        yield binding
-        return
-    first, rest = atoms[0], atoms[1:]
-    for quad in store:
-        b = dict(binding)
-        for e, val in zip(first, quad):
-            if e.is_var:
-                if b.setdefault(e.value, val) != val:
-                    break
-            elif e.value != val:
-                break
-        else:
-            yield from _bindings(rest, store, b)
-
-
-def _naive_closure(facts, rules):
-    store = set(facts)
-    while True:
-        new = set()
-        for r in rules:
-            for b in _bindings(list(r.if_all), list(store), {}):
-                for atom in r.then:
-                    q = tuple(b[e.value] if e.is_var else e.value for e in atom)
-                    if q not in store:
-                        new.add(q)
-        if not new:
-            return store
-        store |= new
+# the independent oracle lives in rify_spark.reference (shared with the
+# randomized soaks): a naive backtracking forward chainer, no engine code
+from rify_spark.reference import naive_closure as _naive_closure  # noqa: E402
 
 
 # ---------------------------------------------------------------------------
