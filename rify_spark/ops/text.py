@@ -113,3 +113,56 @@ def fingerprint_sql() -> str:
            md5(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' ')) AS fp
     FROM documents
     """
+
+
+# --- PII redaction ------------------------------------------------------------
+
+# conservative patterns valid in BOTH regex engines (Spark = java.util.regex,
+# DuckDB = RE2) with identical match semantics: character classes, bounded
+# quantifiers and \b only — no lookarounds (RE2 has none), no backrefs
+PII_PATTERNS = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("ipv4", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"),
+    ("longnum", r"\b[0-9]{9,}\b"),  # phone/SSN/card-shaped digit runs
+]
+PII_TOKEN = "[PII]"
+
+
+def redact_pii(docs: DataFrame) -> DataFrame:
+    """(doc_id, clean_hash, n_email, n_ipv4, n_longnum): text with PII
+    spans replaced by ``[PII]``, reported as an md5 so the gate compares
+    content without shipping documents; per-category match counts ride
+    along for corpus audit dashboards.
+
+    All JVM-side regexp expressions under whole-stage codegen — the scan
+    reads (doc_id, text) only and nothing shuffles; at 100 TB this is a
+    map-only pass like the other text operators. Counts are computed on
+    the ORIGINAL text, sequential redaction on the text as each earlier
+    category left it (email first — an email would otherwise lose its
+    digits to no one, but an IPv4 inside a redacted span must not be
+    double-counted... it is not: counts are per-category on the original,
+    the redaction order only affects the final string, identically in the
+    SQL twin)."""
+    clean = F.col("text")
+    counts = []
+    for name, pat in PII_PATTERNS:
+        counts.append(
+            F.regexp_count("text", F.lit(pat)).cast("long").alias(f"n_{name}")
+        )
+        clean = F.regexp_replace(clean, pat, PII_TOKEN)
+    return docs.select("doc_id", F.md5(clean).alias("clean_hash"), *counts)
+
+
+def redact_pii_sql(table: str = "documents") -> str:
+    clean = "text"
+    counts = []
+    for name, pat in PII_PATTERNS:
+        counts.append(f"len(regexp_extract_all(text, '{pat}')) AS n_{name}")
+        clean = f"regexp_replace({clean}, '{pat}', '{PII_TOKEN}', 'g')"
+    cols = ",\n           ".join(counts)
+    return f"""
+    SELECT doc_id,
+           md5({clean}) AS clean_hash,
+           {cols}
+    FROM {table}
+    """

@@ -1,0 +1,41 @@
+"""Text-analysis operator tests (the oracle gate covers the hash parity;
+these pin planted-input semantics)."""
+
+import os
+import sys
+
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from rify_spark.ops import text as T  # noqa: E402
+
+
+def test_redact_pii_planted(spark):
+    """Planted emails / IPv4 / card-shaped digit runs are counted per
+    category and scrubbed: the clean hash equals the hash of the manually
+    redacted text."""
+    rows = [
+        (1, "contact bob@example.com or 10.0.0.1 card 4111111111111111 end"),
+        (2, "no pii here at all"),
+        (3, "two mails a@b.co c@d.io and ip 192.168.1.255"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in T.redact_pii(docs).collect()}
+    assert (out[1]["n_email"], out[1]["n_ipv4"], out[1]["n_longnum"]) == (1, 1, 1)
+    assert (out[2]["n_email"], out[2]["n_ipv4"], out[2]["n_longnum"]) == (0, 0, 0)
+    assert (out[3]["n_email"], out[3]["n_ipv4"], out[3]["n_longnum"]) == (2, 1, 0)
+    manual = "contact [PII] or [PII] card [PII] end"
+    expect = spark.createDataFrame([(manual,)], "t string").select(
+        F.md5("t")
+    ).collect()[0][0]
+    assert out[1]["clean_hash"] == expect
+
+
+def test_redact_pii_no_pii_hash_is_original(spark):
+    docs = spark.createDataFrame([(9, "plain text")], "doc_id long, text string")
+    got = T.redact_pii(docs).collect()[0]["clean_hash"]
+    expect = spark.createDataFrame([("plain text",)], "t string").select(
+        F.md5("t")
+    ).collect()[0][0]
+    assert got == expect
