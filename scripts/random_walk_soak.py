@@ -132,8 +132,26 @@ def main() -> None:
             "total_wall_s": round(time.time() - t_all, 1),
             "batch_walls": walls,
         }
-        with open(os.path.join(REPO, "RANDOM_WALK_SOAK.json"), "w") as f:
-            json.dump(art, f, indent=1)
+        # append-run semantics: the artifact accumulates {"runs": [...]}
+        # across seeds/batch-counts instead of each invocation clobbering
+        # the previous evidence
+        apath = os.path.join(REPO, "RANDOM_WALK_SOAK.json")
+        merged = {"runs": []}
+        if os.path.exists(apath):
+            try:
+                prev = json.load(open(apath))
+                merged["runs"] = prev["runs"] if "runs" in prev else [prev]
+            except (json.JSONDecodeError, KeyError):
+                pass
+        merged["runs"] = [
+            r for r in merged["runs"]
+            if (r.get("seed"), r.get("batches")) != (SEED, BATCHES)
+        ] + [art]
+        merged["exact_after_every_batch"] = all(
+            r.get("exact_after_every_batch") for r in merged["runs"]
+        )
+        with open(apath, "w") as f:
+            json.dump(merged, f, indent=1)
         print(json.dumps({k: v for k, v in art.items() if k != "batch_walls"}))
     finally:
         shutil.rmtree(store_dir, ignore_errors=True)
