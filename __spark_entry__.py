@@ -499,6 +499,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "o16_validate_roundtrip": _q_validate_roundtrip,
         "o17_rule_lowering": quads.rule_lowering,
         "o18_rule_validation": quads.rule_validation,
+        # linear-recursion doubling rewrite: a 1024-link chain closure
+        # written as the O(depth) linear rule, closed in O(log depth)
+        # iterations (rewrite.py; the query raises if the rewrite skipped)
+        "o19_linear_chain_rewrite": quads.linear_chain_closure,
         # skew: hot-key-salted shuffle joins through the whole fixpoint
         "skew_salted_closure": quads.skew_salted_closure,
         # streaming IVM: two-micro-batch incremental closure == one-shot
@@ -622,6 +626,7 @@ def oracle_sql() -> dict[str, str]:
         "o16_validate_roundtrip": VALIDATE_ROUNDTRIP_SQL,
         "o17_rule_lowering": quads.RULE_LOWERING_SQL,
         "o18_rule_validation": quads.RULE_VALIDATION_SQL,
+        "o19_linear_chain_rewrite": quads.LINEAR_CHAIN_SQL,
         "skew_salted_closure": quads.SKEW_SALTED_CLOSURE_SQL,
         "streaming_incremental_closure": quads.ANCESTRY_CLOSURE_SQL,
         "streaming_retract_closure": RETRACT_CLOSURE_SQL,

@@ -434,6 +434,13 @@ class InferConfig:
     # for data-bound iterations. 0 disables the toggle; None matches the
     # codegen rule (250k rows per core).
     aqe_below_rows: Optional[int] = None
+    # rewrite linear transitive recursions (H <- B; H(x,z) <- B(x,y),H(y,z))
+    # to the LFP-identical doubling form (H(x,z) <- H(x,y),H(y,z)) so a
+    # k-deep chain closes in O(log k) iterations instead of O(k) — the
+    # difference between 17 jobs and 100,000 jobs on a 100k-link chain.
+    # Proof + eligibility conditions in rewrite.py; never applied in
+    # lineage or goal-directed mode.
+    rewrite_linear_recursion: bool = True
     # predicate-level semi-naive refinement: skip delta-seeded join plans
     # whose seed atom has a constant predicate absent from this iteration's
     # delta (they are empty by construction). Costs one tiny distinct-p scan
@@ -460,6 +467,9 @@ class FixpointResult:
     # then misses pre-restart iterations — derived-set shortcuts must fall
     # back to the facts-minus-premises anti-join)
     resumed: bool = False
+    # linear-recursion doubling rewrites applied to the rule set
+    # (rewrite.py): [{"rule_index", "predicate"}, ...]
+    rewrites: list = field(default_factory=list)
 
 
 def _union_all(dfs: list) -> DataFrame:
@@ -748,6 +758,75 @@ def fixpoint(
     the store in place.
     """
     cfg = cfg or InferConfig()
+    rewrites: list = []
+    if cfg.rewrite_linear_recursion and not lineage and goals is None:
+        # O(depth) -> O(log depth) iterations for linear transitive shapes;
+        # LFP-preserving (see rewrite.py). Lineage keeps the user's rules
+        # (proof steps must replay them); goal mode keeps the early-exit
+        # iteration evaluation-order-independent. Applied BEFORE the
+        # checkpoint fingerprint so resume pairs with the rewritten program.
+        from .rewrite import rewrite_linear_doubling
+
+        orig_lrules = lrules
+        lrules, rewrites = rewrite_linear_doubling(lrules)
+        if (
+            len(rewrites) == 1
+            and rewrites[0]["smart_eligible"]
+            and delta0 is None
+            and reuse_store is None
+            and initial_arguments is None
+            and cfg.checkpoint_dir is None
+        ):
+            # Pure two-rule linear TC in plain batch mode: delegate to the
+            # unique-decomposition doubling strategy (tc.py) — same LFP,
+            # O(log depth) rounds AND O(|closure|) total join output (the
+            # plain doubling rewrite re-derives each pair once per split
+            # point, quadratic on chains). Incremental/resumable/streaming
+            # modes keep the generic loop.
+            from .tc import smart_tc_fixpoint
+
+            return smart_tc_fixpoint(
+                spark, facts0, rewrites[0], cfg, rewrites,
+                track_deltas=track_deltas,
+            )
+        if rewrites:
+            # Generic loop would evaluate the NONLINEAR form, which composes
+            # H-facts with each other — unsound when the premises already
+            # contain H-facts: the linear LFP only B-prefixes them (B^k∘H0),
+            # it never derives H0∘H0. (Smart TC above is exact for H0 — it
+            # composes B-powers onto the store, never H∘H.) Keep the rewrite
+            # only for predicates with no premise H-fact: one pushed-filter
+            # probe job on the seed, paid only when a rewrite reaches the
+            # generic path (checkpoint mode / bystander rules).
+            import functools
+            import operator
+
+            from .matcher import term_lit
+
+            dtype_p = facts0.schema["p"].dataType
+            probe = functools.reduce(
+                operator.or_,
+                [
+                    facts0["p"] == term_lit(rc["predicate"], dtype_p)
+                    for rc in rewrites
+                ],
+            )
+            present = {
+                r[0] for r in facts0.where(probe).select("p").distinct().collect()
+            }
+            if present:
+                by_index = {r.index: r for r in orig_lrules}
+                for rc in rewrites:
+                    if rc["predicate"] in present:
+                        pos = next(
+                            i
+                            for i, r in enumerate(lrules)
+                            if r.index == rc["rule_index"]
+                        )
+                        lrules[pos] = by_index[rc["rule_index"]]
+                rewrites = [
+                    rc for rc in rewrites if rc["predicate"] not in present
+                ]
     dtype = facts0.schema["s"].dataType
     cond_rules: list = [r for r in lrules if not r.unconditional]
     ckpt = (
@@ -1145,6 +1224,7 @@ def fixpoint(
         facts_rows=facts_rows,
         delta_dfs=tracked_deltas,
         resumed=resumed is not None,
+        rewrites=rewrites,
     )
 
 

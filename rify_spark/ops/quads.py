@@ -367,6 +367,74 @@ def ancestry_closure(spark: SparkSession, sf_dir: str, config=None) -> DataFrame
     return derived
 
 
+# --- O19: linear-recursion doubling rewrite (deep-chain closure) -----------
+
+CHAIN_LINKS = 1024
+
+
+def linear_chain_closure(spark: SparkSession, sf_dir: str, config=None) -> DataFrame:
+    """Deep-chain reachability written the way users write it — the LINEAR
+    recursion reach(x,z) <- next(x,y), reach(y,z) — which semi-naive
+    evaluation would grind through one Spark iteration PER LINK (1024 jobs
+    here; 10^5+ on real dependency chains). The doubling rewrite
+    (rewrite.py) makes it ceil(log2 n)+2 iterations with the identical
+    least fixpoint; this gate certifies both the closure (exact vs the
+    all-pairs oracle: the TC of a path graph is every ordered pair) and
+    that the rewrite actually fired. The chain fixture is the first
+    CHAIN_LINKS+1 customer keys — driver-bounded, so the unpartitioned
+    rank window is fine; the closure itself runs distributed."""
+    from ..api import infer_df
+    from ..infer import InferConfig
+    from ..rules import Bound as B, Rule, Unbound as U
+
+    w = Window.orderBy("c_custkey")
+    edges = (
+        _t(spark, sf_dir, "customer")
+        .select("c_custkey")
+        .orderBy("c_custkey")
+        .limit(CHAIN_LINKS + 1)
+        .select("c_custkey", F.lead("c_custkey").over(w).alias("nxt"))
+        .filter(F.col("nxt").isNotNull())
+        .select(
+            F.concat(F.lit("c:"), F.col("c_custkey")).alias("s"),
+            F.lit("next").alias("p"),
+            F.concat(F.lit("c:"), F.col("nxt")).alias("o"),
+            F.lit("chain").alias("g"),
+        )
+    )
+    rules = [
+        Rule.create(
+            [[U("a"), B("next"), U("b"), U("g")]],
+            [[U("a"), B("reach"), U("b"), U("g")]],
+        ),
+        Rule.create(
+            [
+                [U("a"), B("next"), U("b"), U("g")],
+                [U("b"), B("reach"), U("c"), U("g")],
+            ],
+            [[U("a"), B("reach"), U("c"), U("g")]],
+        ),
+    ]
+    derived, res = infer_df(spark, edges, rules, config or InferConfig())
+    if not res.rewrites:
+        raise RuntimeError(
+            "linear-chain gate expected the doubling rewrite to fire"
+        )
+    return derived
+
+
+LINEAR_CHAIN_SQL = f"""
+  WITH k AS (
+    SELECT c_custkey, ROW_NUMBER() OVER (ORDER BY c_custkey) AS rk
+    FROM (SELECT c_custkey FROM customer ORDER BY c_custkey
+          LIMIT {CHAIN_LINKS + 1}) t
+  )
+  SELECT 'c:' || a.c_custkey AS s, 'reach' AS p, 'c:' || b.c_custkey AS o,
+         'chain' AS g
+  FROM k a JOIN k b ON a.rk < b.rk
+"""
+
+
 # --- O13 oracle: prove-lineage arguments table ------------------------------
 # The arguments table of the goal-directed fixpoint IS SQL-expressible for
 # the binary-tree closure, because first-derivation attribution is fully

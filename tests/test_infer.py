@@ -394,6 +394,10 @@ def test_fixpoint_rescan_hot_on_compact_preserves_results(spark):
         rescan_hot_on_compact=True,
         hot_value_min_share=0.05,
         hot_salt_n=4,
+        # this test needs the GENERIC loop to run one iteration per link so
+        # compaction + hot-rescan actually trigger; the doubling rewrite
+        # would close the chain in O(log n) rounds via tc.py
+        rewrite_linear_recursion=False,
     )
     df, fx = infer_df(spark, facts, rules, config=cfg)
     got = sorted(map(tuple, df.collect()))

@@ -1,0 +1,321 @@
+"""Linear-recursion doubling rewrite (rify_spark/rewrite.py).
+
+Detection is unit-tested on lowered rules (no Spark); equivalence is pinned
+against the engine-independent naive evaluator on randomized graphs with
+cycles, multiple graphs, and bystander rules; iteration counts verify the
+actual O(log depth) win end-to-end.
+"""
+
+import random
+
+import pytest
+
+from rify_spark.reference import naive_closure
+from rify_spark.rewrite import rewrite_linear_doubling
+from rify_spark.rules import Bound as B, Rule, Unbound as U, lower_rule
+
+
+def _lower(rules):
+    return [lower_rule(r, i, lambda v: v) for i, r in enumerate(rules)]
+
+
+def _linear_tc(edge="next", reach="reach", mirrored=False):
+    body = [
+        [U("a"), B(edge), U("b"), U("g")],
+        [U("b"), B(reach), U("c"), U("g")],
+    ]
+    if mirrored:  # reach atom first: reach(a,b) ∧ edge(b,c) -> reach(a,c)
+        body = [
+            [U("a"), B(reach), U("b"), U("g")],
+            [U("b"), B(edge), U("c"), U("g")],
+        ]
+    return [
+        Rule.create([[U("a"), B(edge), U("b"), U("g")]],
+                    [[U("a"), B(reach), U("b"), U("g")]]),
+        Rule.create(body, [[U("a"), B(reach), U("c"), U("g")]]),
+    ]
+
+
+# ---------------------------------------------------------------- detection
+
+def test_detects_both_body_orders():
+    for mirrored in (False, True):
+        low = _lower(_linear_tc(mirrored=mirrored))
+        out, rw = rewrite_linear_doubling(low)
+        assert [r["rule_index"] for r in rw] == [1]
+        preds = {a[1][1] for a in out[1].body}
+        assert preds == {"reach"}  # edge atom now recursive
+        assert out[1].head == low[1].head and out[0] is low[0]
+
+
+def test_nonlinear_rule_is_left_alone():
+    rules = [
+        Rule.create([[U("a"), B("next"), U("b"), U("g")]],
+                    [[U("a"), B("reach"), U("b"), U("g")]]),
+        Rule.create([[U("a"), B("reach"), U("b"), U("g")],
+                     [U("b"), B("reach"), U("c"), U("g")]],
+                    [[U("a"), B("reach"), U("c"), U("g")]]),
+    ]
+    out, rw = rewrite_linear_doubling(_lower(rules))
+    assert rw == []
+
+
+def test_third_rule_deriving_head_blocks_rewrite():
+    rules = _linear_tc() + [
+        Rule.create([[U("a"), B("alias"), U("b"), U("g")]],
+                    [[U("a"), B("reach"), U("b"), U("g")]]),
+    ]
+    _, rw = rewrite_linear_doubling(_lower(rules))
+    assert rw == []
+
+
+def test_mismatched_edge_predicates_block_rewrite():
+    rules = [
+        Rule.create([[U("a"), B("other"), U("b"), U("g")]],
+                    [[U("a"), B("reach"), U("b"), U("g")]]),
+        _linear_tc()[1],
+    ]
+    _, rw = rewrite_linear_doubling(_lower(rules))
+    assert rw == []
+
+
+def test_variable_head_predicate_anywhere_blocks_rewrite():
+    rules = _linear_tc() + [
+        Rule.create([[U("s"), U("p"), U("o"), U("g")]],
+                    [[U("o"), U("p"), U("s"), U("g")]]),
+    ]
+    _, rw = rewrite_linear_doubling(_lower(rules))
+    assert rw == []
+
+
+def test_inverted_copy_rule_blocks_rewrite():
+    rules = [
+        Rule.create([[U("a"), B("next"), U("b"), U("g")]],
+                    [[U("b"), B("reach"), U("a"), U("g")]]),  # inverse, not copy
+        _linear_tc()[1],
+    ]
+    _, rw = rewrite_linear_doubling(_lower(rules))
+    assert rw == []
+
+
+def test_graph_slot_mismatch_blocks_rewrite():
+    rules = [
+        _linear_tc()[0],
+        Rule.create([[U("a"), B("next"), U("b"), U("g")],
+                     [U("b"), B("reach"), U("c"), U("h")]],  # g != h
+                    [[U("a"), B("reach"), U("c"), U("g")]]),
+    ]
+    _, rw = rewrite_linear_doubling(_lower(rules))
+    assert rw == []
+
+
+def test_constant_graph_slot_is_eligible():
+    rules = [
+        Rule.create([[U("a"), B("next"), U("b"), B("g0")]],
+                    [[U("a"), B("reach"), U("b"), B("g0")]]),
+        Rule.create([[U("a"), B("next"), U("b"), B("g0")],
+                     [U("b"), B("reach"), U("c"), B("g0")]],
+                    [[U("a"), B("reach"), U("c"), B("g0")]]),
+    ]
+    _, rw = rewrite_linear_doubling(_lower(rules))
+    assert [r["predicate"] for r in rw] == ["reach"]
+
+
+def test_broken_chain_variables_block_rewrite():
+    rules = [
+        _linear_tc()[0],
+        Rule.create([[U("a"), B("next"), U("b"), U("g")],
+                     [U("a"), B("reach"), U("c"), U("g")]],  # shares a, not b
+                    [[U("a"), B("reach"), U("c"), U("g")]]),
+    ]
+    _, rw = rewrite_linear_doubling(_lower(rules))
+    assert rw == []
+
+
+# ------------------------------------------------------------- equivalence
+
+def _closure_via_engine(spark, facts, rules, flag):
+    from rify_spark.api import infer
+    from rify_spark.infer import InferConfig
+
+    derived = infer(spark, facts, rules, InferConfig(rewrite_linear_recursion=flag))
+    return set(facts) | {tuple(q) for q in derived}
+
+
+def test_chain_closure_parity_and_log_iterations(spark):
+    from rify_spark.api import infer_df
+    from rify_spark.infer import InferConfig
+
+    n = 24
+    facts = [(f"n{i}", "next", f"n{i+1}", "g0") for i in range(n)]
+    edges = spark.createDataFrame(facts, "s string, p string, o string, g string")
+    rules = _linear_tc()
+    oracle = naive_closure(facts, rules)
+
+    d_on, res_on = infer_df(spark, edges, rules, InferConfig())
+    d_off, res_off = infer_df(
+        spark, edges, rules, InferConfig(rewrite_linear_recursion=False)
+    )
+    assert res_on.rewrites and not res_off.rewrites
+    # doubling: ceil(log2(24)) + 2 = 7; linear: one iteration per link
+    assert res_on.iterations <= 8 < n <= res_off.iterations
+    rows_on = {tuple(r) for r in d_on.collect()}
+    rows_off = {tuple(r) for r in d_off.collect()}
+    assert rows_on == rows_off == oracle - set(facts)
+
+
+def test_random_graphs_parity_with_bystander_rules(spark):
+    rng = random.Random(41)
+    extra = Rule.create(
+        [[U("a"), B("reach"), U("b"), U("g")]],
+        [[U("b"), B("reached_by"), U("a"), U("g")]],
+    )
+    rules = _linear_tc() + [extra]
+    for trial in range(4):
+        nodes = [f"v{i}" for i in range(rng.randint(4, 9))]
+        facts = sorted(
+            {
+                (rng.choice(nodes), "next", rng.choice(nodes), rng.choice(["g0", "g1"]))
+                for _ in range(rng.randint(4, 14))
+            }
+        )
+        oracle = naive_closure(facts, rules)
+        got = _closure_via_engine(spark, facts, rules, True)
+        assert got == oracle, f"trial {trial}"
+
+
+def test_smart_tc_random_cyclic_graphs_parity(spark):
+    """The pure two-rule program routes to the smart-TC strategy (tc.py);
+    pin it against the naive evaluator on cyclic multi-graph inputs, both
+    body orders (prepend: edge atom first; append: rec atom first)."""
+    rng = random.Random(97)
+    for trial in range(6):
+        rules = _linear_tc(mirrored=bool(trial % 2))
+        nodes = [f"v{i}" for i in range(rng.randint(3, 8))]
+        facts = sorted(
+            {
+                (rng.choice(nodes), "next", rng.choice(nodes), rng.choice(["g0", "g1"]))
+                for _ in range(rng.randint(3, 12))
+            }
+        )
+        # force a cycle in at least one trial shape
+        if trial >= 3:
+            facts = sorted(set(facts) | {(nodes[0], "next", nodes[1], "g0"),
+                                         (nodes[1], "next", nodes[0], "g0")})
+        oracle = naive_closure(facts, rules)
+        got = _closure_via_engine(spark, facts, rules, True)
+        assert got == oracle, f"trial {trial}"
+
+
+def test_smart_tc_premise_reach_facts_compose(spark):
+    """Premise H-facts must participate: reach(n2,x) given as data, chain
+    n0->n1->n2 — the closure must include n0->x via B^2 ∘ C0."""
+    from rify_spark.api import infer_df
+    from rify_spark.infer import InferConfig
+
+    facts = [
+        ("n0", "next", "n1", "g0"),
+        ("n1", "next", "n2", "g0"),
+        ("n2", "reach", "x", "g0"),
+    ]
+    edges = spark.createDataFrame(facts, "s string, p string, o string, g string")
+    derived, res = infer_df(spark, edges, _linear_tc(), InferConfig())
+    assert res.rewrites and res.rewrites[0]["smart_eligible"]
+    assert res.metrics[0]["strategy"] == "smart_tc"  # actually delegated
+    got = {tuple(r) for r in derived.collect()}
+    assert got == naive_closure(facts, _linear_tc()) - set(facts)
+    assert ("n0", "reach", "x", "g0") in got
+
+
+def test_smart_tc_not_engaged_with_checkpoint_dir(spark, tmp_path):
+    """Checkpoint/resume mode keeps the generic loop (smart TC has no
+    resume protocol); result parity still holds via the plain rewrite."""
+    from rify_spark.api import infer_df
+    from rify_spark.infer import InferConfig
+
+    n = 10
+    facts = [(f"n{i}", "next", f"n{i+1}", "g0") for i in range(n)]
+    edges = spark.createDataFrame(facts, "s string, p string, o string, g string")
+    derived, res = infer_df(
+        spark, edges, _linear_tc(),
+        InferConfig(checkpoint_dir=str(tmp_path / "ck")),
+    )
+    assert res.rewrites  # plain doubling still applied
+    assert all(m.get("strategy") != "smart_tc" for m in res.metrics)
+    got = {tuple(r) for r in derived.collect()}
+    assert got == naive_closure(facts, _linear_tc()) - set(facts)
+
+
+def test_premise_h_facts_block_generic_rewrite(spark):
+    """Premises already containing composable H-facts make the nonlinear
+    form UNSOUND on the generic path (it would derive H0∘H0, which the
+    linear program never does): reach(a,b), reach(b,c) with zero next
+    edges must derive nothing reach-shaped. The bystander rule forces the
+    generic loop (smart_eligible=False)."""
+    from rify_spark.api import infer_df
+    from rify_spark.infer import InferConfig
+
+    bystander = Rule.create(
+        [[U("a"), B("reach"), U("b"), U("g")]],
+        [[U("b"), B("reached_by"), U("a"), U("g")]],
+    )
+    facts = [("a", "reach", "b", "g0"), ("b", "reach", "c", "g0")]
+    edges = spark.createDataFrame(facts, "s string, p string, o string, g string")
+    rules = _linear_tc() + [bystander]
+    derived, res = infer_df(spark, edges, rules, InferConfig())
+    assert res.rewrites == []  # reverted by the premise-H probe
+    got = {tuple(r) for r in derived.collect()}
+    assert got == naive_closure(facts, rules) - set(facts)
+    assert ("a", "reach", "c", "g0") not in got
+
+
+def test_premise_h_facts_smart_path_is_exact(spark):
+    """The smart-TC path composes B-powers onto the store, never H∘H, so
+    it stays exact with composable premise H-facts (and derives nothing
+    when there are no B edges at all)."""
+    from rify_spark.api import infer_df
+    from rify_spark.infer import InferConfig
+
+    facts = [("a", "reach", "b", "g0"), ("b", "reach", "c", "g0")]
+    edges = spark.createDataFrame(facts, "s string, p string, o string, g string")
+    derived, res = infer_df(spark, edges, _linear_tc(), InferConfig())
+    assert res.rewrites and res.rewrites[0]["smart_eligible"]
+    assert derived.count() == 0
+
+
+def test_premise_h_facts_block_rewrite_in_checkpoint_mode(spark, tmp_path):
+    from rify_spark.api import infer_df
+    from rify_spark.infer import InferConfig
+
+    facts = [
+        ("a", "reach", "b", "g0"),
+        ("b", "reach", "c", "g0"),
+        ("x", "next", "a", "g0"),
+    ]
+    edges = spark.createDataFrame(facts, "s string, p string, o string, g string")
+    derived, res = infer_df(
+        spark, edges, _linear_tc(),
+        InferConfig(checkpoint_dir=str(tmp_path / "ck")),
+    )
+    assert res.rewrites == []
+    got = {tuple(r) for r in derived.collect()}
+    assert got == naive_closure(facts, _linear_tc()) - set(facts)
+    # x B-prefixes both premise H-facts; a∘c composition must be absent
+    assert ("x", "reach", "b", "g0") in got
+    assert ("a", "reach", "c", "g0") not in got
+
+
+def test_lineage_mode_keeps_user_rules(spark):
+    """prove() must attribute the user's own linear rule — no rewrite —
+    and the proof must still validate."""
+    from rify_spark import api
+
+    n = 6
+    facts = [(f"n{i}", "next", f"n{i+1}", "g0") for i in range(n)]
+    rules = _linear_tc()
+    goal = [("n0", "reach", f"n{n}", "g0")]
+    proof = api.prove(spark, facts, goal, rules)
+    assert proof  # non-empty list of RuleApplications
+    assert {s.rule_index for s in proof} <= {0, 1}
+    valid = api.validate(rules, proof)
+    assert tuple(goal[0]) in {tuple(q) for q in valid.implied}
