@@ -786,9 +786,18 @@ def fixpoint(
             from .tc import smart_tc_fixpoint
 
             return smart_tc_fixpoint(
-                spark, facts0, rewrites[0], cfg, rewrites,
+                spark, facts0, rewrites[0], cfg,
+                # res.rewrites reports rule MODIFICATIONS; the nonlinear
+                # record is detection-only (user's rules ran unmodified)
+                [rc for rc in rewrites if rc.get("shape") == "linear"],
                 track_deltas=track_deltas,
             )
+        # nonlinear-shape records are detection-only (no rule modified);
+        # outside the smart path they are inert — drop them so the probe
+        # below and res.rewrites reflect actual rule changes
+        rewrites = [rc for rc in rewrites if rc.get("shape") == "linear"]
+        if not rewrites:
+            lrules = orig_lrules
         if rewrites:
             # Generic loop would evaluate the NONLINEAR form, which composes
             # H-facts with each other — unsound when the premises already

@@ -117,6 +117,31 @@ def _linear_shape(rule):
     return ei, e_atom[1][1], g
 
 
+def _nonlinear_shape(rule):
+    """``H(x,z,g) <- H(x,y,g), H(y,z,g)``: return the shared g slot, else
+    None."""
+    if len(rule.body) != 2 or len(rule.head) != 1:
+        return None
+    hs, hp, ho, _ = rule.head[0]
+    if hp[0] != "c":
+        return None
+    if any(a[1] != hp for a in rule.body):
+        return None
+    (ls, _, lo, _), (rs, _, ro, _) = rule.body
+    slots = (ls, lo, rs, ro, hs, ho)
+    if any(k != "v" for k, _ in slots):
+        return None
+    if lo != rs:
+        return None
+    xyz = (ls, lo, ro)
+    if len(set(xyz)) != 3 or (hs, ho) != (ls, ro):
+        return None
+    g = _g_shape(list(rule.body) + rule.head)
+    if g is None or (g[0] == "v" and g in xyz):
+        return None
+    return g
+
+
 def rewrite_linear_doubling(lrules: list) -> tuple:
     """Rewrite eligible linear recursions in a lowered-rule list.
 
@@ -143,6 +168,27 @@ def rewrite_linear_doubling(lrules: list) -> tuple:
             continue
         for copy_r, lin_r in (rules, rules[::-1]):
             copy = _copy_shape(copy_r)
+            if copy is not None and len(lrules) == 2:
+                # already-nonlinear TC pair (the reference's own benchmark
+                # shape): no rule modification, but when the program is
+                # EXACTLY this pair with per-graph (variable-g) semantics,
+                # smart TC evaluates it with unique decompositions — the
+                # nonlinear semi-naive loop re-derives each pair once per
+                # split point. LFP here is (C ∪ H0)+, so tc.py seeds the
+                # wavefront from the B-image ∪ premise H-facts.
+                nl_g = _nonlinear_shape(lin_r)
+                if nl_g is not None and copy[1][0] == "v" and nl_g[0] == "v":
+                    rewrites.append(
+                        {
+                            "rule_index": lin_r.index,
+                            "predicate": pred,
+                            "edge_predicate": copy[0],
+                            "direction": "prepend",
+                            "shape": "nonlinear",
+                            "smart_eligible": True,
+                        }
+                    )
+                    break
             lin = _linear_shape(lin_r)
             if copy is None or lin is None:
                 continue
@@ -163,6 +209,7 @@ def rewrite_linear_doubling(lrules: list) -> tuple:
                     # rec atom first (edge_i == 1) appends B to the right:
                     # H = C0 ∘ B*; edge first prepends: H = B* ∘ C0
                     "direction": "append" if edge_i == 1 else "prepend",
+                    "shape": "linear",
                     # smart-TC delegation (tc.py) needs per-graph semantics
                     # (variable g slots in both rules) and the program to be
                     # EXACTLY this pair — no bystander rule may read H-facts

@@ -83,14 +83,22 @@ def smart_tc_fixpoint(
     tracked_deltas: list = []  # post-seed novel blocks == derived facts
     it = 0
 
-    # D = the edge relation, length exactly 1. Deduplicated pairs: the same
-    # (s,o) edge in one graph contributes one path regardless of premise
-    # multiplicity (facts0 is SPOG-unique, so only p-variation could dup).
-    d = (
-        seed_lc.filter(F.col("p") == b_lit)
-        .select(*PAIR)
-        .localCheckpoint(eager=False)
-    )
+    # D = the base relation, length exactly 1. Linear shape: the B edges
+    # (LFP = B* ∘ C0, and only B ever extends a path). Nonlinear shape
+    # (H <- B copy; H <- H∘H): LFP = (C ∪ H0)+, so the wavefront seeds
+    # from the B-image ∪ premise H-facts — deduplicated as pairs, since
+    # the same (s,o,g) can occur under both predicates.
+    if rec.get("shape") == "nonlinear":
+        d = (
+            seed_lc.filter((F.col("p") == b_lit) | (F.col("p") == p_lit))
+            .select(*PAIR)
+            .dropDuplicates(PAIR)
+        )
+    else:
+        # facts0 is SPOG-unique, so (s,o,g) under the single predicate B
+        # is already duplicate-free
+        d = seed_lc.filter(F.col("p") == b_lit).select(*PAIR)
+    d = d.localCheckpoint(eager=False)
     d_rows = d.count()
 
     while cfg.max_iterations is None or it < cfg.max_iterations:

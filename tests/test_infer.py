@@ -604,14 +604,22 @@ def test_fused_iterations_reach_identical_fixpoint(spark):
             [[U("a"), B("anc"), U("c"), U("g")]],
         ),
     ]
+    # rewrite detection OFF: the pure nonlinear pair would otherwise
+    # delegate to smart TC (tc.py) and never reach the fused generic loop
+    # this test exists to exercise
     df_plain, fx_plain = infer_df(
-        spark, facts, rules, config=InferConfig(fuse_rounds=1)
+        spark, facts, rules,
+        config=InferConfig(fuse_rounds=1, rewrite_linear_recursion=False),
     )
     expected = sorted(map(tuple, df_plain.collect()))
     for k in (2, 3):
         df_fused, fx_fused = infer_df(
             spark, facts, rules,
-            config=InferConfig(fuse_rounds=k, fuse_below_rows=10**9),
+            config=InferConfig(
+                fuse_rounds=k,
+                fuse_below_rows=10**9,
+                rewrite_linear_recursion=False,
+            ),
         )
         assert sorted(map(tuple, df_fused.collect())) == expected
         assert fx_fused.iterations < fx_plain.iterations

@@ -56,8 +56,12 @@ def test_nonlinear_rule_is_left_alone():
                      [U("b"), B("reach"), U("c"), U("g")]],
                     [[U("a"), B("reach"), U("c"), U("g")]]),
     ]
-    out, rw = rewrite_linear_doubling(_lower(rules))
-    assert rw == []
+    low = _lower(rules)
+    out, rw = rewrite_linear_doubling(low)
+    # no rule is rewritten — the pure pair only gets a detection-only
+    # record so the smart strategy can take it
+    assert out[0] is low[0] and out[1] is low[1]
+    assert [r["shape"] for r in rw] == ["nonlinear"]
 
 
 def test_third_rule_deriving_head_blocks_rewrite():
@@ -244,6 +248,76 @@ def test_smart_tc_not_engaged_with_checkpoint_dir(spark, tmp_path):
     assert all(m.get("strategy") != "smart_tc" for m in res.metrics)
     got = {tuple(r) for r in derived.collect()}
     assert got == naive_closure(facts, _linear_tc()) - set(facts)
+
+
+def _nonlinear_tc():
+    return [
+        Rule.create([[U("a"), B("parent"), U("b"), U("g")]],
+                    [[U("a"), B("anc"), U("b"), U("g")]]),
+        Rule.create([[U("a"), B("anc"), U("b"), U("g")],
+                     [U("b"), B("anc"), U("c"), U("g")]],
+                    [[U("a"), B("anc"), U("c"), U("g")]]),
+    ]
+
+
+def test_nonlinear_pair_detected_smart_only():
+    """The already-nonlinear TC pair gets a detection-only record (no rule
+    modified) so the smart strategy can take it; with a bystander rule the
+    program is not the pure pair and nothing is emitted."""
+    low = _lower(_nonlinear_tc())
+    out, rw = rewrite_linear_doubling(low)
+    assert [r["shape"] for r in rw] == ["nonlinear"]
+    assert rw[0]["smart_eligible"] and rw[0]["predicate"] == "anc"
+    assert out[0] is low[0] and out[1] is low[1]  # rules untouched
+
+    bystander = Rule.create(
+        [[U("a"), B("anc"), U("b"), U("g")]],
+        [[U("b"), B("desc"), U("a"), U("g")]],
+    )
+    _, rw2 = rewrite_linear_doubling(_lower(_nonlinear_tc() + [bystander]))
+    assert rw2 == []
+
+
+def test_nonlinear_smart_tc_random_parity_with_premise_h(spark):
+    """Nonlinear programs DO compose premise H-facts ((C ∪ H0)+); the smart
+    path must match the naive evaluator on random cyclic inputs that
+    include them."""
+    from rify_spark.api import infer_df
+    from rify_spark.infer import InferConfig
+
+    rng = random.Random(23)
+    for trial in range(4):
+        nodes = [f"v{i}" for i in range(rng.randint(3, 7))]
+        facts = sorted({
+            (rng.choice(nodes), "parent", rng.choice(nodes), rng.choice(["g0", "g1"]))
+            for _ in range(rng.randint(3, 10))
+        })
+        facts += [(nodes[0], "anc", nodes[-1], "g0"),
+                  (nodes[-1], "anc", nodes[1], "g1")]
+        edges = spark.createDataFrame(facts, "s string, p string, o string, g string")
+        derived, res = infer_df(spark, edges, _nonlinear_tc(), InferConfig())
+        assert res.metrics[0]["strategy"] == "smart_tc"
+        assert res.rewrites == []  # detection-only: no rule was modified
+        got = set(facts) | {tuple(r) for r in derived.collect()}
+        assert got == naive_closure(facts, _nonlinear_tc()), f"trial {trial}"
+
+
+def test_nonlinear_pair_generic_loop_when_not_delegatable(spark, tmp_path):
+    """Checkpoint mode can't delegate; the nonlinear program must run the
+    user's own rules on the generic loop with identical results."""
+    from rify_spark.api import infer_df
+    from rify_spark.infer import InferConfig
+
+    facts = [(f"n{i}", "parent", f"n{i+1}", "g0") for i in range(6)]
+    edges = spark.createDataFrame(facts, "s string, p string, o string, g string")
+    derived, res = infer_df(
+        spark, edges, _nonlinear_tc(),
+        InferConfig(checkpoint_dir=str(tmp_path / "ck")),
+    )
+    assert res.rewrites == []
+    assert all(m.get("strategy") != "smart_tc" for m in res.metrics)
+    got = {tuple(r) for r in derived.collect()}
+    assert got == naive_closure(facts, _nonlinear_tc()) - set(facts)
 
 
 def test_premise_h_facts_block_generic_rewrite(spark):
