@@ -474,7 +474,9 @@ def _q_multimodal_codec(spark, sf_dir):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    from rify_spark.ops import dedup, events, quads, sample, similarity, text
+    from rify_spark.ops import (
+        decon, dedup, events, quads, sample, similarity, text,
+    )
 
     def _events(s_, d_):
         return s_.read.parquet(f"{d_}/events.parquet")
@@ -539,6 +541,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_sample_stratified": lambda s, d: sample.docs_sample_stratified(
             _docs(s, d)
         ),
+        # benchmark decontamination: n-gram overlap vs the derived eval set
+        "docs_decontaminate": lambda s, d: decon.decontaminate(_docs(s, d)),
         "dedup_simhash": lambda s, d: dedup.simhash(_docs(s, d)),
         "dedup_ngram_jaccard": lambda s, d: dedup.ngram_jaccard_pairs(_docs(s, d)),
         "dedup_ngram_lsh_verify": lambda s, d: dedup.ngram_jaccard_verify_lsh(
@@ -604,7 +608,8 @@ KG_PIPELINE_SQL = """
 
 def oracle_sql() -> dict[str, str]:
     from rify_spark.ops import (
-        dedup, events, graph, multimodal, quads, sample, similarity, text,
+        decon, dedup, events, graph, multimodal, quads, sample, similarity,
+        text,
     )
 
     return {
@@ -654,6 +659,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_clusters": dedup.neardup_clusters_sql(),
         "docs_keep": dedup.docs_keep_sql(),
         "docs_sample_stratified": sample.docs_sample_stratified_sql(),
+        "docs_decontaminate": decon.decontaminate_sql(),
         "dedup_simhash": dedup.simhash_sql(),
         "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs_sql(),
         "dedup_ngram_lsh_verify": dedup.ngram_jaccard_verify_lsh_sql(),

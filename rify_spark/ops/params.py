@@ -119,6 +119,19 @@ def emb_band_bits(n: int) -> int:
         ),
     )
 
+# benchmark decontamination (ops.decon): flag docs sharing >= DECON_MIN_HITS
+# distinct DECON_N-word n-grams with the eval set. The eval set is a
+# DECON_EVAL_RATE hash-sample of docs, each contributing the
+# DECON_EXCERPT_LEN-token excerpt starting at 1-based token
+# DECON_EXCERPT_START — planted contamination with a known floor of
+# DECON_EXCERPT_LEN - DECON_N + 1 = 16 hits per source doc, so
+# MIN_HITS = 4 separates true leaks from single-n-gram hash noise.
+DECON_N = 5
+DECON_EVAL_RATE = 0.02
+DECON_EXCERPT_START = 11
+DECON_EXCERPT_LEN = 20
+DECON_MIN_HITS = 4
+
 # language-ID marker words (n-gram heuristic): presence counts decide 'en'
 LANG_MARKERS = ["the", "and", "with", "from", "value", "table"]
 LANG_EN_MIN_HITS = 1
