@@ -39,6 +39,8 @@ PARAMETERIZED = [
     "dedup_clusters",
     "docs_keep",
     "docs_sample_stratified",
+    # eval sample and n-gram universe grow with n (~1k eval docs at sf1)
+    "docs_decontaminate",
     "dedup_embedding_pairs",
     "dedup_embedding_recall",
     "knn_lsh_buckets",
