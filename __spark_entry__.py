@@ -527,6 +527,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lang_id": lambda s, d: text.lang_id(_docs(s, d)),
         "text_fingerprint": lambda s, d: text.fingerprint(_docs(s, d)),
         "text_redact_pii": lambda s, d: text.redact_pii(_docs(s, d)),
+        "text_repetition": lambda s, d: text.repetition(_docs(s, d)),
         # deduplication
         "dedup_exact": lambda s, d: dedup.exact_dedup(_docs(s, d)),
         "dedup_minhash": lambda s, d: dedup.minhash_signatures(_docs(s, d)),
@@ -650,6 +651,7 @@ def oracle_sql() -> dict[str, str]:
         "text_lang_id": text.lang_id_sql(),
         "text_fingerprint": text.fingerprint_sql(),
         "text_redact_pii": text.redact_pii_sql(),
+        "text_repetition": text.repetition_sql(),
         "dedup_exact": dedup.exact_dedup_sql(),
         "dedup_minhash": dedup.minhash_signatures_sql(),
         "dedup_lsh_pairs": dedup.lsh_candidate_pairs_sql(),

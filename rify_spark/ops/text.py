@@ -166,3 +166,51 @@ def redact_pii_sql(table: str = "documents") -> str:
            {cols}
     FROM {table}
     """
+
+
+def repetition(docs: DataFrame) -> DataFrame:
+    """Gopher-style within-document repetition signals: the fraction of
+    tokens / word-bigrams that are repeats of one already seen in the doc
+    (Rae et al. 2021 §A1.1 use these to drop boilerplate and degenerate
+    completions). Exact-rational doubles (count / count), narrow projection
+    end to end — no shuffle, no Python.
+
+    Tokens are materialized as a column before the bigram transform (lambda
+    bodies re-evaluate inline expressions per element, see
+    dedup._mh_shingles)."""
+    with_toks = docs.select(
+        "doc_id", F.split(F.lower("text"), " ").alias("toks")
+    )
+    toks = F.col("toks")
+    n = F.size(toks)
+    bi = F.transform(
+        F.sequence(F.lit(0), n - 2),
+        lambda i: F.concat_ws(
+            " ", F.element_at(toks, i + 1), F.element_at(toks, i + 2)
+        ),
+    )
+    nb = F.size(bi)
+    return with_toks.select(
+        "doc_id",
+        ((n - F.size(F.array_distinct(toks))) / n).alias("dup_token_frac"),
+        # split("") yields [""], so n >= 1 always; bigrams need n >= 2
+        F.when(n >= 2, (nb - F.size(F.array_distinct(bi))) / nb)
+        .otherwise(F.lit(0.0))
+        .alias("dup_bigram_frac"),
+    )
+
+
+def repetition_sql(table: str = "documents") -> str:
+    return f"""
+    SELECT doc_id,
+           (len(t) - len(list_distinct(t))) / len(t) AS dup_token_frac,
+           CASE WHEN len(t) >= 2
+                THEN (len(bi) - len(list_distinct(bi))) / len(bi)
+                ELSE 0.0 END AS dup_bigram_frac
+    FROM (
+      SELECT doc_id, t,
+             list_transform(range(0, greatest(len(t) - 1, 0)),
+                            i -> t[i + 1] || ' ' || t[i + 2]) AS bi
+      FROM (SELECT doc_id, string_split(lower(text), ' ') AS t FROM {table})
+    )
+    """

@@ -39,3 +39,32 @@ def test_redact_pii_no_pii_hash_is_original(spark):
         F.md5("t")
     ).collect()[0][0]
     assert got == expect
+
+
+def test_repetition_planted(spark):
+    rows = [
+        (1, "a b a b a b"),        # 6 toks, 2 distinct; 5 bigrams, 2 distinct
+        (2, "x y z w"),            # no repeats
+        (3, "solo"),               # 1 token: bigram frac defined as 0.0
+        (4, "q q q q"),            # fully degenerate
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in T.repetition(docs).collect()}
+    assert out[1]["dup_token_frac"] == 4 / 6 and out[1]["dup_bigram_frac"] == 3 / 5
+    assert out[2]["dup_token_frac"] == 0.0 and out[2]["dup_bigram_frac"] == 0.0
+    assert out[3]["dup_token_frac"] == 0.0 and out[3]["dup_bigram_frac"] == 0.0
+    assert out[4]["dup_token_frac"] == 3 / 4 and out[4]["dup_bigram_frac"] == 2 / 3
+
+
+def test_repetition_oracle_parity(spark):
+    import pandas as pd
+    import pytest
+
+    duckdb = pytest.importorskip("duckdb")
+    rows = [(i, " ".join(f"t{j % (1 + i % 7)}" for j in range(i % 13))) for i in range(1, 60)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(rows, columns=["doc_id", "text"]))
+    orows = sorted(map(tuple, con.execute(T.repetition_sql()).fetchall()))
+    srows = sorted(map(tuple, T.repetition(docs).collect()))
+    assert srows == orows
