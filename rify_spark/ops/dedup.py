@@ -918,7 +918,8 @@ KEEP_MIN_TOKENS = 5
 
 def docs_keep(docs: DataFrame) -> DataFrame:
     """The curation pipeline's final deliverable: doc_ids that SURVIVE
-    quality floor -> exact dedup -> fuzzy dedup, in that order.
+    quality floor -> decontamination -> exact dedup -> fuzzy dedup, in that
+    order.
 
       1. quality: at least ``KEEP_MIN_TOKENS`` whitespace tokens. FIRST for
          two reasons: it is the cheapest stage (a narrow no-shuffle filter
@@ -926,23 +927,32 @@ def docs_keep(docs: DataFrame) -> DataFrame:
          it after clustering would silently annihilate a whole near-dup
          cluster whenever its min-id canon happens to fail the floor while
          other members pass;
-      2. exact: keep min doc_id per md5(text) group (one hash-groupBy —
+      2. decontamination: drop docs overlapping the eval set
+         (:func:`rify_spark.ops.decon.decontaminate` — an anti-join against
+         the O(contaminated) flag set; the eval sample derives from the
+         FULL corpus so "leaked" does not depend on the quality threshold);
+      3. exact: keep min doc_id per md5(text) group (one hash-groupBy —
          collapses verbatim copies before minhash, so signatures run over
          unique texts only);
-      3. fuzzy: :func:`neardup_clusters` over the exact survivors; a doc in
+      4. fuzzy: :func:`neardup_clusters` over the exact survivors; a doc in
          a near-dup cluster survives only as its cluster's canon.
 
     Every stage is a semi/anti join on doc_id against a much-smaller loser
-    set — no stage rereads text except the signature pass inside step 3.
+    set — no stage rereads text except the signature pass inside step 4.
     """
+    from .decon import decontaminate
+
     quality = docs.filter(F.size(F.split("text", " ")) >= KEEP_MIN_TOKENS)
+    clean = quality.join(
+        decontaminate(docs).select("doc_id"), "doc_id", "left_anti"
+    )
     winners = (
-        quality.select("doc_id", F.md5("text").alias("h"))
+        clean.select("doc_id", F.md5("text").alias("h"))
         .groupBy("h")
         .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id")
     )
-    survivors = quality.join(winners, "doc_id", "left_semi")
+    survivors = clean.join(winners, "doc_id", "left_semi")
     losers = (
         neardup_clusters(survivors)
         .filter(F.col("doc_id") != F.col("canon_id"))
@@ -961,10 +971,16 @@ def docs_keep(docs: DataFrame) -> DataFrame:
 
 
 def docs_keep_sql(table: str = "documents") -> str:
+    from .decon import decontaminate_sql
+
     return f"""
-    WITH quality AS (
+    WITH contaminated AS (
+      {decontaminate_sql(table)}
+    ),
+    quality AS (
       SELECT * FROM {table}
       WHERE len(string_split(text, ' ')) >= {KEEP_MIN_TOKENS}
+        AND doc_id NOT IN (SELECT doc_id FROM contaminated)
     ),
     winners AS (
       SELECT min(doc_id) AS doc_id FROM quality GROUP BY md5(text)

@@ -260,18 +260,25 @@ def test_star_edges_linear_in_mega_cluster(spark):
 
 
 def test_docs_keep_composition(spark):
-    """Planted corpus covering every stage: exact-dup pair (loser dropped by
-    stage 1), near-dup pair (loser dropped by stage 2 as non-canon), short
-    fragment (dropped by the quality floor), plus healthy unique docs."""
+    """Planted corpus covering every stage: short fragment (quality floor),
+    eval-sampled doc + a doc quoting its excerpt (decontamination), exact-dup
+    pair (loser dropped as non-min), near-dup pair (loser dropped as
+    non-canon), plus healthy unique docs."""
     t_near = "a reasonably long shared body of text used twice with tiny edits"
+    # id 19 is inside the 2% decon eval sample (h28('eval:19') < cutoff);
+    # ids 1,2,10,11,20,21,30,40 are not
+    eval_toks = [f"ev{j}" for j in range(40)]
     rows = [
         (1, "u", "unique healthy document number one with plenty of tokens"),
         (2, "u", "unique healthy document number two with plenty of tokens"),
         (10, "u", "verbatim copied text that appears exactly twice in the corpus"),
         (11, "u", "verbatim copied text that appears exactly twice in the corpus"),
+        (19, "u", " ".join(eval_toks)),
         (20, "u", t_near),
         (21, "u", t_near + " zz"),
         (30, "u", "too short"),
+        # quotes eval doc 19's excerpt (tokens 11-30) verbatim
+        (40, "u", "padding words then " + " ".join(eval_toks[10:30])),
     ]
     docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
     kept = sorted(r[0] for r in dedup.docs_keep(docs).collect())
