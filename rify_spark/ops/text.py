@@ -183,18 +183,31 @@ def repetition(docs: DataFrame) -> DataFrame:
     )
     toks = F.col("toks")
     n = F.size(toks)
-    bi = F.transform(
-        F.sequence(F.lit(0), n - 2),
-        lambda i: F.concat_ws(
-            " ", F.element_at(toks, i + 1), F.element_at(toks, i + 2)
-        ),
+    # the bigram array is materialized as its own guarded column so the
+    # transform runs ONCE per row, not once per reference below
+    # (CollapseProject keeps multiply-referenced non-cheap aliases separate);
+    # split("") yields [""], so n >= 1 always, but bigrams need n >= 2
+    with_bi = with_toks.select(
+        "doc_id",
+        toks,
+        F.when(
+            n >= 2,
+            F.transform(
+                F.sequence(F.lit(0), n - 2),
+                lambda i: F.concat_ws(
+                    " ", F.element_at(toks, i + 1), F.element_at(toks, i + 2)
+                ),
+            ),
+        )
+        .otherwise(F.array().cast("array<string>"))
+        .alias("bi"),
     )
+    bi = F.col("bi")
     nb = F.size(bi)
-    return with_toks.select(
+    return with_bi.select(
         "doc_id",
         ((n - F.size(F.array_distinct(toks))) / n).alias("dup_token_frac"),
-        # split("") yields [""], so n >= 1 always; bigrams need n >= 2
-        F.when(n >= 2, (nb - F.size(F.array_distinct(bi))) / nb)
+        F.when(nb >= 1, (nb - F.size(F.array_distinct(bi))) / nb)
         .otherwise(F.lit(0.0))
         .alias("dup_bigram_frac"),
     )

@@ -325,6 +325,88 @@ def main() -> None:
         )
     )
 
+    # 12. decontamination: the corpus side must meet the eval n-grams in a
+    # BROADCAST join (benchmarks are MB-sized at 100 TB) and pay only the
+    # one partial-aggregated groupBy(doc_id) exchange.
+    from rify_spark.ops.decon import decontaminate
+
+    dec = decontaminate(docs)
+    dec_exec = dec._jdf.queryExecution().executedPlan().toString()
+    sections.append(("docs_decontaminate", dec_exec[:4000]))
+    checks.append(
+        (
+            "docs_decontaminate",
+            "eval n-gram set broadcast to the corpus side",
+            "BroadcastHashJoin" in dec_exec,
+        )
+    )
+    checks.append(
+        (
+            "docs_decontaminate",
+            "no corpus-sized shuffle join (broadcast only)",
+            not re.search(r"(SortMergeJoin|ShuffledHashJoin)", dec_exec),
+        )
+    )
+    checks.append(
+        (
+            "docs_decontaminate",
+            "hit count is map-side partial (HashAggregate x2)",
+            len(re.findall(r"HashAggregate", dec_exec)) >= 2,
+        )
+    )
+    checks.append(
+        (
+            "docs_decontaminate",
+            "no python UDF in plan",
+            not re.search(r"(BatchEvalPython|ArrowEvalPython)", dec_exec),
+        )
+    )
+
+    # 13. repetition signals: a pure narrow projection — no exchange at all,
+    # whole expression inside codegen.
+    from rify_spark.ops.text import repetition
+
+    rep = repetition(docs)
+    rep_exec = rep._jdf.queryExecution().executedPlan().toString()
+    sections.append(("text_repetition", rep_exec[:4000]))
+    checks.append(
+        (
+            "text_repetition",
+            "no shuffle (narrow projection)",
+            "Exchange" not in rep_exec,
+        )
+    )
+    checks.append(
+        (
+            "text_repetition",
+            # higher-order functions (transform/array_distinct) are not
+            # codegen-supported; the scan+tokenize stage must still be
+            "scan + tokenize stage inside WholeStageCodegen",
+            bool(re.search(r"\*\(\d+\) Project .*split", rep_exec)),
+        )
+    )
+    checks.append(
+        (
+            "text_repetition",
+            "scan pruned to doc_id,text",
+            bool(re.search(r"ReadSchema: struct<doc_id:bigint,text:string>", rep_exec)),
+        )
+    )
+    checks.append(
+        (
+            "text_repetition",
+            "bigram array computed once (single materialized alias)",
+            len(re.findall(r"transform\(sequence", rep_exec)) == 1,
+        )
+    )
+    checks.append(
+        (
+            "text_repetition",
+            "no python UDF in plan",
+            not re.search(r"(BatchEvalPython|ArrowEvalPython)", rep_exec),
+        )
+    )
+
     lines = ["# PLANS — physical-plan audit", ""]
     lines.append("| query | property | status |")
     lines.append("|---|---|---|")
