@@ -8,8 +8,11 @@ dropped before training. The eval set here is derived deterministically
 from the corpus itself — a DECON_EVAL_RATE hash-sample of documents
 contributes a DECON_EXCERPT_LEN-token excerpt each, exactly the
 "benchmark question leaked into the crawl" shape the operator exists to
-catch — so the gate is self-contained (no external data) and the planted
-source docs are guaranteed true positives.
+catch — so the gate is self-contained (no external data) and source docs
+with non-degenerate excerpts are guaranteed true positives (a fully
+repetitive excerpt collapses to <DECON_MIN_HITS distinct n-grams under
+array_distinct and is not flagged — deliberate, as an all-identical
+n-gram carries no benchmark signal; see decontaminate's docstring).
 
 Shape at 100 TB: benchmarks are megabytes while the corpus is the 100 TB
 side, so the eval n-gram set is BROADCAST — the corpus side is a narrow
@@ -44,15 +47,9 @@ _EXCERPT_END = DECON_EXCERPT_START + DECON_EXCERPT_LEN - 1
 def _ngram_array(toks):
     """Distinct DECON_N-word n-grams of a token-array column (assumes
     size(toks) >= DECON_N; callers guard)."""
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - DECON_N),
-            lambda i: F.concat_ws(
-                " ",
-                *[F.element_at(toks, i + F.lit(k + 1)) for k in range(DECON_N)],
-            ),
-        )
-    )
+    from .ngrams import ngram_array
+
+    return ngram_array(toks, DECON_N)
 
 
 def _is_eval(docs: DataFrame):
@@ -100,8 +97,12 @@ def _corpus_ngram_hashes(docs: DataFrame) -> DataFrame:
 
 def decontaminate(docs: DataFrame) -> DataFrame:
     """(doc_id, eval_hits) of contaminated documents: those sharing at least
-    DECON_MIN_HITS distinct n-grams with the eval set (the planted excerpt
-    sources score DECON_EXCERPT_LEN - DECON_N + 1 and are always caught).
+    DECON_MIN_HITS distinct n-grams with the eval set. A planted excerpt
+    source scores DECON_EXCERPT_LEN - DECON_N + 1 when its excerpt's n-grams
+    are pairwise distinct (the common case; the synthetic corpora satisfy
+    it); an excerpt repetitive enough to collapse below DECON_MIN_HITS
+    distinct n-grams is not flagged, matching the real-world contract that
+    overlap is counted over distinct n-grams.
 
     Both join inputs are per-key distinct (array_distinct doc-side, DISTINCT
     eval-side), so the count is exactly |doc n-grams ∩ eval n-grams| in the
@@ -119,7 +120,9 @@ def decontaminate(docs: DataFrame) -> DataFrame:
 
 
 def decontaminate_sql(table: str = "documents") -> str:
-    elems = " || ' ' || ".join(f"t[i + {k}]" for k in range(1, DECON_N + 1))
+    from .ngrams import ngram_elems_sql
+
+    elems = ngram_elems_sql(DECON_N, "t")
     h_ng = _H28_SQL.format(c="ng")
     h_eval = _H28_SQL.format(c="('eval:' || CAST(doc_id AS VARCHAR))")
     return f"""

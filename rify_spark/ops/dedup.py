@@ -94,21 +94,14 @@ def _mh_shingles(docs: DataFrame) -> DataFrame:
     The token split is materialized as a column BEFORE the shingle
     transform: a lambda body referencing the split expression directly
     would re-evaluate it per array element (measured 7x slower)."""
+    from .ngrams import ngram_array
+
     with_toks = docs.select(
         "doc_id", F.split(F.lower("text"), " ").alias("toks")
     )
     toks = F.col("toks")
     sh = F.when(
-        F.size(toks) >= NGRAM_N,
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(0), F.size(toks) - NGRAM_N),
-                lambda i: F.concat_ws(
-                    " ",
-                    *[F.element_at(toks, i + F.lit(k + 1)) for k in range(NGRAM_N)],
-                ),
-            )
-        ),
+        F.size(toks) >= NGRAM_N, ngram_array(toks, NGRAM_N)
     ).otherwise(F.array(F.concat_ws(" ", toks)))
     return with_toks.select("doc_id", F.explode(sh).alias("sh")).select(
         "doc_id", _H28_SPARK(F.col("sh")).alias("h")
@@ -116,7 +109,9 @@ def _mh_shingles(docs: DataFrame) -> DataFrame:
 
 
 def _mh_shingles_sql(table: str = "documents") -> str:
-    elems = " || ' ' || ".join(f"toks[i + {k}]" for k in range(1, NGRAM_N + 1))
+    from .ngrams import ngram_elems_sql
+
+    elems = ngram_elems_sql(NGRAM_N, "toks")
     h = _H28_SQL.format(c="sh")
     return f"""
   SELECT doc_id, {h} AS h FROM (
@@ -341,17 +336,10 @@ def _shingles(docs: DataFrame) -> DataFrame:
     # guard short docs: no shingle may index past the token list (ANSI mode
     # errors on out-of-bounds element_at, and the oracle must agree on
     # empty-list semantics)
+    from .ngrams import ngram_array
+
     sh = F.when(
-        F.size(toks) >= NGRAM_N,
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(0), F.size(toks) - NGRAM_N),
-                lambda i: F.concat_ws(
-                    " ",
-                    *[F.element_at(toks, i + F.lit(k + 1)) for k in range(NGRAM_N)],
-                ),
-            )
-        ),
+        F.size(toks) >= NGRAM_N, ngram_array(toks, NGRAM_N)
     ).otherwise(F.array().cast("array<string>"))
     return docs.select(
         "doc_id", "source", sh.alias("shingles"), F.size(sh).alias("n_sh")
@@ -418,7 +406,9 @@ def ngram_jaccard_pairs(docs: DataFrame) -> DataFrame:
 
 
 def _shingle_base_sql(table: str = "documents") -> str:
-    elems = " || ' ' || ".join(f"toks[i + {k}]" for k in range(1, NGRAM_N + 1))
+    from .ngrams import ngram_elems_sql
+
+    elems = ngram_elems_sql(NGRAM_N, "toks")
     return f"""
       SELECT doc_id, source,
              list_distinct(list_transform(

@@ -123,9 +123,11 @@ def emb_band_bits(n: int) -> int:
 # distinct DECON_N-word n-grams with the eval set. The eval set is a
 # DECON_EVAL_RATE hash-sample of docs, each contributing the
 # DECON_EXCERPT_LEN-token excerpt starting at 1-based token
-# DECON_EXCERPT_START — planted contamination with a known floor of
-# DECON_EXCERPT_LEN - DECON_N + 1 = 16 hits per source doc, so
-# MIN_HITS = 4 separates true leaks from single-n-gram hash noise.
+# DECON_EXCERPT_START — planted contamination scoring
+# DECON_EXCERPT_LEN - DECON_N + 1 = 16 hits per source doc whose excerpt
+# n-grams are pairwise distinct (repetitive excerpts collapse under
+# distinctness and may fall below the threshold); MIN_HITS = 4 separates
+# true leaks from single-n-gram hash noise.
 DECON_N = 5
 DECON_EVAL_RATE = 0.02
 DECON_EXCERPT_START = 11

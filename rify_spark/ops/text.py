@@ -178,6 +178,8 @@ def repetition(docs: DataFrame) -> DataFrame:
     Tokens are materialized as a column before the bigram transform (lambda
     bodies re-evaluate inline expressions per element, see
     dedup._mh_shingles)."""
+    from .ngrams import ngram_transform
+
     with_toks = docs.select(
         "doc_id", F.split(F.lower("text"), " ").alias("toks")
     )
@@ -190,15 +192,7 @@ def repetition(docs: DataFrame) -> DataFrame:
     with_bi = with_toks.select(
         "doc_id",
         toks,
-        F.when(
-            n >= 2,
-            F.transform(
-                F.sequence(F.lit(0), n - 2),
-                lambda i: F.concat_ws(
-                    " ", F.element_at(toks, i + 1), F.element_at(toks, i + 2)
-                ),
-            ),
-        )
+        F.when(n >= 2, ngram_transform(toks, 2))
         .otherwise(F.array().cast("array<string>"))
         .alias("bi"),
     )
@@ -214,6 +208,9 @@ def repetition(docs: DataFrame) -> DataFrame:
 
 
 def repetition_sql(table: str = "documents") -> str:
+    from .ngrams import ngram_elems_sql
+
+    bi = ngram_elems_sql(2, "t")
     return f"""
     SELECT doc_id,
            (len(t) - len(list_distinct(t))) / len(t) AS dup_token_frac,
@@ -223,7 +220,7 @@ def repetition_sql(table: str = "documents") -> str:
     FROM (
       SELECT doc_id, t,
              list_transform(range(0, greatest(len(t) - 1, 0)),
-                            i -> t[i + 1] || ' ' || t[i + 2]) AS bi
+                            i -> {bi}) AS bi
       FROM (SELECT doc_id, string_split(lower(text), ' ') AS t FROM {table})
     )
     """

@@ -127,19 +127,21 @@ def _nonlinear_shape(rule):
         return None
     if any(a[1] != hp for a in rule.body):
         return None
-    (ls, _, lo, _), (rs, _, ro, _) = rule.body
-    slots = (ls, lo, rs, ro, hs, ho)
-    if any(k != "v" for k, _ in slots):
+    (as_, _, ao, _), (bs, _, bo, _) = rule.body
+    if any(k != "v" for k, _ in (as_, ao, bs, bo, hs, ho)):
         return None
-    if lo != rs:
-        return None
-    xyz = (ls, lo, ro)
-    if len(set(xyz)) != 3 or (hs, ho) != (ls, ro):
-        return None
-    g = _g_shape(list(rule.body) + rule.head)
-    if g is None or (g[0] == "v" and g in xyz):
-        return None
-    return g
+    # either body order: H(x,y),H(y,z) or H(y,z),H(x,y) — same Datalog
+    for (ls, lo), (rs, ro) in (((as_, ao), (bs, bo)), ((bs, bo), (as_, ao))):
+        if lo != rs:
+            continue
+        xyz = (ls, lo, ro)
+        if len(set(xyz)) != 3 or (hs, ho) != (ls, ro):
+            continue
+        g = _g_shape(list(rule.body) + rule.head)
+        if g is None or (g[0] == "v" and g in xyz):
+            return None
+        return g
+    return None
 
 
 def rewrite_linear_doubling(lrules: list) -> tuple:

@@ -134,6 +134,13 @@ def smart_tc_fixpoint(
                     "wall_s": round(time.time() - t0, 4),
                 }
             )
+            if it == 1:
+                # an empty ROUND 1 only means the copy image is subsumed by
+                # premise H-facts (e.g. the program seeded entirely from H0)
+                # — no composition has run yet, so nothing is proven closed;
+                # the termination theorem (D∘R ⊆ R ⇒ D^m∘R ⊆ R) applies only
+                # to rounds that composed. Fall through to round 2.
+                continue
             break
         store.add_block(block, rows=delta_rows, src=novel)
         if track_deltas:

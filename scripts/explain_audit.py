@@ -350,8 +350,10 @@ def main() -> None:
     checks.append(
         (
             "docs_decontaminate",
-            "hit count is map-side partial (HashAggregate x2)",
-            len(re.findall(r"HashAggregate", dec_exec)) >= 2,
+            # the eval-side DISTINCT alone contributes a partial+final pair,
+            # so >=2 would be vacuous; the doc_id hit count must add its own
+            "hit count is map-side partial (HashAggregate x4 incl. distinct)",
+            len(re.findall(r"HashAggregate", dec_exec)) >= 4,
         )
     )
     checks.append(

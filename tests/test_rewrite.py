@@ -393,3 +393,50 @@ def test_lineage_mode_keeps_user_rules(spark):
     assert {s.rule_index for s in proof} <= {0, 1}
     valid = api.validate(rules, proof)
     assert tuple(goal[0]) in {tuple(q) for q in valid.implied}
+
+
+def test_smart_tc_seed_subsumed_by_premises_still_composes(spark):
+    """An empty ROUND 1 (copy image / wavefront seed entirely subsumed by
+    premise H-facts) must not terminate smart TC before any composition ran
+    — both shapes previously returned an incomplete fixpoint here."""
+    from rify_spark.api import infer_df
+    from rify_spark.infer import InferConfig
+
+    # nonlinear, no B-facts at all: seed = H0, round 1 adds nothing
+    facts = [("a", "anc", "b", "g0"), ("b", "anc", "c", "g0")]
+    e = spark.createDataFrame(facts, "s string, p string, o string, g string")
+    d, res = infer_df(spark, e, _nonlinear_tc(), InferConfig())
+    assert res.metrics[0]["strategy"] == "smart_tc"
+    assert {tuple(r) for r in d.collect()} == {("a", "anc", "c", "g0")}
+
+    # linear, every B edge shadowed by an identical-pair premise H-fact
+    facts2 = [("a", "parent", "b", "g0"),
+              ("a", "anc", "b", "g0"), ("b", "anc", "c", "g0")]
+    e2 = spark.createDataFrame(facts2, "s string, p string, o string, g string")
+    d2, res2 = infer_df(spark, e2, _linear_tc(), InferConfig())
+    assert any(m.get("strategy") == "smart_tc" for m in res2.metrics)
+    got = set(facts2) | {tuple(r) for r in d2.collect()}
+    assert got == naive_closure(facts2, _linear_tc())
+
+
+def test_nonlinear_detected_with_swapped_body_atoms(spark):
+    """H(x,z) <- H(y,z), H(x,y) is the same program as the canonical order
+    and must reach the smart strategy too."""
+    from rify_spark.api import infer_df
+    from rify_spark.infer import InferConfig
+
+    rules = [
+        Rule.create([[U("a"), B("parent"), U("b"), U("g")]],
+                    [[U("a"), B("anc"), U("b"), U("g")]]),
+        Rule.create([[U("b"), B("anc"), U("c"), U("g")],
+                     [U("a"), B("anc"), U("b"), U("g")]],
+                    [[U("a"), B("anc"), U("c"), U("g")]]),
+    ]
+    _, rw = rewrite_linear_doubling(_lower(rules))
+    assert [r["shape"] for r in rw] == ["nonlinear"]
+    facts = [(f"n{i}", "parent", f"n{i+1}", "g0") for i in range(7)]
+    e = spark.createDataFrame(facts, "s string, p string, o string, g string")
+    d, res = infer_df(spark, e, rules, InferConfig())
+    assert res.metrics[0]["strategy"] == "smart_tc"
+    got = set(facts) | {tuple(r) for r in d.collect()}
+    assert got == naive_closure(facts, rules)
