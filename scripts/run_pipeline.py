@@ -37,7 +37,11 @@ if REPO not in sys.path:
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--input", help="code_files table path")
+    ap.add_argument(
+        "--input",
+        help="code_files table: parquet path, Iceberg table directory, or "
+        "catalog identifier (catalog.db.table)",
+    )
     ap.add_argument("--synthetic", help="generate NxM synthetic corpus instead")
     ap.add_argument("--output", required=True)
     ap.add_argument(
@@ -65,7 +69,11 @@ def main() -> None:
         code_files = code_files_df_distributed(spark, n_repos, n_modules)
         input_id = f"synthetic:{n_repos}x{n_modules}"
     else:
-        code_files = spark.read.parquet(args.input)
+        from rify_spark.io import read_table
+
+        # parquet path, Iceberg directory, or catalog table identifier
+        # (the north rule's Iceberg corpus is `catalog.db.code_files`)
+        code_files = read_table(spark, args.input)
         input_id = args.input
 
     t0 = time.time()
