@@ -134,6 +134,12 @@ DECON_EXCERPT_START = 11
 DECON_EXCERPT_LEN = 20
 DECON_MIN_HITS = 4
 
+# corpus-level top-K n-gram frequency (ops/text.py::top_ngrams): K-heap
+# top-k per partition (TakeOrderedAndProject), never a global sort; ties
+# broken by the n-gram string so both engines pick the same boundary rows
+TOPNGRAM_N = 2
+TOPNGRAM_K = 100
+
 # language-ID marker words (n-gram heuristic): presence counts decide 'en'
 LANG_MARKERS = ["the", "and", "with", "from", "value", "table"]
 LANG_EN_MIN_HITS = 1

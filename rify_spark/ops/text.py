@@ -15,7 +15,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .params import LANG_EN_MIN_HITS, LANG_MARKERS, STOPWORDS
+from .params import (
+    LANG_EN_MIN_HITS,
+    LANG_MARKERS,
+    STOPWORDS,
+    TOPNGRAM_K,
+    TOPNGRAM_N,
+)
 
 
 def token_count(docs: DataFrame) -> DataFrame:
@@ -223,4 +229,49 @@ def repetition_sql(table: str = "documents") -> str:
                             i -> {bi}) AS bi
       FROM (SELECT doc_id, string_split(lower(text), ' ') AS t FROM {table})
     )
+    """
+
+
+def top_ngrams(docs: DataFrame) -> DataFrame:
+    """The TOPNGRAM_K most frequent TOPNGRAM_N-word n-grams across the
+    corpus (occurrence counts, duplicates within a doc counted) — the
+    vocabulary/boilerplate inspection primitive behind stopword lists and
+    repetition thresholds.
+
+    Scale shape: explode -> partial-aggregated groupBy(ng) -> top-K via
+    orderBy+limit, which Spark executes as TakeOrderedAndProject (a K-heap
+    per partition + K-merge on the driver), never a global sort of the
+    n-gram vocabulary. Ties at the boundary are broken by the n-gram string
+    itself, so the result set is deterministic across engines and runs.
+    """
+    from .ngrams import ngram_transform
+
+    with_toks = docs.select(F.split(F.lower("text"), " ").alias("toks"))
+    ng = F.when(
+        F.size("toks") >= TOPNGRAM_N,
+        ngram_transform(F.col("toks"), TOPNGRAM_N),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        with_toks.select(F.explode(ng).alias("ng"))
+        .groupBy("ng")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+        .orderBy(F.col("n_occ").desc(), F.col("ng"))
+        .limit(TOPNGRAM_K)
+    )
+
+
+def top_ngrams_sql(table: str = "documents") -> str:
+    from .ngrams import ngram_elems_sql
+
+    elems = ngram_elems_sql(TOPNGRAM_N, "t")
+    return f"""
+    SELECT ng, count(*) AS n_occ FROM (
+      SELECT unnest(list_transform(
+               range(0, greatest(len(t) - {TOPNGRAM_N} + 1, 0)),
+               i -> {elems})) AS ng
+      FROM (SELECT string_split(lower(text), ' ') AS t FROM {table})
+    )
+    GROUP BY ng
+    ORDER BY n_occ DESC, ng
+    LIMIT {TOPNGRAM_K}
     """

@@ -68,3 +68,28 @@ def test_repetition_oracle_parity(spark):
     orows = sorted(map(tuple, con.execute(T.repetition_sql()).fetchall()))
     srows = sorted(map(tuple, T.repetition(docs).collect()))
     assert srows == orows
+
+
+def test_top_ngrams_counts_and_ties(spark):
+    from rify_spark.ops.params import TOPNGRAM_K
+
+    rows = [(1, "a b a b"), (2, "a b c"), (3, "z")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = [(r["ng"], r["n_occ"]) for r in T.top_ngrams(docs).collect()]
+    # 'a b' x3 ('a b a b' has two), then count-1 bigrams tie-broken by string
+    assert got == [("a b", 3), ("b a", 1), ("b c", 1)][:TOPNGRAM_K]
+    assert got == sorted(got, key=lambda t: (-t[1], t[0]))
+
+
+def test_top_ngrams_oracle_parity(spark):
+    import pandas as pd
+    import pytest
+
+    duckdb = pytest.importorskip("duckdb")
+    rows = [(i, " ".join(f"w{j % (2 + i % 5)}" for j in range(i % 11))) for i in range(1, 80)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(rows, columns=["doc_id", "text"]))
+    orows = list(map(tuple, con.execute(T.top_ngrams_sql()).fetchall()))
+    srows = list(map(tuple, T.top_ngrams(docs).collect()))
+    assert srows == orows
