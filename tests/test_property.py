@@ -200,3 +200,60 @@ def test_neardup_clusters_match_pair_graph_components(spark, token_lists):
     }
     got = {tuple(r) for r in dedup.neardup_clusters(docs).collect()}
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# property 5: smart-TC strategy parity (the delegated fast path, both shapes)
+# ---------------------------------------------------------------------------
+
+def _tc_rules(shape):
+    copy = Rule.create([[U("a"), B("parent"), U("b"), U("g")]],
+                       [[U("a"), B("anc"), U("b"), U("g")]])
+    if shape == "linear":
+        body = [[U("a"), B("parent"), U("b"), U("g")],
+                [U("b"), B("anc"), U("c"), U("g")]]
+    elif shape == "nonlinear":
+        body = [[U("a"), B("anc"), U("b"), U("g")],
+                [U("b"), B("anc"), U("c"), U("g")]]
+    else:  # nonlinear, swapped body-atom order
+        body = [[U("b"), B("anc"), U("c"), U("g")],
+                [U("a"), B("anc"), U("b"), U("g")]]
+    return [copy, Rule.create(body, [[U("a"), B("anc"), U("c"), U("g")]])]
+
+
+_TC_NODES = ("n0", "n1", "n2", "n3", "n4")
+_tc_facts_st = st.tuples(
+    st.sets(
+        st.tuples(st.sampled_from(_TC_NODES), st.just("parent"),
+                  st.sampled_from(_TC_NODES), st.sampled_from(("g0", "g1"))),
+        min_size=0, max_size=8,
+    ),
+    # premise H-facts included: the round-1-subsumed regression (a seed
+    # wavefront adding nothing novel) must keep composing
+    st.sets(
+        st.tuples(st.sampled_from(_TC_NODES), st.just("anc"),
+                  st.sampled_from(_TC_NODES), st.sampled_from(("g0", "g1"))),
+        min_size=0, max_size=4,
+    ),
+)
+
+
+@settings(max_examples=6 * _SCALE, **_SETTINGS)
+@given(facts=_tc_facts_st,
+       shape=st.sampled_from(("linear", "nonlinear", "nonlinear_swapped")))
+def test_smart_tc_matches_naive_oracle(spark, facts, shape):
+    """Random cyclic graphs (parent edges ∪ premise anc facts, two graphs)
+    through the pure TC pair must take the smart strategy and agree exactly
+    with the independent oracle — including inputs with no parent facts at
+    all, where round 1 inserts nothing."""
+    from rify_spark.api import infer_df
+
+    rules = _tc_rules(shape)
+    quads = sorted(set(facts[0]) | set(facts[1]))
+    df = spark.createDataFrame(quads, SCHEMA) if quads else (
+        spark.createDataFrame([], SCHEMA)
+    )
+    derived, res = infer_df(spark, df, rules, InferConfig())
+    assert res.metrics and res.metrics[0]["strategy"] == "smart_tc"
+    got = sorted(map(tuple, derived.collect()))
+    assert got == sorted(_naive_closure(quads, rules) - set(quads))
