@@ -159,9 +159,14 @@ def main() -> None:
         "soak_scaling_efficiency",
     )
     for fname, field, ks in (
+        # pre-smart-TC strong pair (generic loop; kept for the strategy A/B)
         ("SCALING.json", "scaling", keys),
+        # current engine: the pure TC pair delegates to smart TC (tc.py) —
+        # ~1.9x the absolute throughput at both core counts, 6 rounds vs 19
+        ("SCALING_SMART_TC.json", "scaling_smart_tc", keys),
         ("SCALING_BIG.json", "scaling_big", keys),
         ("SCALING_WEAK.json", "scaling_weak", weak_keys),
+        ("SCALING_WEAK_SMART.json", "scaling_weak_smart", weak_keys),
         ("SCALING_PIPE300K.json", "scaling_pipe300k", pipe_keys),
         ("SCALING_PIPE1M.json", "scaling_pipe1m", pipe_keys),
         ("TAIL_CONTROL.json", "tail_control", tail_keys),
