@@ -107,6 +107,13 @@ class CheckpointManager:
         with open(os.path.join(d, "meta.json"), "w") as f:
             json.dump(meta, f)
 
+    def extra_path(self, it: int, name: str) -> str:
+        """Path for a strategy-specific artifact inside iteration ``it``'s
+        directory (e.g. smart TC's wavefront ``d.parquet``). Callers write
+        it BEFORE :meth:`save_iteration` so meta.json stays the commit
+        marker covering it."""
+        return os.path.join(self._iter_dir(it), name)
+
     def arguments_path(self, it: int) -> str:
         """Path of the full-lineage parquet written at base iteration
         ``it`` (the fixpoint re-points its lineage union here after each

@@ -775,14 +775,15 @@ def fixpoint(
             and delta0 is None
             and reuse_store is None
             and initial_arguments is None
-            and cfg.checkpoint_dir is None
         ):
-            # Pure two-rule linear TC in plain batch mode: delegate to the
+            # Pure two-rule TC program in batch mode: delegate to the
             # unique-decomposition doubling strategy (tc.py) — same LFP,
             # O(log depth) rounds AND O(|closure|) total join output (the
             # plain doubling rewrite re-derives each pair once per split
-            # point, quadratic on chains). Incremental/resumable/streaming
-            # modes keep the generic loop.
+            # point, quadratic on chains). Checkpoint mode delegates too
+            # (smart TC persists store + D wavefront per round, own
+            # fingerprint namespace); incremental/streaming modes keep the
+            # generic loop.
             from .tc import smart_tc_fixpoint
 
             return smart_tc_fixpoint(

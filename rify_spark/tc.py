@@ -36,6 +36,7 @@ original program; only the derivation schedule differs.
 
 from __future__ import annotations
 
+import hashlib
 import time
 
 from pyspark.sql import DataFrame, SparkSession
@@ -44,6 +45,23 @@ from pyspark.sql import functions as F
 from .matcher import SPOG, term_lit
 
 PAIR = ["s", "o", "g"]
+
+
+def _tc_fingerprint(rec: dict, dtype_str: str) -> str:
+    """Checkpoint identity of a smart-TC job: strategy + the detected pair.
+    The ``smart_tc;`` prefix guarantees a generic-loop checkpoint directory
+    (fingerprinted by infer.job_fingerprint over the lowered rules) is
+    refused on resume and vice versa — the two strategies persist different
+    state (smart TC needs the D wavefront; the generic loop needs F_old)."""
+    h = hashlib.sha256()
+    h.update(
+        (
+            f"smart_tc;dtype={dtype_str};p={rec['predicate']!r};"
+            f"b={rec['edge_predicate']!r};dir={rec['direction']};"
+            f"shape={rec.get('shape', 'linear')}"
+        ).encode()
+    )
+    return "smart_tc:" + h.hexdigest()[:32]
 
 
 def _compose(left: DataFrame, right: DataFrame) -> DataFrame:
@@ -66,6 +84,7 @@ def smart_tc_fixpoint(
     deduplicated, value-space quads). Returns a FixpointResult whose
     ``facts`` equal the program's least fixpoint: premises ∪ copy-image ∪
     all B-path compositions, per graph."""
+    from .checkpoint import CheckpointManager
     from .infer import FactStore, FixpointResult
 
     dtype = facts0.schema["p"].dataType
@@ -78,28 +97,63 @@ def smart_tc_fixpoint(
         fixed_partitions=cfg.store_partitions,
         compact_every=cfg.store_compact_every,
     )
-    seed_lc, facts_rows = store.seed(facts0)
+    ckpt = (
+        CheckpointManager(
+            spark,
+            cfg.checkpoint_dir,
+            fingerprint=_tc_fingerprint(rec, dtype.simpleString()),
+        )
+        if cfg.checkpoint_dir
+        else None
+    )
     metrics: list = []
     tracked_deltas: list = []  # post-seed novel blocks == derived facts
-    it = 0
+    last_base = 0  # iteration of the newest full-facts parquet base
 
-    # D = the base relation, length exactly 1. Linear shape: the B edges
-    # (LFP = B* ∘ C0, and only B ever extends a path). Nonlinear shape
-    # (H <- B copy; H <- H∘H): LFP = (C ∪ H0)+, so the wavefront seeds
-    # from the B-image ∪ premise H-facts — deduplicated as pairs, since
-    # the same (s,o,g) can occur under both predicates.
-    if rec.get("shape") == "nonlinear":
-        d = (
-            seed_lc.filter((F.col("p") == b_lit) | (F.col("p") == p_lit))
-            .select(*PAIR)
-            .dropDuplicates(PAIR)
+    resumed = None
+    if ckpt and cfg.resume:
+        resumed = ckpt.latest()
+    if resumed is not None:
+        # smart-TC resume state is simpler than the generic loop's: the
+        # composition reads the WHOLE R each round (no F_old split), so
+        # store + post-squaring D + round number fully determine the run
+        it, facts_df, _delta_df, _args, meta = resumed
+        seed_lc, facts_rows = store.seed(
+            facts_df, rows_hint=meta.get("facts_rows")
+        )
+        d = spark.read.parquet(ckpt.extra_path(it, "d.parquet"))
+        d = d.localCheckpoint(eager=False)
+        d_rows = meta.get("d_rows", d.count())
+        last_base = meta.get("base_iter", it)
+        metrics.append(
+            {
+                "iteration": it,
+                "resumed": True,
+                "strategy": "smart_tc",
+                "delta_rows": meta.get("delta_rows"),
+            }
         )
     else:
-        # facts0 is SPOG-unique, so (s,o,g) under the single predicate B
-        # is already duplicate-free
-        d = seed_lc.filter(F.col("p") == b_lit).select(*PAIR)
-    d = d.localCheckpoint(eager=False)
-    d_rows = d.count()
+        seed_lc, facts_rows = store.seed(facts0)
+        it = 0
+
+        # D = the base relation, length exactly 1. Linear shape: the B
+        # edges (LFP = B* ∘ C0, and only B ever extends a path). Nonlinear
+        # shape (H <- B copy; H <- H∘H): LFP = (C ∪ H0)+, so the wavefront
+        # seeds from the B-image ∪ premise H-facts — deduplicated as pairs,
+        # since the same (s,o,g) can occur under both predicates.
+        if rec.get("shape") == "nonlinear":
+            d = (
+                seed_lc.filter((F.col("p") == b_lit) | (F.col("p") == p_lit))
+                .select(*PAIR)
+                .dropDuplicates(PAIR)
+            )
+        else:
+            # facts0 is SPOG-unique, so (s,o,g) under the single predicate
+            # B is already duplicate-free
+            d = seed_lc.filter(F.col("p") == b_lit).select(*PAIR)
+        d = d.localCheckpoint(eager=False)
+        d_rows = d.count()
 
     while cfg.max_iterations is None or it < cfg.max_iterations:
         it += 1
@@ -175,6 +229,35 @@ def smart_tc_fixpoint(
                 "wall_s": round(time.time() - t0, 4),
             }
         )
+        if ckpt:
+            # persisted AFTER the squaring so the saved D is exactly the
+            # wavefront round it+1 consumes (round 1 never squares, so its
+            # saved D = B^1, what round 2 needs). d.parquet lands before
+            # save_iteration — meta.json stays the commit marker.
+            write_base = last_base == 0 or (
+                it - last_base
+            ) >= cfg.store_compact_every
+            if write_base:
+                last_base = it
+            d.write.mode("overwrite").parquet(ckpt.extra_path(it, "d.parquet"))
+            # re-point D at the parquet just written: bounds the D lineage
+            # plan (localCheckpoint chains of compose∘compose) and drops
+            # any dependency a resumed run carried on soon-pruned files
+            d = spark.read.parquet(ckpt.extra_path(it, "d.parquet"))
+            ckpt.save_iteration(
+                it,
+                novel,
+                facts=store.union() if write_base else None,
+                extra_meta={
+                    "facts_rows": facts_rows,
+                    "delta_rows": delta_rows,
+                    "d_rows": d_rows,
+                    "base_iter": last_base,
+                    "strategy": "smart_tc",
+                },
+            )
+            if write_base and not cfg.checkpoint_retain_history:
+                ckpt.prune(last_base)
         if d_rows == 0:
             break
 
@@ -186,4 +269,5 @@ def smart_tc_fixpoint(
         facts_rows=facts_rows,
         delta_dfs=tracked_deltas,
         rewrites=rewrites,
+        resumed=resumed is not None,
     )

@@ -92,7 +92,14 @@ def main() -> None:
             [[U("a"), B("ancestor"), U("c"), U("g")]],
         ),
     ]
-    cfg = InferConfig(checkpoint_dir=CKPT, store_compact_every=COMPACT_EVERY)
+    # generic-loop acceptance harness (row-triggered width growth, LSM
+    # store bounds): pin the rewrite off, else the pure TC pair delegates
+    # to smart TC and the run stops exercising the machinery it validates
+    cfg = InferConfig(
+        checkpoint_dir=CKPT,
+        store_compact_every=COMPACT_EVERY,
+        rewrite_linear_recursion=False,
+    )
     shm0 = _shm_used_gb()
     t0 = time.time()
     derived_df, fx = infer_df(spark, edges, rules, config=cfg)

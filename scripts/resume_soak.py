@@ -85,7 +85,17 @@ def worker() -> None:
     # compact_every=3 puts full-facts bases at iterations 1 and 4, so the
     # resume exercises base ∪ subsequent-deltas reconstruction, not just a
     # base read
-    cfg = InferConfig(checkpoint_dir=ckdir, resume=resume, store_compact_every=3)
+    # RIFY_RESUME_STRATEGY=smart leaves delegation on (smart-TC resume
+    # protocol under kill -9); default pins the GENERIC loop, which is what
+    # this soak's artifact has always measured (every non-pure-pair program
+    # runs it) — without the pin the pure TC pair now delegates to tc.py
+    smart = os.environ.get("RIFY_RESUME_STRATEGY") == "smart"
+    cfg = InferConfig(
+        checkpoint_dir=ckdir,
+        resume=resume,
+        store_compact_every=3,
+        rewrite_linear_recursion=smart,
+    )
     t0 = time.time()
     derived, fx = infer_df(spark, edges, rules, cfg)
     n = derived.count()

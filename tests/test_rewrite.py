@@ -231,23 +231,84 @@ def test_smart_tc_premise_reach_facts_compose(spark):
     assert ("n0", "reach", "x", "g0") in got
 
 
-def test_smart_tc_not_engaged_with_checkpoint_dir(spark, tmp_path):
-    """Checkpoint/resume mode keeps the generic loop (smart TC has no
-    resume protocol); result parity still holds via the plain rewrite."""
+def test_smart_tc_engaged_with_checkpoint_dir(spark, tmp_path):
+    """Checkpoint mode delegates too (smart TC persists store + D wavefront
+    per round under its own fingerprint namespace); the directory must hold
+    commit-marked iterations with a d.parquet each."""
+    import os
+
     from rify_spark.api import infer_df
     from rify_spark.infer import InferConfig
 
     n = 10
     facts = [(f"n{i}", "next", f"n{i+1}", "g0") for i in range(n)]
     edges = spark.createDataFrame(facts, "s string, p string, o string, g string")
+    ck = str(tmp_path / "ck")
     derived, res = infer_df(
-        spark, edges, _linear_tc(),
-        InferConfig(checkpoint_dir=str(tmp_path / "ck")),
+        spark, edges, _linear_tc(), InferConfig(checkpoint_dir=ck),
     )
-    assert res.rewrites  # plain doubling still applied
-    assert all(m.get("strategy") != "smart_tc" for m in res.metrics)
+    assert res.metrics[0]["strategy"] == "smart_tc"
     got = {tuple(r) for r in derived.collect()}
     assert got == naive_closure(facts, _linear_tc()) - set(facts)
+    iters = sorted(d for d in os.listdir(ck) if d.startswith("iter="))
+    assert iters
+    for d in iters:
+        assert os.path.exists(os.path.join(ck, d, "meta.json"))
+        assert os.path.isdir(os.path.join(ck, d, "d.parquet"))
+
+
+def test_smart_tc_checkpoint_resume_exact(spark, tmp_path):
+    """Kill mid-run (max_iterations), resume: the completed rounds are not
+    recomputed and the final closure is exact; a generic-loop checkpoint
+    directory is refused (different strategy, different persisted state)."""
+    import pytest
+
+    from rify_spark.api import infer_df
+    from rify_spark.infer import InferConfig
+
+    n = 40
+    facts = [(f"n{i}", "next", f"n{i+1}", "g0") for i in range(n)]
+    edges = spark.createDataFrame(facts, "s string, p string, o string, g string")
+    ck = str(tmp_path / "ck")
+    _, res1 = infer_df(
+        spark, edges, _linear_tc(),
+        InferConfig(checkpoint_dir=ck, max_iterations=3),
+    )
+    assert res1.iterations == 3 and res1.metrics[0]["strategy"] == "smart_tc"
+    derived, res2 = infer_df(
+        spark, edges, _linear_tc(),
+        InferConfig(checkpoint_dir=ck, resume=True),
+    )
+    assert res2.resumed
+    assert res2.metrics[0] == {
+        "iteration": 3, "resumed": True, "strategy": "smart_tc",
+        "delta_rows": res1.metrics[-1]["delta_rows"],
+    }
+    got = {tuple(r) for r in derived.collect()}
+    assert got == naive_closure(facts, _linear_tc()) - set(facts)
+    # total rounds across the two runs == one uninterrupted run's count
+    fresh_ck = str(tmp_path / "ck2")
+    _, res3 = infer_df(
+        spark, edges, _linear_tc(), InferConfig(checkpoint_dir=fresh_ck),
+    )
+    assert res2.iterations == res3.iterations
+
+    # strategy mismatch: a generic-loop dir (forced via a bystander rule)
+    # must be refused on smart-TC resume
+    bystander = Rule.create(
+        [[U("a"), B("reach"), U("b"), U("g")]],
+        [[U("b"), B("sees"), U("a"), U("g")]],
+    )
+    gen_ck = str(tmp_path / "ck3")
+    infer_df(
+        spark, edges, _linear_tc() + [bystander],
+        InferConfig(checkpoint_dir=gen_ck),
+    )
+    with pytest.raises(ValueError, match="different job"):
+        infer_df(
+            spark, edges, _linear_tc(),
+            InferConfig(checkpoint_dir=gen_ck, resume=True),
+        )
 
 
 def _nonlinear_tc():
@@ -303,21 +364,26 @@ def test_nonlinear_smart_tc_random_parity_with_premise_h(spark):
 
 
 def test_nonlinear_pair_generic_loop_when_not_delegatable(spark, tmp_path):
-    """Checkpoint mode can't delegate; the nonlinear program must run the
-    user's own rules on the generic loop with identical results."""
+    """With a bystander rule the program is not the pure pair, so the
+    nonlinear recursion must run the user's own rules on the generic loop
+    with identical results."""
     from rify_spark.api import infer_df
     from rify_spark.infer import InferConfig
 
+    bystander = Rule.create(
+        [[U("a"), B("anc"), U("b"), U("g")]],
+        [[U("b"), B("desc"), U("a"), U("g")]],
+    )
     facts = [(f"n{i}", "parent", f"n{i+1}", "g0") for i in range(6)]
     edges = spark.createDataFrame(facts, "s string, p string, o string, g string")
     derived, res = infer_df(
-        spark, edges, _nonlinear_tc(),
+        spark, edges, _nonlinear_tc() + [bystander],
         InferConfig(checkpoint_dir=str(tmp_path / "ck")),
     )
     assert res.rewrites == []
     assert all(m.get("strategy") != "smart_tc" for m in res.metrics)
     got = {tuple(r) for r in derived.collect()}
-    assert got == naive_closure(facts, _nonlinear_tc()) - set(facts)
+    assert got == naive_closure(facts, _nonlinear_tc() + [bystander]) - set(facts)
 
 
 def test_premise_h_facts_block_generic_rewrite(spark):
@@ -358,9 +424,18 @@ def test_premise_h_facts_smart_path_is_exact(spark):
 
 
 def test_premise_h_facts_block_rewrite_in_checkpoint_mode(spark, tmp_path):
+    """On the GENERIC path (bystander rule -> not delegatable) the pushed-
+    filter probe must revert the doubling rewrite when premise H-facts
+    exist — the nonlinear form would compose them with each other."""
     from rify_spark.api import infer_df
     from rify_spark.infer import InferConfig
 
+    # unrelated bystander (never fires): keeps the program off the smart
+    # path without touching the closure
+    bystander = Rule.create(
+        [[U("a"), B("sees"), U("b"), U("g")]],
+        [[U("a"), B("saw"), U("b"), U("g")]],
+    )
     facts = [
         ("a", "reach", "b", "g0"),
         ("b", "reach", "c", "g0"),
@@ -368,9 +443,10 @@ def test_premise_h_facts_block_rewrite_in_checkpoint_mode(spark, tmp_path):
     ]
     edges = spark.createDataFrame(facts, "s string, p string, o string, g string")
     derived, res = infer_df(
-        spark, edges, _linear_tc(),
+        spark, edges, _linear_tc() + [bystander],
         InferConfig(checkpoint_dir=str(tmp_path / "ck")),
     )
+    assert all(m.get("strategy") != "smart_tc" for m in res.metrics)
     assert res.rewrites == []
     got = {tuple(r) for r in derived.collect()}
     assert got == naive_closure(facts, _linear_tc()) - set(facts)
