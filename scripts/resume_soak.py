@@ -163,6 +163,11 @@ def _run(ctl_dir: str, ckdir: str) -> None:
         "cpus": CPUS,
         "kill_after_iters": KILL_AFTER,
         "expected_derived": expected,
+        "strategy": (
+            "smart_tc"
+            if os.environ.get("RIFY_RESUME_STRATEGY") == "smart"
+            else "generic"
+        ),
     }
 
     # phase 1: scratch control (checkpointing on, runs to completion)
@@ -225,7 +230,10 @@ def _run(ctl_dir: str, ckdir: str) -> None:
         art["crash_path_total_s"] / ctl["wall_s"], 3
     )
 
-    with open(os.path.join(REPO, "RESUME_RUN.json"), "w") as f:
+    out_path = os.environ.get(
+        "RIFY_RESUME_OUT", os.path.join(REPO, "RESUME_RUN.json")
+    )
+    with open(out_path, "w") as f:
         json.dump(art, f, indent=1)
     print(json.dumps(art, indent=1))
 
