@@ -441,6 +441,12 @@ class InferConfig:
     # Proof + eligibility conditions in rewrite.py; never applied in
     # lineage or goal-directed mode.
     rewrite_linear_recursion: bool = True
+    # delegation of the PURE two-rule TC program to the unique-decomposition
+    # doubling strategy (tc.py). False keeps the doubling REWRITE (above)
+    # on the generic loop — the knob the generic-loop acceptance harnesses
+    # (big_closure, resume_soak) use, so they measure the same ~O(log depth)
+    # doubled program their historical artifacts did, minus the strategy.
+    smart_tc: bool = True
     # predicate-level semi-naive refinement: skip delta-seeded join plans
     # whose seed atom has a constant predicate absent from this iteration's
     # delta (they are empty by construction). Costs one tiny distinct-p scan
@@ -769,13 +775,25 @@ def fixpoint(
 
         orig_lrules = lrules
         lrules, rewrites = rewrite_linear_doubling(lrules)
-        if (
-            len(rewrites) == 1
+        delegate = (
+            cfg.smart_tc
+            and len(rewrites) == 1
             and rewrites[0]["smart_eligible"]
             and delta0 is None
             and reuse_store is None
             and initial_arguments is None
-        ):
+        )
+        if delegate and cfg.checkpoint_dir and cfg.resume:
+            # pre-upgrade migration: a checkpoint directory written by the
+            # GENERIC loop for this same program (before smart TC took
+            # checkpoint mode, or with smart_tc=False) must keep resuming
+            # on the generic loop instead of failing the smart fingerprint
+            existing = CheckpointManager(
+                spark, cfg.checkpoint_dir
+            ).existing_fingerprint()
+            if existing is not None and not existing.startswith("smart_tc:"):
+                delegate = False
+        if delegate:
             # Pure two-rule TC program in batch mode: delegate to the
             # unique-decomposition doubling strategy (tc.py) — same LFP,
             # O(log depth) rounds AND O(|closure|) total join output (the
@@ -1194,7 +1212,9 @@ def fixpoint(
                 m["catalyst_s"] = catalyst_s
             metrics.append(m)
             if ckpt:
-                write_base = it == 1 or (it - last_base) >= cfg.store_compact_every
+                # first saved iteration always writes a base (== the old
+                # `it == 1`: resumed runs restart past 1 with last_base > 0)
+                write_base = ckpt.base_due(it, last_base, cfg.store_compact_every)
                 if write_base:
                     last_base = it
                 ckpt.save_iteration(

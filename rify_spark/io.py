@@ -4,50 +4,83 @@ plain parquet — one entry point for every job that takes an `--input`.
 The north rule's corpus lives in an Iceberg table; this sandbox ships no
 Iceberg runtime jar, so the module is capability-gated rather than stubbed:
 
-  * **catalog identifiers** (`catalog.db.table`, no path separator) go
-    through ``spark.read.table`` / ``DataFrame.writeTo`` — Spark's catalog
-    API, which IS the documented Iceberg access path once the runtime jar
-    and a catalog conf (``spark.sql.catalog.<name>``) are on the cluster.
-    Nothing here is Iceberg-version-specific; the same identifiers resolve
-    temp views and Hive tables, which is also how the fallback tests run
-    without the jar;
-  * **directories with an Iceberg ``metadata/`` layout** load via
-    ``format("iceberg")`` when the runtime is present, and raise an
-    actionable error (install the runtime, or point at the data files)
-    when it is not — never silently reading an Iceberg table's parquet
-    files WITHOUT the metadata layer, which would resurrect deleted rows
-    and read uncommitted files;
+  * **catalog identifiers** (`catalog.db.table` — dotted identifiers, no
+    path separator, no data-file extension) go through ``spark.read.table``
+    / ``DataFrame.writeTo`` — Spark's catalog API, which IS the documented
+    Iceberg access path once the runtime jar and a catalog conf
+    (``spark.sql.catalog.<name>``) are on the cluster. Nothing here is
+    Iceberg-version-specific; the same identifiers resolve temp views and
+    Hive tables, which is also how the fallback tests run without the jar.
+    Caveat (documented contract): a bare identifier that also names an
+    existing file in the working directory is treated as the file;
+  * **directories with an Iceberg ``metadata/`` layout** — checked through
+    the Hadoop filesystem of the path, so the gate holds for s3a/hdfs/abfss
+    URIs too, not just local disk — load via ``format("iceberg")`` when the
+    runtime is present, and raise an actionable error (install the runtime,
+    or point at the data files) when it is not: silently reading an Iceberg
+    table's parquet files WITHOUT the metadata layer would resurrect
+    deleted rows and read uncommitted files;
   * **everything else** is a plain parquet path.
 """
 
 from __future__ import annotations
 
 import os
+import re
 
 from pyspark.sql import DataFrame, SparkSession
 
+# dotted chain of SQL identifiers: catalog.db.table / db.table / view
+_IDENT_RE = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*(\.[A-Za-z_][A-Za-z0-9_]*)*$")
+# a final segment that is a data-file suffix means "path", not "table":
+# write_table(df, "out.parquet") must write a file even though the string
+# also parses as table `parquet` in namespace `out`
+_FILE_SUFFIXES = ("parquet", "json", "csv", "orc", "avro", "txt")
+
 
 def iceberg_available(spark: SparkSession) -> bool:
-    """True when the Iceberg runtime is on the JVM classpath."""
+    """True when the Iceberg runtime is loadable by SPARK's classloader —
+    jars added via spark.jars/--packages live in Spark's
+    MutableURLClassLoader, which the plain one-arg ``Class.forName`` (system
+    classloader) cannot see, so probe through Spark's own Utils."""
     try:
-        spark._jvm.java.lang.Class.forName(
-            "org.apache.iceberg.catalog.Catalog"
+        spark._jvm.org.apache.spark.util.Utils.classForName(
+            "org.apache.iceberg.catalog.Catalog", False, False
         )
+        return True
+    except Exception:
+        pass
+    try:  # fallback for Spark builds without that Utils signature
+        spark._jvm.java.lang.Class.forName("org.apache.iceberg.catalog.Catalog")
         return True
     except Exception:
         return False
 
 
-def _is_iceberg_dir(path: str) -> bool:
-    return os.path.isdir(os.path.join(path, "metadata")) and os.path.isdir(
-        os.path.join(path, "data")
-    )
+def _is_iceberg_dir(spark: SparkSession, path: str) -> bool:
+    """True when ``path`` has Iceberg's metadata/ + data/ layout, resolved
+    through the path's own Hadoop filesystem so object-store URIs
+    (s3a://...) are checked, not silently skipped."""
+    try:
+        jvm = spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        return fs.isDirectory(
+            jvm.org.apache.hadoop.fs.Path(path, "metadata")
+        ) and fs.isDirectory(jvm.org.apache.hadoop.fs.Path(path, "data"))
+    except Exception:
+        # unresolvable filesystem (missing connector, bad scheme): let the
+        # downstream reader raise its own, more specific error
+        return False
 
 
 def is_table_identifier(ref: str) -> bool:
-    """A catalog reference rather than a filesystem path: no path
-    separators, no scheme, not an existing local file/dir."""
-    if os.path.sep in ref or "/" in ref or "://" in ref:
+    """A catalog reference rather than a filesystem path: a dotted
+    identifier chain whose final segment is not a data-file suffix, no
+    scheme, and nothing by that name on local disk."""
+    if not _IDENT_RE.match(ref):
+        return False
+    if ref.rsplit(".", 1)[-1].lower() in _FILE_SUFFIXES:
         return False
     return not os.path.exists(ref)
 
@@ -55,10 +88,11 @@ def is_table_identifier(ref: str) -> bool:
 def read_table(spark: SparkSession, ref: str) -> DataFrame:
     """Load ``ref`` by what it is: catalog identifier -> ``read.table``
     (Iceberg/Hive/view — the cluster's catalog decides); Iceberg directory
-    layout -> ``format("iceberg")`` (runtime required); else parquet."""
+    layout (any filesystem) -> ``format("iceberg")`` (runtime required);
+    else parquet."""
     if is_table_identifier(ref):
         return spark.read.table(ref)
-    if _is_iceberg_dir(ref):
+    if _is_iceberg_dir(spark, ref):
         if not iceberg_available(spark):
             raise RuntimeError(
                 f"{ref} has an Iceberg metadata/ layout but the Iceberg "

@@ -121,8 +121,10 @@ def smart_tc_fixpoint(
         seed_lc, facts_rows = store.seed(
             facts_df, rows_hint=meta.get("facts_rows")
         )
+        # bare parquet read, same as the in-loop re-point: stable one-node
+        # plan, no localCheckpoint copy of the wavefront into executor
+        # storage
         d = spark.read.parquet(ckpt.extra_path(it, "d.parquet"))
-        d = d.localCheckpoint(eager=False)
         d_rows = meta.get("d_rows", d.count())
         last_base = meta.get("base_iter", it)
         metrics.append(
@@ -234,9 +236,7 @@ def smart_tc_fixpoint(
             # wavefront round it+1 consumes (round 1 never squares, so its
             # saved D = B^1, what round 2 needs). d.parquet lands before
             # save_iteration — meta.json stays the commit marker.
-            write_base = last_base == 0 or (
-                it - last_base
-            ) >= cfg.store_compact_every
+            write_base = ckpt.base_due(it, last_base, cfg.store_compact_every)
             if write_base:
                 last_base = it
             d.write.mode("overwrite").parquet(ckpt.extra_path(it, "d.parquet"))

@@ -93,12 +93,14 @@ def main() -> None:
         ),
     ]
     # generic-loop acceptance harness (row-triggered width growth, LSM
-    # store bounds): pin the rewrite off, else the pure TC pair delegates
-    # to smart TC and the run stops exercising the machinery it validates
+    # store bounds): delegation off so the run keeps exercising the
+    # machinery it validates — but the doubling REWRITE stays on, the same
+    # ~7-round doubled program every historical BIGRUN/GROWTH artifact
+    # measured
     cfg = InferConfig(
         checkpoint_dir=CKPT,
         store_compact_every=COMPACT_EVERY,
-        rewrite_linear_recursion=False,
+        smart_tc=False,
     )
     shm0 = _shm_used_gb()
     t0 = time.time()

@@ -86,15 +86,15 @@ def worker() -> None:
     # resume exercises base ∪ subsequent-deltas reconstruction, not just a
     # base read
     # RIFY_RESUME_STRATEGY=smart leaves delegation on (smart-TC resume
-    # protocol under kill -9); default pins the GENERIC loop, which is what
-    # this soak's artifact has always measured (every non-pure-pair program
-    # runs it) — without the pin the pure TC pair now delegates to tc.py
+    # protocol under kill -9); default pins the GENERIC loop — with the
+    # doubling rewrite still applied, i.e. exactly the doubled program the
+    # historical RESUME_RUN artifacts measured
     smart = os.environ.get("RIFY_RESUME_STRATEGY") == "smart"
     cfg = InferConfig(
         checkpoint_dir=ckdir,
         resume=resume,
         store_compact_every=3,
-        rewrite_linear_recursion=smart,
+        smart_tc=smart,
     )
     t0 = time.time()
     derived, fx = infer_df(spark, edges, rules, cfg)

@@ -33,18 +33,36 @@ def test_identifier_detection(spark, tmp_path):
     assert not rio.is_table_identifier(str(tmp_path))  # existing dir
     assert not rio.is_table_identifier("/a/b/c.parquet")
     assert not rio.is_table_identifier("s3://bucket/key")
+    # a new RELATIVE path with a data-file suffix is a path, not table
+    # `parquet` in namespace `out` (write_table would misroute to the
+    # catalog and never produce the file)
+    assert not rio.is_table_identifier("out.parquet")
+    assert not rio.is_table_identifier("corpus.JSON")
+    assert not rio.is_table_identifier("a-b")  # not a SQL identifier
+
+
+def test_new_relative_parquet_path_roundtrip(spark, tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    rio.write_table(spark.range(4), "out.parquet")
+    assert rio.read_table(spark, "out.parquet").count() == 4
 
 
 def test_iceberg_layout_without_runtime_is_refused(spark, tmp_path):
     """An Iceberg directory must not be read as bare parquet (that would
     resurrect deleted rows); without the runtime jar the error says what
-    to install. This sandbox has no Iceberg jar, so the gate is live."""
+    to install. Skipped where the jar exists — the refusal branch is only
+    live without it."""
+    if rio.iceberg_available(spark):
+        pytest.skip("Iceberg runtime present: refusal branch not live")
     d = tmp_path / "icetable"
     (d / "metadata").mkdir(parents=True)
     (d / "data").mkdir()
-    assert not rio.iceberg_available(spark)
     with pytest.raises(RuntimeError, match="iceberg-spark-runtime"):
         rio.read_table(spark, str(d))
+    # the layout check resolves through the Hadoop FS of the path, so an
+    # explicit file:// URI (the local stand-in for s3a/hdfs) is gated too
+    with pytest.raises(RuntimeError, match="iceberg-spark-runtime"):
+        rio.read_table(spark, f"file://{d}")
 
 
 def test_write_table_append(spark, tmp_path):

@@ -516,3 +516,49 @@ def test_nonlinear_detected_with_swapped_body_atoms(spark):
     assert res.metrics[0]["strategy"] == "smart_tc"
     got = set(facts) | {tuple(r) for r in d.collect()}
     assert got == naive_closure(facts, rules)
+
+
+def test_smart_tc_false_keeps_rewrite_on_generic_loop(spark):
+    """smart_tc=False suppresses only the delegation: the doubling REWRITE
+    still closes the chain in O(log depth) generic rounds (the harness knob
+    big_closure/resume_soak pin)."""
+    from rify_spark.api import infer_df
+    from rify_spark.infer import InferConfig
+
+    facts = [(f"n{i}", "next", f"n{i+1}", "g0") for i in range(32)]
+    edges = spark.createDataFrame(facts, "s string, p string, o string, g string")
+    derived, res = infer_df(
+        spark, edges, _linear_tc(), InferConfig(smart_tc=False),
+    )
+    assert res.rewrites and all(
+        m.get("strategy") != "smart_tc" for m in res.metrics
+    )
+    assert res.iterations <= 8  # doubled program, not 32 linear rounds
+    got = {tuple(r) for r in derived.collect()}
+    assert got == naive_closure(facts, _linear_tc()) - set(facts)
+
+
+def test_pre_upgrade_generic_checkpoint_resumes_on_generic_loop(spark, tmp_path):
+    """A checkpoint directory written by the GENERIC loop for the pure pair
+    (pre-delegation build, here produced via smart_tc=False) must resume on
+    the generic loop instead of failing smart TC's fingerprint check."""
+    from rify_spark.api import infer_df
+    from rify_spark.infer import InferConfig
+
+    facts = [(f"n{i}", "next", f"n{i+1}", "g0") for i in range(64)]
+    edges = spark.createDataFrame(facts, "s string, p string, o string, g string")
+    ck = str(tmp_path / "ck")
+    _, r1 = infer_df(
+        spark, edges, _linear_tc(),
+        InferConfig(checkpoint_dir=ck, smart_tc=False, max_iterations=2),
+    )
+    assert r1.iterations == 2
+    # resume WITHOUT the pin: delegation must step aside by itself
+    derived, r2 = infer_df(
+        spark, edges, _linear_tc(),
+        InferConfig(checkpoint_dir=ck, resume=True),
+    )
+    assert r2.resumed
+    assert all(m.get("strategy") != "smart_tc" for m in r2.metrics)
+    got = {tuple(r) for r in derived.collect()}
+    assert got == naive_closure(facts, _linear_tc()) - set(facts)
