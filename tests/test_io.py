@@ -42,9 +42,21 @@ def test_identifier_detection(spark, tmp_path):
 
 
 def test_new_relative_parquet_path_roundtrip(spark, tmp_path, monkeypatch):
+    # monkeypatch.chdir moves only the PYTHON cwd; Spark resolves relative
+    # paths against the JVM's user.dir (fixed at session start), so the
+    # artifact must be cleaned up there, not under tmp_path
+    import shutil
+
     monkeypatch.chdir(tmp_path)
-    rio.write_table(spark.range(4), "out.parquet")
-    assert rio.read_table(spark, "out.parquet").count() == 4
+    jvm_cwd = spark._jvm.java.lang.System.getProperty("user.dir")
+    try:
+        rio.write_table(spark.range(4), "out.parquet")
+        assert rio.read_table(spark, "out.parquet").count() == 4
+    finally:
+        for base in (jvm_cwd, str(tmp_path)):
+            shutil.rmtree(
+                os.path.join(base, "out.parquet"), ignore_errors=True
+            )
 
 
 def test_iceberg_layout_without_runtime_is_refused(spark, tmp_path):
