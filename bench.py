@@ -170,6 +170,13 @@ def main() -> None:
         ("SCALING_PIPE300K.json", "scaling_pipe300k", pipe_keys),
         ("SCALING_PIPE1M.json", "scaling_pipe1m", pipe_keys),
         ("TAIL_CONTROL.json", "tail_control", tail_keys),
+        ("GRAPH_SCALING.json", "scaling_graph", (
+            "nodes", "edges", "cpus_lo", "cpus_hi",
+            "pagerank_scaling_efficiency", "triangles_scaling_efficiency",
+            "nquads_parse_scaling_efficiency",
+            "scan_control_scaling_efficiency",
+            "shuffle_control_scaling_efficiency", "best_lo", "best_hi",
+        )),
         ("RETRACT_SCALING_2M.json", "scaling_retract", retract_keys),
         ("RETRACT_CONTROL.json", "retract_control", ("store_rows", "cpus_lo", "cpus_hi", "control_scaling_efficiency")),
     ):

@@ -162,23 +162,40 @@ PR_ITERS = 3
 def pagerank(edges: DataFrame, iters: int = PR_ITERS) -> DataFrame:
     """Integer-exact PageRank over an (s, o) edge table -> (node, rank).
 
-    Shuffle shape per iteration: ONE join (ranks ⨝ edges on src — both
-    sides hash-partitioned on the same key, so the partitioning is reused
-    across iterations) + ONE aggregation on dst; the node table's
-    left-join fills sink/no-inlink nodes with the base rank. The edge+
-    outdegree side is computed once and persisted. Lineage depth is
-    bounded (iters is a small constant), so no checkpointing is needed.
+    Shuffle shape per iteration: the BIG (edge) side never moves — it is
+    joined+degree-annotated, hash-repartitioned on the join key `s`, and
+    cache-materialized ONCE up front, so each iteration's equi-join only
+    exchanges the N-row rank table against the cached partitioning; the
+    contribution aggregate is map-side-combined and lands hash(o)-
+    partitioned at the same width, so the node table's left-join (nodes
+    cached hash(node)-partitioned) adds no exchange either. Per iteration
+    that is one N-row shuffle + one partial-agg shuffle, with the ~2N-row
+    edge shuffle paid once instead of `iters` times (measured at 10M
+    edges vs the naive re-shuffle loop: +28%/+42% throughput at 2/8
+    cores, 2->8-core scaling efficiency 0.584 -> 0.645,
+    GRAPH_SCALING.json). The result is eagerly materialized via
+    localCheckpoint so the input caches can be released before returning
+    (lineage is also truncated, so downstream plans don't re-run the
+    loop).
     """
+    spark = edges.sparkSession
+    width = int(spark.conf.get("spark.sql.shuffle.partitions"))
     ed = edges.select("s", "o")
     nodes = (
         ed.select(F.col("s").alias("node"))
         .unionByName(ed.select(F.col("o").alias("node")))
         .distinct()
+        .repartition(width, "node")
+        .persist()
     )
     outdeg = ed.groupBy("s").agg(F.count("*").alias("outdeg"))
     edges_deg = (
-        ed.join(outdeg, "s").select("s", "o", "outdeg").persist()
+        ed.join(outdeg, "s")
+        .select("s", "o", "outdeg")
+        .repartition(width, "s")
+        .persist()
     )
+    edges_deg.count()  # materialize the partitioned cache before the loop
     ranks = nodes.select(
         "node", F.lit(PR_UNIT).cast("long").alias("rank")
     )
@@ -205,8 +222,9 @@ def pagerank(edges: DataFrame, iters: int = PR_ITERS) -> DataFrame:
                 ).cast("long").alias("rank"),
             )
         )
-    out = ranks
+    out = ranks.localCheckpoint()  # eager: caches below are still live here
     edges_deg.unpersist()
+    nodes.unpersist()
     return out
 
 

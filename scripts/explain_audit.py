@@ -409,6 +409,59 @@ def main() -> None:
         )
     )
 
+    # 13. graph analytics: PageRank iteration joins and the degree-oriented
+    # triangle wedge join must stay equi-joins (no cartesian, no python);
+    # the N-Quads parse is a pure-JVM single-stage projection
+    pr = graph.graph_pagerank(spark, SF_DIR)
+    pr_exec = pr._jdf.queryExecution().executedPlan().toString()
+    sections.append(("graph_pagerank", pr_exec[:4000]))
+    checks.append(
+        (
+            "graph_pagerank",
+            "no python UDF in plan",
+            not re.search(r"(BatchEvalPython|ArrowEvalPython)", pr_exec),
+        )
+    )
+    checks.append(
+        ("graph_pagerank", "no cartesian product", "CartesianProduct" not in pr_exec)
+    )
+    tc = graph.graph_triangles(spark, SF_DIR)
+    tc_exec = tc._jdf.queryExecution().executedPlan().toString()
+    sections.append(("graph_triangles", tc_exec[:4000]))
+    checks.append(
+        (
+            "graph_triangles",
+            "wedge + closing joins are equi-joins (no cartesian)",
+            "CartesianProduct" not in tc_exec,
+        )
+    )
+    checks.append(
+        (
+            "graph_triangles",
+            "no python UDF in plan",
+            not re.search(r"(BatchEvalPython|ArrowEvalPython)", tc_exec),
+        )
+    )
+    from rify_spark.rdf import rdf_nquads_roundtrip
+
+    nq = rdf_nquads_roundtrip(spark, SF_DIR)
+    nq_exec = nq._jdf.queryExecution().executedPlan().toString()
+    sections.append(("rdf_nquads_roundtrip", nq_exec[:4000]))
+    checks.append(
+        (
+            "rdf_nquads_roundtrip",
+            "parse is pure JVM regexp (no python UDF)",
+            not re.search(r"(BatchEvalPython|ArrowEvalPython)", nq_exec),
+        )
+    )
+    checks.append(
+        (
+            "rdf_nquads_roundtrip",
+            "no shuffle in serialize->parse (narrow pipeline)",
+            "Exchange" not in nq_exec,
+        )
+    )
+
     lines = ["# PLANS — physical-plan audit", ""]
     lines.append("| query | property | status |")
     lines.append("|---|---|---|")

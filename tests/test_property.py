@@ -257,3 +257,105 @@ def test_smart_tc_matches_naive_oracle(spark, facts, shape):
     assert res.metrics and res.metrics[0]["strategy"] == "smart_tc"
     got = sorted(map(tuple, derived.collect()))
     assert got == sorted(_naive_closure(quads, rules) - set(quads))
+
+
+# ---------------------------------------------------------------------------
+# property 6: graph analytics vs brute-force Python oracles
+# ---------------------------------------------------------------------------
+
+_GNODES = ("a", "b", "c", "d", "e", "f", "g", "h")
+_edges_st = st.lists(
+    st.tuples(st.sampled_from(_GNODES), st.sampled_from(_GNODES)),
+    min_size=0, max_size=20,
+)
+
+
+@settings(max_examples=6 * _SCALE, **_SETTINGS)
+@given(pairs=_edges_st)
+def test_triangle_counts_match_bruteforce(spark, pairs):
+    """Degree-oriented wedge-join triangles == brute-force enumeration of
+    all 3-subsets over the undirected simple graph."""
+    from itertools import combinations
+
+    from rify_spark.ops.graph import triangle_counts
+
+    und = {tuple(sorted(p)) for p in pairs if p[0] != p[1]}
+    nodes = sorted({n for e in und for n in e})
+    want: dict = {}
+    for t in combinations(nodes, 3):
+        if all(tuple(sorted(e)) in und for e in combinations(t, 2)):
+            for n in t:
+                want[n] = want.get(n, 0) + 1
+    df = spark.createDataFrame(
+        [(s, o) for s, o in pairs] or [(None, None)], "s string, o string"
+    ).dropna()
+    got = {r.node: r.triangles for r in triangle_counts(df).collect()}
+    assert got == want
+
+
+@settings(max_examples=6 * _SCALE, **_SETTINGS)
+@given(pairs=_edges_st)
+def test_pagerank_integer_tracks_float_reference(spark, pairs):
+    """The BIGINT micro-unit PageRank must track an independent float
+    implementation of the same (no-dangling-redistribution) recurrence to
+    within the accumulated floor-division error."""
+    from rify_spark.ops.graph import PR_ITERS, pagerank
+
+    edges = [(s, o) for s, o in pairs if True]
+    if not edges:
+        return
+    nodes = sorted({n for e in edges for n in e})
+    outdeg: dict = {}
+    for s, _ in edges:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    r = {n: 1.0 for n in nodes}
+    for _ in range(PR_ITERS):
+        contrib = {n: 0.0 for n in nodes}
+        for s, o in edges:
+            contrib[o] += r[s] / outdeg[s]
+        r = {n: 0.15 + 0.85 * contrib[n] for n in nodes}
+    df = spark.createDataFrame(edges, "s string, o string")
+    got = {row.node: row.rank for row in pagerank(df).collect()}
+    assert set(got) == set(nodes)
+    for n in nodes:
+        assert abs(got[n] / 1_000_000 - r[n]) < 0.01, (n, got[n], r[n])
+
+
+# ---------------------------------------------------------------------------
+# property 7: N-Quads parse vs an independent Python serializer
+# ---------------------------------------------------------------------------
+
+_LIT_CHARS = st.text(
+    alphabet=st.sampled_from('ab "\\\n\r\tßπ._:<>@^'), max_size=12
+)
+_IRI_SAFE = st.text(
+    alphabet=st.sampled_from("abcXYZ019:/._-#%?ß"), min_size=1, max_size=12
+)
+
+
+def _py_escape(s: str) -> str:
+    return (
+        s.replace("\\", "\\\\").replace('"', '\\"')
+        .replace("\n", "\\n").replace("\r", "\\r").replace("\t", "\\t")
+    )
+
+
+@settings(max_examples=8 * _SCALE, **_SETTINGS)
+@given(rows=st.lists(st.tuples(_IRI_SAFE, _IRI_SAFE, _LIT_CHARS), min_size=1, max_size=6))
+def test_nquads_literal_parse_matches_python_escaper(spark, rows):
+    """Lines built by an INDEPENDENT Python escaper (str.replace, sharing
+    nothing with the engine's sentinel replace-chain) must parse back to
+    the original raw values."""
+    from rify_spark.rdf import parse_nquads
+
+    lines = [
+        ('<%s> <%s> "%s" .' % (s, p, _py_escape(lit)),)
+        for s, p, lit in rows
+    ]
+    out = parse_nquads(
+        spark.createDataFrame(lines, "value string")
+    ).collect()
+    assert all(not r.malformed for r in out)
+    got = sorted((r.s, r.p, r.o) for r in out)
+    want = sorted((s, p, lit) for s, p, lit in rows)
+    assert got == want
