@@ -471,6 +471,18 @@ def _q_graph_triangles(spark, sf_dir):
     return graph_triangles(spark, sf_dir)
 
 
+def _q_sparql_bgp(spark, sf_dir):
+    from rify_spark.sparql import sparql_bgp
+
+    return sparql_bgp(spark, sf_dir)
+
+
+def _q_sparql_modifiers(spark, sf_dir):
+    from rify_spark.sparql import sparql_modifiers
+
+    return sparql_modifiers(spark, sf_dir)
+
+
 def _q_rdf_parse(spark, sf_dir):
     from rify_spark.rdf import rdf_nquads_parse
 
@@ -550,6 +562,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # on disk): grammar fixture + serialize/parse round trip
         "rdf_nquads_parse": _q_rdf_parse,
         "rdf_nquads_roundtrip": _q_rdf_roundtrip,
+        # SPARQL SELECT front-end compiled onto the rule matcher's join
+        # chain: 2-hop BGP w/ GRAPH+FILTER, and ';'-block with DISTINCT/
+        # ORDER BY/LIMIT modifiers
+        "sparql_bgp": _q_sparql_bgp,
+        "sparql_modifiers": _q_sparql_modifiers,
         # KG construction
         "kg_extract_mentions": _q_kg_mentions,
         "kg_pipeline_derived": _q_kg_pipeline,
@@ -640,6 +657,12 @@ KG_PIPELINE_SQL = """
 """
 
 
+def _sparql_sql(fn_name: str) -> str:
+    from rify_spark import sparql as sparql_mod
+
+    return getattr(sparql_mod, fn_name)()
+
+
 def _rdf_parse_fixture_sql() -> str:
     from rify_spark.rdf import PARSE_FIXTURE_SQL
 
@@ -688,6 +711,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_graph_triangles": graph.graph_triangles_sql(),
         "rdf_nquads_parse": _rdf_parse_fixture_sql(),
         "rdf_nquads_roundtrip": _rdf_roundtrip_sql(),
+        "sparql_bgp": _sparql_sql("sparql_bgp_sql"),
+        "sparql_modifiers": _sparql_sql("sparql_modifiers_sql"),
         "kg_pipeline_derived": KG_PIPELINE_SQL,
         "kg_extract_mentions": """
             SELECT DISTINCT doc_id, tok AS mention FROM (

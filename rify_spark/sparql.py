@@ -1,0 +1,429 @@
+"""SPARQL SELECT front-end: basic graph patterns compiled onto the matcher.
+
+The reference engine's data model is RDF-shaped ``[s, p, o, g]`` quads and
+its rule bodies ARE basic graph patterns (``src/rule.rs``: if-all atom
+lists over Bound/Unbound terms); the natural public query language for
+that shape is the SPARQL BGP subset. This module parses it and compiles to
+the exact same plan machinery the rules run on (``matcher.bindings`` —
+filtered atom projections chained by shared-variable equi-joins, greedy
+connected join order, Catalyst picking physical strategies), so a SPARQL
+query is optimized identically to a rule body rather than through a
+second code path.
+
+Supported subset (documented contract, errors otherwise):
+
+  * ``PREFIX`` declarations and prefixed names; ``a`` == ``rdf:type``;
+  * ``SELECT [DISTINCT] ?v ... | *`` over one group pattern;
+  * triple blocks with ``;`` (shared subject) and ``,`` (shared object
+    list) separators; terms: ``<iri>``, ``prefix:local``, ``"literal"``
+    (with ``\\ \" \n \r \t`` escapes), ``?var`` / ``$var``;
+  * ``GRAPH ?g { ... }`` / ``GRAPH <iri> { ... }`` — the 4th quad slot;
+    patterns outside GRAPH match the engine's default graph
+    (``rdf.DEFAULT_GRAPH``);
+  * ``FILTER`` with comparisons ``= != < <= > >=`` between variables and
+    constants, combined with ``&&`` (string comparison semantics — the
+    engine's term space is opaque strings, reference src/common.rs);
+  * ``ORDER BY [ASC|DESC](?v)``, ``LIMIT n``, ``OFFSET n``.
+
+Not supported (raise ``SparqlParseError``): OPTIONAL, UNION, property
+paths, subqueries, aggregates, blank-node syntax, numeric-typed
+comparisons. These are feature gaps of the subset, not silent
+approximations.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .errors import RifyError
+from .matcher import bindings
+from .rdf import DEFAULT_GRAPH
+from .rules import LoweredRule
+
+RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+
+
+class SparqlParseError(RifyError):
+    """Query text outside the supported SPARQL subset."""
+
+
+_TOKEN_RE = re.compile(
+    r"""
+      (?P<ws>\s+|\#[^\n]*)
+    | (?P<iri><[^<>\s]*>)
+    | (?P<string>"(?:[^"\\]|\\.)*")
+    | (?P<var>[?$][A-Za-z_][A-Za-z0-9_]*)
+    | (?P<pname>(?:[A-Za-z_][A-Za-z0-9_-]*)?:[A-Za-z0-9_.-]*)
+    | (?P<kw>[A-Za-z_][A-Za-z0-9_]*)
+    | (?P<num>[0-9]+)
+    | (?P<op><=|>=|!=|&&|\|\||[{}.;,()=<>*:])
+    """,
+    re.VERBOSE,
+)
+
+_UNESC = {"\\\\": "\\", '\\"': '"', "\\n": "\n", "\\r": "\r", "\\t": "\t"}
+
+
+def _tokenize(text: str) -> list:
+    out, pos = [], 0
+    while pos < len(text):
+        m = _TOKEN_RE.match(text, pos)
+        if not m:
+            raise SparqlParseError(
+                f"unexpected character {text[pos]!r} at offset {pos}"
+            )
+        pos = m.end()
+        kind = m.lastgroup
+        if kind == "ws":
+            continue
+        out.append((kind, m.group()))
+    out.append(("eof", ""))
+    return out
+
+
+@dataclass(frozen=True)
+class Var:
+    name: str
+
+
+@dataclass(frozen=True)
+class Const:
+    value: str
+
+
+class _Parser:
+    def __init__(self, text: str):
+        self.toks = _tokenize(text)
+        self.i = 0
+        self.prefixes: dict = {}
+        self.patterns: list = []  # (s, p, o, g) of Var/Const
+        self.filters: list = []  # (op, lhs, rhs)
+        self.select: list | None = None  # None == SELECT *
+        self.distinct = False
+        self.order: list = []  # (Var, descending)
+        self.limit: int | None = None
+        self.offset: int | None = None
+
+    # --- token helpers ---
+    def peek(self):
+        return self.toks[self.i]
+
+    def next(self):
+        t = self.toks[self.i]
+        self.i += 1
+        return t
+
+    def expect(self, value):
+        kind, tok = self.next()
+        if tok.upper() != value.upper():
+            raise SparqlParseError(f"expected {value!r}, got {tok!r}")
+        return tok
+
+    def kw(self, word) -> bool:
+        kind, tok = self.peek()
+        if kind == "kw" and tok.upper() == word:
+            self.next()
+            return True
+        return False
+
+    # --- terms ---
+    def term(self, *, as_pred=False):
+        kind, tok = self.next()
+        if kind == "var":
+            return Var(tok[1:])
+        if kind == "iri":
+            return Const(tok[1:-1])
+        if kind == "string":
+            if as_pred:
+                raise SparqlParseError("literal in predicate position")
+            val = tok[1:-1]
+            val = re.sub(
+                r"\\.", lambda m: _UNESC.get(m.group(), m.group()), val
+            )
+            return Const(val)
+        if kind == "pname":
+            pfx, local = tok.split(":", 1)
+            if pfx not in self.prefixes:
+                raise SparqlParseError(f"undeclared prefix {pfx!r}")
+            return Const(self.prefixes[pfx] + local)
+        if kind == "kw" and tok == "a":
+            return Const(RDF_TYPE)
+        raise SparqlParseError(f"expected term, got {tok!r}")
+
+    # --- grammar ---
+    def parse(self):
+        while self.kw("PREFIX"):
+            kind, tok = self.next()
+            if kind == "pname" and tok.endswith(":"):
+                name = tok[:-1]
+            elif kind == "op" and tok == ":":
+                name = ""
+            else:
+                raise SparqlParseError(f"bad prefix name {tok!r}")
+            kind, iri = self.next()
+            if kind != "iri":
+                raise SparqlParseError("PREFIX needs an <iri>")
+            self.prefixes[name] = iri[1:-1]
+        if not self.kw("SELECT"):
+            raise SparqlParseError("only SELECT queries are supported")
+        self.distinct = self.kw("DISTINCT")
+        kind, tok = self.peek()
+        if kind == "op" and tok == "*":
+            self.next()
+            self.select = None
+        else:
+            self.select = []
+            while self.peek()[0] == "var":
+                self.select.append(self.next()[1][1:])
+            if not self.select:
+                raise SparqlParseError("SELECT needs ?vars or *")
+        self.kw("WHERE")
+        self.group(Const(DEFAULT_GRAPH))
+        self.modifiers()
+        if self.peek()[0] != "eof":
+            raise SparqlParseError(
+                f"trailing input at {self.peek()[1]!r}"
+            )
+        return self
+
+    def group(self, graph):
+        self.expect("{")
+        while True:
+            kind, tok = self.peek()
+            if kind == "op" and tok == "}":
+                self.next()
+                return
+            if kind == "kw" and tok.upper() == "GRAPH":
+                self.next()
+                g = self.term()
+                if isinstance(g, Const) and not g.value:
+                    raise SparqlParseError("empty GRAPH iri")
+                self.group(g)
+            elif kind == "kw" and tok.upper() == "FILTER":
+                self.next()
+                self.filter_expr()
+            else:
+                self.triples_block(graph)
+
+    def triples_block(self, graph):
+        s = self.term()
+        while True:
+            p = self.term(as_pred=True)
+            while True:
+                o = self.term()
+                self.patterns.append((s, p, o, graph))
+                kind, tok = self.peek()
+                if kind == "op" and tok == ",":
+                    self.next()
+                    continue
+                break
+            kind, tok = self.peek()
+            if kind == "op" and tok == ";":
+                self.next()
+                # allow trailing ';' before '}' or '.'
+                k2, t2 = self.peek()
+                if k2 == "op" and t2 in "}.":
+                    break
+                continue
+            break
+        kind, tok = self.peek()
+        if kind == "op" and tok == ".":
+            self.next()
+
+    _OPS = {"=", "!=", "<", "<=", ">", ">="}
+
+    def filter_expr(self):
+        self.expect("(")
+        while True:
+            lhs = self.term()
+            kind, op = self.next()
+            if op not in self._OPS:
+                raise SparqlParseError(f"unsupported FILTER operator {op!r}")
+            rhs = self.term()
+            self.filters.append((op, lhs, rhs))
+            kind, tok = self.peek()
+            if kind == "op" and tok == "&&":
+                self.next()
+                continue
+            break
+        self.expect(")")
+
+    def modifiers(self):
+        if self.kw("ORDER"):
+            self.expect("BY")
+            while True:
+                kind, tok = self.peek()
+                desc = False
+                if kind == "kw" and tok.upper() in ("ASC", "DESC"):
+                    desc = tok.upper() == "DESC"
+                    self.next()
+                    self.expect("(")
+                    v = self.term()
+                    self.expect(")")
+                elif kind == "var":
+                    v = self.term()
+                else:
+                    break
+                if not isinstance(v, Var):
+                    raise SparqlParseError("ORDER BY needs a variable")
+                self.order.append((v, desc))
+            if not self.order:
+                raise SparqlParseError("ORDER BY needs a variable")
+        if self.kw("LIMIT"):
+            kind, tok = self.next()
+            if kind != "num":
+                raise SparqlParseError("LIMIT needs an integer")
+            self.limit = int(tok)
+        if self.kw("OFFSET"):
+            kind, tok = self.next()
+            if kind != "num":
+                raise SparqlParseError("OFFSET needs an integer")
+            self.offset = int(tok)
+
+
+def parse_select(text: str) -> _Parser:
+    return _Parser(text).parse()
+
+
+def _compile(q: _Parser) -> tuple[LoweredRule, list]:
+    """BGP -> a LoweredRule body in the matcher's slot form (variables
+    numbered by first appearance, constants kept in string space)."""
+    if not q.patterns:
+        raise SparqlParseError("empty graph pattern")
+    slots: dict = {}
+    body = []
+    for quad in q.patterns:
+        atom = []
+        for t in quad:
+            if isinstance(t, Var):
+                atom.append(("v", slots.setdefault(t.name, len(slots))))
+            else:
+                atom.append(("c", t.value))
+        body.append(atom)
+    names = [n for n, _ in sorted(slots.items(), key=lambda kv: kv[1])]
+    lrule = LoweredRule(
+        index=0, body=body, head=[], n_vars=len(slots), canon_vars=names
+    )
+    return lrule, names
+
+
+def sparql_select(quads: DataFrame, query: str) -> DataFrame:
+    """Run a SPARQL SELECT over a decoded ``(s, p, o, g)`` quad DataFrame.
+
+    The BGP goes through :func:`rify_spark.matcher.bindings` — the same
+    join-chain compiler the rule engine uses, so join order, constant-slot
+    pushdown and skew handling are shared. Result columns are the selected
+    variable names.
+    """
+    q = parse_select(query)
+    lrule, names = _compile(q)
+    df = bindings(quads.select("s", "p", "o", "g"), lrule)
+    df = df.select(
+        *[F.col(f"v{i}").alias(n) for i, n in enumerate(names)]
+    )
+
+    def _fcol(t):
+        return F.col(t.name) if isinstance(t, Var) else F.lit(t.value)
+
+    for v in [t for op, a, b in q.filters for t in (a, b)]:
+        if isinstance(v, Var) and v.name not in names:
+            raise SparqlParseError(
+                f"FILTER variable ?{v.name} not bound in the pattern"
+            )
+    for op, a, b in q.filters:
+        la, lb = _fcol(a), _fcol(b)
+        cond = {
+            "=": la == lb, "!=": la != lb, "<": la < lb,
+            "<=": la <= lb, ">": la > lb, ">=": la >= lb,
+        }[op]
+        df = df.filter(cond)
+
+    if q.select is not None:
+        missing = [v for v in q.select if v not in names]
+        if missing:
+            raise SparqlParseError(
+                f"selected variables not in pattern: {missing}"
+            )
+        df = df.select(*q.select)
+    if q.distinct:
+        df = df.distinct()
+    for v, desc in q.order:
+        if v.name not in (q.select if q.select is not None else names):
+            raise SparqlParseError(
+                f"ORDER BY ?{v.name} must be a selected variable"
+            )
+    if q.order:
+        df = df.orderBy(
+            *[
+                F.col(v.name).desc() if desc else F.col(v.name).asc()
+                for v, desc in q.order
+            ]
+        )
+    if q.offset:
+        df = df.offset(q.offset)
+    if q.limit is not None:
+        df = df.limit(q.limit)
+    return df
+
+
+# --- driver-gate queries + DuckDB oracles -----------------------------------
+
+# two-hop BGP over the TPC-H quad graph with a GRAPH clause and a filter
+GATE_BGP = """
+  PREFIX ex: <>
+  SELECT ?order ?nation WHERE {
+    GRAPH <graph://tpch> {
+      ?order ex:placed_by ?cust .
+      ?cust ex:in_nation ?nation
+    }
+    FILTER (?nation != "nation:0")
+  }
+"""
+
+# modifiers: shared-subject ';' block, DISTINCT, ORDER BY + LIMIT
+GATE_MODIFIERS = """
+  SELECT DISTINCT ?cust ?nation WHERE {
+    GRAPH <graph://tpch> {
+      ?cust <in_nation> ?nation ; <in_nation> ?nation2 .
+    }
+    FILTER (?nation = ?nation2 && ?cust < "cust:2")
+  }
+  ORDER BY DESC(?cust) LIMIT 500
+"""
+
+
+def sparql_bgp(spark, sf_dir: str) -> DataFrame:
+    from .ops.quads import tpch_quads
+
+    return sparql_select(tpch_quads(spark, sf_dir), GATE_BGP)
+
+
+def sparql_bgp_sql() -> str:
+    return """
+      SELECT 'order:' || o.o_orderkey AS "order",
+             'nation:' || c.c_nationkey AS nation
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      WHERE c.c_nationkey <> 0
+    """
+
+
+def sparql_modifiers(spark, sf_dir: str) -> DataFrame:
+    from .ops.quads import tpch_quads
+
+    return sparql_select(tpch_quads(spark, sf_dir), GATE_MODIFIERS)
+
+
+def sparql_modifiers_sql() -> str:
+    # the string inequality and DESC order are on the 'cust:N' lexeme, so
+    # the oracle compares/orders the same concatenated strings
+    return """
+      SELECT DISTINCT 'cust:' || c_custkey AS cust,
+             'nation:' || c_nationkey AS nation
+      FROM customer
+      WHERE 'cust:' || c_custkey < 'cust:2'
+      ORDER BY cust DESC LIMIT 500
+    """

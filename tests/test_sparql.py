@@ -1,0 +1,154 @@
+"""SPARQL SELECT subset: parser, compilation onto the matcher, modifiers,
+and the documented error contract."""
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from rify_spark.sparql import (  # noqa: E402
+    RDF_TYPE,
+    SparqlParseError,
+    parse_select,
+    sparql_select,
+)
+
+QUADS = [
+    ("a", "knows", "b", "g1"),
+    ("b", "knows", "c", "g1"),
+    ("c", "knows", "a", "g2"),
+    ("a", RDF_TYPE, "Person", "default_graph"),
+    ("b", RDF_TYPE, "Person", "default_graph"),
+    ("a", "age", "3", "default_graph"),
+]
+
+
+@pytest.fixture(scope="module")
+def quads(spark):
+    return spark.createDataFrame(
+        QUADS, "s string, p string, o string, g string"
+    )
+
+
+def _run(quads_df, q):
+    return sorted(tuple(r) for r in sparql_select(quads_df, q).collect())
+
+
+def test_two_hop_bgp_scoped_to_graph(quads):
+    got = _run(
+        quads,
+        "SELECT ?x ?z WHERE { GRAPH <g1> { ?x <knows> ?y . ?y <knows> ?z } }",
+    )
+    assert got == [("a", "c")]
+
+
+def test_default_graph_outside_graph_clause(quads):
+    # patterns outside GRAPH match only the engine default graph
+    got = _run(quads, 'SELECT ?x WHERE { ?x <knows> ?y }')
+    assert got == []
+
+
+def test_graph_variable_binds(quads):
+    got = _run(
+        quads, "SELECT ?g WHERE { GRAPH ?g { ?x <knows> ?y } }"
+    )
+    assert got == [("g1",), ("g1",), ("g2",)]
+
+
+def test_a_keyword_and_prefix_expansion(quads):
+    q = """
+      PREFIX foaf: <Per>
+      SELECT ?x WHERE { ?x a foaf:son }
+    """
+    assert _run(quads, q) == [("a",), ("b",)]
+
+
+def test_semicolon_comma_lists(quads):
+    q = 'SELECT ?x WHERE { ?x a "Person" ; <age> "3" , "3" }'
+    assert _run(quads, q) == [("a",)]
+
+
+def test_filter_and_literal_object(quads):
+    q = 'SELECT ?x WHERE { ?x a ?t FILTER (?t = "Person" && ?x != "a") }'
+    assert _run(quads, q) == [("b",)]
+
+
+def test_select_star_and_distinct(quads):
+    q = "SELECT * WHERE { GRAPH ?g { ?x <knows> ?y } }"
+    rows = _run(quads, q)
+    assert len(rows) == 3 and len(rows[0]) == 3
+    q = "SELECT DISTINCT ?t WHERE { ?x a ?t }"
+    assert _run(quads, q) == [("Person",)]
+
+
+def test_order_limit_offset(quads):
+    q = ("SELECT ?x WHERE { GRAPH ?g { ?x <knows> ?y } } "
+         "ORDER BY DESC(?x) LIMIT 2 OFFSET 1")
+    got = [r.x for r in sparql_select(
+        quads.sparkSession.createDataFrame(
+            QUADS, "s string, p string, o string, g string"
+        ), q
+    ).collect()]
+    assert got == ["b", "a"]
+
+
+def test_existence_gate_constant_pattern(quads):
+    # an all-constant pattern acts as an EXISTS gate on the rest
+    q = ('SELECT ?x WHERE { GRAPH <g1> { <a> <knows> <b> . '
+         '?x <knows> ?y } }')
+    assert len(_run(quads, q)) == 2
+    q = ('SELECT ?x WHERE { GRAPH <g1> { <a> <knows> <zzz> . '
+         '?x <knows> ?y } }')
+    assert _run(quads, q) == []
+
+
+def test_literal_escapes_in_query(spark):
+    df = spark.createDataFrame(
+        [("s", "p", 'tab\tquote"', "default_graph")],
+        "s string, p string, o string, g string",
+    )
+    got = _run(df, r'SELECT ?x WHERE { ?x <p> "tab\tquote\"" }')
+    assert got == [("s",)]
+
+
+@pytest.mark.parametrize(
+    "bad",
+    [
+        "ASK { ?x ?y ?z }",  # not SELECT
+        "SELECT ?x WHERE { }",  # empty pattern
+        "SELECT ?x WHERE { ?x foo:bar ?y }",  # undeclared prefix
+        "SELECT ?q WHERE { ?x <p> ?y }",  # unbound selected var
+        'SELECT ?x WHERE { ?x "lit" ?y }',  # literal predicate
+        "SELECT ?x WHERE { ?x <p> ?y } ORDER BY ?y",  # order on unselected
+        "SELECT ?x WHERE { ?x <p> ?y FILTER (?z = ?x) }",  # unbound filter var
+        "SELECT ?x WHERE { OPTIONAL { ?x <p> ?y } }",  # unsupported feature
+        "SELECT ?x WHERE { ?x <p> ?y } LIMIT ?x",  # bad LIMIT
+    ],
+)
+def test_rejects_out_of_subset(quads, bad):
+    with pytest.raises(SparqlParseError):
+        sparql_select(quads, bad)
+
+
+def test_parser_roundtrip_structure():
+    q = parse_select(
+        "PREFIX : <base/> SELECT DISTINCT ?x WHERE "
+        "{ GRAPH <g> { ?x :p :o } } LIMIT 7"
+    )
+    assert q.distinct and q.limit == 7 and q.select == ["x"]
+    (s, p, o, g), = q.patterns
+    assert (p.value, o.value, g.value) == ("base/p", "base/o", "g")
+
+
+def test_compiles_to_matcher_join_plan(quads):
+    """The BGP runs through matcher.bindings: the plan is equi-joins with
+    pushed constant filters, no python, no cartesian."""
+    df = sparql_select(
+        quads,
+        "SELECT ?x ?z WHERE { GRAPH <g1> { ?x <knows> ?y . ?y <knows> ?z } }",
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
