@@ -483,6 +483,12 @@ def _q_sparql_modifiers(spark, sf_dir):
     return sparql_modifiers(spark, sf_dir)
 
 
+def _q_sparql_construct(spark, sf_dir):
+    from rify_spark.sparql import sparql_construct_gate
+
+    return sparql_construct_gate(spark, sf_dir)
+
+
 def _q_rdf_parse(spark, sf_dir):
     from rify_spark.rdf import rdf_nquads_parse
 
@@ -567,6 +573,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ORDER BY/LIMIT modifiers
         "sparql_bgp": _q_sparql_bgp,
         "sparql_modifiers": _q_sparql_modifiers,
+        # CONSTRUCT = one-shot rule application (template instantiated by
+        # the fixpoint's own head projection) into a named graph
+        "sparql_construct": _q_sparql_construct,
         # KG construction
         "kg_extract_mentions": _q_kg_mentions,
         "kg_pipeline_derived": _q_kg_pipeline,
@@ -713,6 +722,7 @@ def oracle_sql() -> dict[str, str]:
         "rdf_nquads_roundtrip": _rdf_roundtrip_sql(),
         "sparql_bgp": _sparql_sql("sparql_bgp_sql"),
         "sparql_modifiers": _sparql_sql("sparql_modifiers_sql"),
+        "sparql_construct": _sparql_sql("sparql_construct_sql"),
         "kg_pipeline_derived": KG_PIPELINE_SQL,
         "kg_extract_mentions": """
             SELECT DISTINCT doc_id, tok AS mention FROM (

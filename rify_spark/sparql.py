@@ -13,7 +13,13 @@ second code path.
 Supported subset (documented contract, errors otherwise):
 
   * ``PREFIX`` declarations and prefixed names; ``a`` == ``rdf:type``;
-  * ``SELECT [DISTINCT] ?v ... | *`` over one group pattern;
+  * ``SELECT [DISTINCT] ?v ... | *`` over one group pattern; ``ASK``
+    (existence, a 1-row boolean); ``CONSTRUCT { template } WHERE { ... }``
+    — the template instantiates through the SAME head-projection the rule
+    engine uses (``matcher.project_heads``), so a CONSTRUCT is literally a
+    one-shot rule application; ``GRAPH`` blocks are allowed in the
+    template (an extension — the engine's quads are graph-scoped,
+    src/common.rs), defaulting to the default graph;
   * triple blocks with ``;`` (shared subject) and ``,`` (shared object
     list) separators; terms: ``<iri>``, ``prefix:local``, ``"literal"``
     (with ``\\ \" \n \r \t`` escapes), ``?var`` / ``$var``;
@@ -100,7 +106,9 @@ class _Parser:
         self.toks = _tokenize(text)
         self.i = 0
         self.prefixes: dict = {}
+        self.form = "SELECT"  # SELECT | ASK | CONSTRUCT
         self.patterns: list = []  # (s, p, o, g) of Var/Const
+        self.template: list = []  # CONSTRUCT head quads
         self.filters: list = []  # (op, lhs, rhs)
         self.select: list | None = None  # None == SELECT *
         self.distinct = False
@@ -168,29 +176,45 @@ class _Parser:
             if kind != "iri":
                 raise SparqlParseError("PREFIX needs an <iri>")
             self.prefixes[name] = iri[1:-1]
-        if not self.kw("SELECT"):
-            raise SparqlParseError("only SELECT queries are supported")
-        self.distinct = self.kw("DISTINCT")
-        kind, tok = self.peek()
-        if kind == "op" and tok == "*":
-            self.next()
-            self.select = None
+        if self.kw("SELECT"):
+            self.form = "SELECT"
+            self.distinct = self.kw("DISTINCT")
+            kind, tok = self.peek()
+            if kind == "op" and tok == "*":
+                self.next()
+                self.select = None
+            else:
+                self.select = []
+                while self.peek()[0] == "var":
+                    self.select.append(self.next()[1][1:])
+                if not self.select:
+                    raise SparqlParseError("SELECT needs ?vars or *")
+            self.kw("WHERE")
+            self.group(Const(DEFAULT_GRAPH))
+            self.modifiers()
+        elif self.kw("ASK"):
+            self.form = "ASK"
+            self.group(Const(DEFAULT_GRAPH))
+        elif self.kw("CONSTRUCT"):
+            self.form = "CONSTRUCT"
+            self.group(
+                Const(DEFAULT_GRAPH), into=self.template, allow_filter=False
+            )
+            if not self.kw("WHERE"):
+                raise SparqlParseError("CONSTRUCT needs a WHERE pattern")
+            self.group(Const(DEFAULT_GRAPH))
         else:
-            self.select = []
-            while self.peek()[0] == "var":
-                self.select.append(self.next()[1][1:])
-            if not self.select:
-                raise SparqlParseError("SELECT needs ?vars or *")
-        self.kw("WHERE")
-        self.group(Const(DEFAULT_GRAPH))
-        self.modifiers()
+            raise SparqlParseError(
+                "only SELECT / ASK / CONSTRUCT queries are supported"
+            )
         if self.peek()[0] != "eof":
             raise SparqlParseError(
                 f"trailing input at {self.peek()[1]!r}"
             )
         return self
 
-    def group(self, graph):
+    def group(self, graph, into=None, allow_filter=True):
+        into = self.patterns if into is None else into
         self.expect("{")
         while True:
             kind, tok = self.peek()
@@ -202,20 +226,24 @@ class _Parser:
                 g = self.term()
                 if isinstance(g, Const) and not g.value:
                     raise SparqlParseError("empty GRAPH iri")
-                self.group(g)
+                self.group(g, into=into, allow_filter=allow_filter)
             elif kind == "kw" and tok.upper() == "FILTER":
+                if not allow_filter:
+                    raise SparqlParseError(
+                        "FILTER not allowed in a CONSTRUCT template"
+                    )
                 self.next()
                 self.filter_expr()
             else:
-                self.triples_block(graph)
+                self.triples_block(graph, into)
 
-    def triples_block(self, graph):
+    def triples_block(self, graph, into):
         s = self.term()
         while True:
             p = self.term(as_pred=True)
             while True:
                 o = self.term()
-                self.patterns.append((s, p, o, graph))
+                into.append((s, p, o, graph))
                 kind, tok = self.peek()
                 if kind == "op" and tok == ",":
                     self.next()
@@ -304,9 +332,24 @@ def _compile(q: _Parser) -> tuple[LoweredRule, list]:
             else:
                 atom.append(("c", t.value))
         body.append(atom)
+    head = []
+    for quad in q.template:
+        atom = []
+        for t in quad:
+            if isinstance(t, Var):
+                if t.name not in slots:
+                    # range restriction, the analog of UnboundImplied
+                    # (rules.py / reference src/rule.rs:118-131)
+                    raise SparqlParseError(
+                        f"template variable ?{t.name} not bound in WHERE"
+                    )
+                atom.append(("v", slots[t.name]))
+            else:
+                atom.append(("c", t.value))
+        head.append(atom)
     names = [n for n, _ in sorted(slots.items(), key=lambda kv: kv[1])]
     lrule = LoweredRule(
-        index=0, body=body, head=[], n_vars=len(slots), canon_vars=names
+        index=0, body=body, head=head, n_vars=len(slots), canon_vars=names
     )
     return lrule, names
 
@@ -320,6 +363,10 @@ def sparql_select(quads: DataFrame, query: str) -> DataFrame:
     variable names.
     """
     q = parse_select(query)
+    if q.form != "SELECT":
+        raise SparqlParseError(
+            f"{q.form} query passed to sparql_select — use sparql_query"
+        )
     lrule, names = _compile(q)
     df = bindings(quads.select("s", "p", "o", "g"), lrule)
     df = df.select(
@@ -370,6 +417,56 @@ def sparql_select(quads: DataFrame, query: str) -> DataFrame:
     return df
 
 
+def sparql_ask(quads: DataFrame, query: str) -> DataFrame:
+    """ASK -> one row ``(ask: boolean)``: does the pattern have a match?
+    Executed as the bindings plan under LIMIT 1, so Spark stops at the
+    first satisfying row instead of materializing the binding set."""
+    q = parse_select(query)
+    if q.form != "ASK":
+        raise SparqlParseError("sparql_ask needs an ASK query")
+    lrule, _ = _compile(q)
+    found = bindings(quads.select("s", "p", "o", "g"), lrule).limit(1)
+    spark = quads.sparkSession
+    return spark.createDataFrame(
+        [(bool(found.take(1)),)], "ask boolean"
+    )
+
+
+def sparql_construct(quads: DataFrame, query: str) -> DataFrame:
+    """CONSTRUCT -> a deduplicated ``(s, p, o, g)`` quad DataFrame.
+
+    The template instantiates through :func:`matcher.project_heads` — the
+    same code path that materializes rule heads in the fixpoint — so a
+    CONSTRUCT is exactly a one-shot rule application over the store
+    (set semantics: duplicates collapse, as in ``Reasoner::insert``).
+    Template variables must be bound by the WHERE pattern (the range-
+    restriction check the rule validator applies, errors.UnboundImplied's
+    analog).
+    """
+    from .matcher import project_heads
+
+    q = parse_select(query)
+    if q.form != "CONSTRUCT":
+        raise SparqlParseError("sparql_construct needs a CONSTRUCT query")
+    if not q.template:
+        raise SparqlParseError("empty CONSTRUCT template")
+    lrule, names = _compile(q)
+    b = bindings(quads.select("s", "p", "o", "g"), lrule)
+    dtype = quads.schema["s"].dataType
+    return project_heads(b, lrule, dtype).dropDuplicates(["s", "p", "o", "g"])
+
+
+def sparql_query(quads: DataFrame, query: str) -> DataFrame:
+    """Dispatch on the query form: SELECT / ASK / CONSTRUCT."""
+    q = parse_select(query)
+    fn = {
+        "SELECT": sparql_select,
+        "ASK": sparql_ask,
+        "CONSTRUCT": sparql_construct,
+    }[q.form]
+    return fn(quads, query)
+
+
 # --- driver-gate queries + DuckDB oracles -----------------------------------
 
 # two-hop BGP over the TPC-H quad graph with a GRAPH clause and a filter
@@ -394,6 +491,36 @@ GATE_MODIFIERS = """
   }
   ORDER BY DESC(?cust) LIMIT 500
 """
+
+
+# CONSTRUCT as one-shot KG derivation: customer -> region shortcut edges
+# materialized into a named graph
+GATE_CONSTRUCT = """
+  CONSTRUCT {
+    GRAPH <graph://derived> { ?cust <located_in> ?region }
+  } WHERE {
+    GRAPH <graph://tpch> {
+      ?cust <in_nation> ?nation .
+      ?nation <in_region> ?region
+    }
+  }
+"""
+
+
+def sparql_construct_gate(spark, sf_dir: str) -> DataFrame:
+    from .ops.quads import tpch_quads
+
+    return sparql_construct(tpch_quads(spark, sf_dir), GATE_CONSTRUCT)
+
+
+def sparql_construct_sql() -> str:
+    return """
+      SELECT DISTINCT 'cust:' || c_custkey AS s,
+             'located_in' AS p,
+             'region:' || n_regionkey AS o,
+             'graph://derived' AS g
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+    """
 
 
 def sparql_bgp(spark, sf_dir: str) -> DataFrame:

@@ -116,7 +116,7 @@ def test_literal_escapes_in_query(spark):
 @pytest.mark.parametrize(
     "bad",
     [
-        "ASK { ?x ?y ?z }",  # not SELECT
+        "ASK { ?x ?y ?z }",  # wrong form for sparql_select
         "SELECT ?x WHERE { }",  # empty pattern
         "SELECT ?x WHERE { ?x foo:bar ?y }",  # undeclared prefix
         "SELECT ?q WHERE { ?x <p> ?y }",  # unbound selected var
@@ -152,3 +152,57 @@ def test_compiles_to_matcher_join_plan(quads):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_ask(quads):
+    from rify_spark.sparql import sparql_ask
+
+    yes = sparql_ask(quads, "ASK { GRAPH <g1> { <a> <knows> ?x } }").head()
+    no = sparql_ask(quads, "ASK { GRAPH <g1> { <c> <knows> ?x } }").head()
+    assert (yes.ask, no.ask) == (True, False)
+
+
+def test_construct_is_one_shot_rule_application(quads):
+    from rify_spark.sparql import sparql_construct
+
+    q = """
+      CONSTRUCT { GRAPH <closure> { ?x <reaches> ?z } }
+      WHERE { GRAPH <g1> { ?x <knows> ?y . ?y <knows> ?z } }
+    """
+    got = sorted(tuple(r) for r in sparql_construct(quads, q).collect())
+    assert got == [("a", "reaches", "c", "closure")]
+
+
+def test_construct_default_graph_and_constants(quads):
+    from rify_spark.sparql import sparql_construct
+
+    q = ('CONSTRUCT { ?t <seen> "yes" } WHERE { ?x a ?t }')
+    got = sorted(tuple(r) for r in sparql_construct(quads, q).collect())
+    # set semantics: two Person bindings collapse to one derived quad
+    assert got == [("Person", "seen", "yes", "default_graph")]
+
+
+def test_construct_unbound_template_var_rejected(quads):
+    from rify_spark.sparql import sparql_construct
+
+    with pytest.raises(SparqlParseError, match="not bound"):
+        sparql_construct(
+            quads, "CONSTRUCT { ?q <p> ?x } WHERE { ?x <knows> ?y }"
+        )
+    with pytest.raises(SparqlParseError, match="FILTER"):
+        sparql_construct(
+            quads,
+            'CONSTRUCT { ?x <p> ?x FILTER (?x = "a") } WHERE { ?x <knows> ?y }',
+        )
+
+
+def test_query_dispatch(quads):
+    from rify_spark.sparql import sparql_query
+
+    assert sparql_query(quads, "ASK { ?x a ?t }").head().ask is True
+    assert set(sparql_query(
+        quads, "SELECT ?t WHERE { ?x a ?t }"
+    ).columns) == {"t"}
+    assert set(sparql_query(
+        quads, "CONSTRUCT { ?x <p> ?t } WHERE { ?x a ?t }"
+    ).columns) == {"s", "p", "o", "g"}
