@@ -566,6 +566,50 @@ class IncrementalReasoner:
             writer = writer.trigger(availableNow=True)
         return writer.start()
 
+    def start_nquads_stream(
+        self,
+        source_dir: str,
+        checkpoint_dir: str,
+        available_now: bool = True,
+        on_malformed: str = "error",
+    ):
+        """Tail an N-Quads/N-Triples text feed (``rify_spark.rdf`` line
+        grammar) and maintain the closure incrementally.
+
+        ``on_malformed``: ``"error"`` fails the micro-batch (the batch
+        atomicity path rolls the live store back, so a poisoned file never
+        half-applies); ``"skip"`` drops bad lines and records the count in
+        ``self.nquads_malformed[batch_id]`` (quarantine-by-metric — the
+        parsed flag is computed anyway, so this costs nothing extra).
+        """
+        if on_malformed not in ("error", "skip"):
+            raise ValueError("on_malformed must be 'error' or 'skip'")
+        if not hasattr(self, "nquads_malformed"):
+            self.nquads_malformed: dict = {}
+        from ..rdf import parse_nquads
+
+        def _batch(lines_df, batch_id):
+            parsed = parse_nquads(lines_df, line_col="value")
+            bad = parsed.filter(F.col("malformed")).count()
+            if bad and on_malformed == "error":
+                raise ValueError(
+                    f"batch {batch_id}: {bad} malformed N-Quads line(s)"
+                )
+            quads = parsed.filter(~F.col("malformed")).select(
+                "s", "p", "o", "g"
+            )
+            self.process_batch(quads, batch_id)
+            if bad:
+                self.nquads_malformed[batch_id] = bad
+
+        stream = self.spark.readStream.text(source_dir)
+        writer = stream.writeStream.foreachBatch(_batch).option(
+            "checkpointLocation", checkpoint_dir
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()
+
     def start_signed_file_stream(
         self,
         source_dir: str,

@@ -241,3 +241,62 @@ def test_cold_start_reseeds_width_from_first_batch(spark, tmp_path):
         assert ("n0", "anc", "n2", DG) not in s  # pairs are disconnected
     finally:
         inf.FactStore.__init__ = orig
+
+
+def _write_nq_file(src, name, lines):
+    os.makedirs(src, exist_ok=True)
+    with open(os.path.join(src, name), "w") as f:
+        f.write("\n".join(lines) + "\n")
+
+
+def test_nquads_stream_maintains_closure(spark, tmp_path):
+    """Tailing an N-Quads text feed keeps the closure current: the line
+    grammar (escapes, comments) feeds the same incremental path as the
+    parquet source, and cross-batch joins still fire."""
+    src = str(tmp_path / "nq")
+    store = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+
+    r = IncrementalReasoner(spark, _rules(), store)
+    _write_nq_file(src, "b1.nq", [
+        "# feed header comment",
+        f"<a> <parent> <b> <{DG}> .",
+    ])
+    q = r.start_nquads_stream(src, ckpt)
+    q.awaitTermination(120)
+    assert ("a", "anc", "b", DG) in _store_set(r)
+
+    _write_nq_file(src, "b2.nq", [f"<b> <parent> <c> <{DG}> ."])
+    q = r.start_nquads_stream(src, ckpt)
+    q.awaitTermination(120)
+    s = _store_set(r)
+    assert ("a", "anc", "c", DG) in s  # old facts ⋈ new delta
+    assert len(s) == 5
+
+
+def test_nquads_stream_malformed_policies(spark, tmp_path):
+    src = str(tmp_path / "nq")
+    ckpt1 = str(tmp_path / "ckpt1")
+    _write_nq_file(src, "b1.nq", [
+        f"<a> <parent> <b> <{DG}> .",
+        "this line is garbage",
+    ])
+
+    # error policy: the batch fails and the store stays empty (rollback)
+    r1 = IncrementalReasoner(spark, _rules(), str(tmp_path / "s1"))
+    q = r1.start_nquads_stream(src, ckpt1, on_malformed="error")
+    with pytest.raises(Exception, match="malformed"):
+        q.awaitTermination(120)
+    assert r1.facts().count() == 0
+
+    # skip policy: good line applies, bad line counted
+    r2 = IncrementalReasoner(spark, _rules(), str(tmp_path / "s2"))
+    q = r2.start_nquads_stream(
+        src, str(tmp_path / "ckpt2"), on_malformed="skip"
+    )
+    q.awaitTermination(120)
+    assert ("a", "anc", "b", DG) in _store_set(r2)
+    assert sum(r2.nquads_malformed.values()) == 1
+
+    with pytest.raises(ValueError, match="on_malformed"):
+        r2.start_nquads_stream(src, ckpt1, on_malformed="quarantine")
