@@ -489,6 +489,18 @@ def _q_sparql_construct(spark, sf_dir):
     return sparql_construct_gate(spark, sf_dir)
 
 
+def _q_sparql_optional(spark, sf_dir):
+    from rify_spark.sparql import sparql_optional_gate
+
+    return sparql_optional_gate(spark, sf_dir)
+
+
+def _q_sparql_union(spark, sf_dir):
+    from rify_spark.sparql import sparql_union_gate
+
+    return sparql_union_gate(spark, sf_dir)
+
+
 def _q_rdf_parse(spark, sf_dir):
     from rify_spark.rdf import rdf_nquads_parse
 
@@ -576,6 +588,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # CONSTRUCT = one-shot rule application (template instantiated by
         # the fixpoint's own head projection) into a named graph
         "sparql_construct": _q_sparql_construct,
+        # group algebra: OPTIONAL (left join) and UNION (padded bag union)
+        "sparql_optional": _q_sparql_optional,
+        "sparql_union": _q_sparql_union,
         # KG construction
         "kg_extract_mentions": _q_kg_mentions,
         "kg_pipeline_derived": _q_kg_pipeline,
@@ -723,6 +738,8 @@ def oracle_sql() -> dict[str, str]:
         "sparql_bgp": _sparql_sql("sparql_bgp_sql"),
         "sparql_modifiers": _sparql_sql("sparql_modifiers_sql"),
         "sparql_construct": _sparql_sql("sparql_construct_sql"),
+        "sparql_optional": _sparql_sql("sparql_optional_sql"),
+        "sparql_union": _sparql_sql("sparql_union_sql"),
         "kg_pipeline_derived": KG_PIPELINE_SQL,
         "kg_extract_mentions": """
             SELECT DISTINCT doc_id, tok AS mention FROM (

@@ -28,13 +28,28 @@ Supported subset (documented contract, errors otherwise):
     (``rdf.DEFAULT_GRAPH``);
   * ``FILTER`` with comparisons ``= != < <= > >=`` between variables and
     constants, combined with ``&&`` (string comparison semantics — the
-    engine's term space is opaque strings, reference src/common.rs);
+    engine's term space is opaque strings, reference src/common.rs); a
+    FILTER scopes to the group it appears in, and a comparison on an
+    unbound (OPTIONAL-missing) value excludes the row — SPARQL's
+    error-semantics, which is exactly Spark's null-comparison behavior;
+  * ``OPTIONAL { ... }`` — a left join on the shared variables (must
+    share at least one always-bound variable with the preceding part of
+    its group);
+  * ``{ ... } UNION { ... }`` — branch solutions padded to the union of
+    their variables (missing vars null/unbound) and unioned;
+  * nested ``{ }`` groups; each contiguous triple block compiles through
+    ``matcher.bindings`` as ONE join chain, and group elements combine
+    with DataFrame joins;
   * ``ORDER BY [ASC|DESC](?v)``, ``LIMIT n``, ``OFFSET n``.
 
-Not supported (raise ``SparqlParseError``): OPTIONAL, UNION, property
+Subset restriction (raises rather than silently approximating): a
+variable that can be UNBOUND (introduced under OPTIONAL, or missing from
+some UNION branch) may appear in FILTERs and in SELECT, but not as a
+later join key between group elements and not in a CONSTRUCT template —
+SPARQL's unbound-compatible join semantics is the one piece of the
+algebra this compiler does not implement. Also not supported: property
 paths, subqueries, aggregates, blank-node syntax, numeric-typed
-comparisons. These are feature gaps of the subset, not silent
-approximations.
+comparisons.
 """
 
 from __future__ import annotations
@@ -101,20 +116,70 @@ class Const:
     value: str
 
 
+# --- group-graph-pattern AST ------------------------------------------------
+
+@dataclass
+class Bgp:
+    """A contiguous basic graph pattern: compiled as ONE matcher join
+    chain (GRAPH blocks containing only triples merge into the enclosing
+    Bgp — graph scoping lives in each quad's 4th term)."""
+
+    patterns: list  # (s, p, o, g) of Var/Const
+
+
+@dataclass
+class Opt:
+    node: "Group"  # OPTIONAL { ... } -> left join
+
+
+@dataclass
+class UnionNode:
+    branches: list  # list[Group] -> padded unionByName
+
+
+@dataclass
+class Group:
+    elems: list  # Bgp | Group | Opt | UnionNode, joined in order
+    filters: list  # (op, lhs, rhs), applied after this group's joins
+
+
+def _walk_patterns(node) -> list:
+    out = []
+    for e in node.elems:
+        if isinstance(e, Bgp):
+            out.extend(e.patterns)
+        elif isinstance(e, Opt):
+            out.extend(_walk_patterns(e.node))
+        elif isinstance(e, UnionNode):
+            for b in e.branches:
+                out.extend(_walk_patterns(b))
+        else:
+            out.extend(_walk_patterns(e))
+    return out
+
+
 class _Parser:
     def __init__(self, text: str):
         self.toks = _tokenize(text)
         self.i = 0
         self.prefixes: dict = {}
         self.form = "SELECT"  # SELECT | ASK | CONSTRUCT
-        self.patterns: list = []  # (s, p, o, g) of Var/Const
+        self.root: Group | None = None  # the WHERE group
         self.template: list = []  # CONSTRUCT head quads
-        self.filters: list = []  # (op, lhs, rhs)
         self.select: list | None = None  # None == SELECT *
         self.distinct = False
         self.order: list = []  # (Var, descending)
         self.limit: int | None = None
         self.offset: int | None = None
+
+    @property
+    def patterns(self) -> list:
+        """All quad patterns in syntactic order (flattened tree view)."""
+        return _walk_patterns(self.root) if self.root else []
+
+    @property
+    def filters(self) -> list:
+        return self.root.filters if self.root else []
 
     # --- token helpers ---
     def peek(self):
@@ -190,19 +255,26 @@ class _Parser:
                 if not self.select:
                     raise SparqlParseError("SELECT needs ?vars or *")
             self.kw("WHERE")
-            self.group(Const(DEFAULT_GRAPH))
+            self.root = self.group_node(Const(DEFAULT_GRAPH))
             self.modifiers()
         elif self.kw("ASK"):
             self.form = "ASK"
-            self.group(Const(DEFAULT_GRAPH))
+            self.root = self.group_node(Const(DEFAULT_GRAPH))
         elif self.kw("CONSTRUCT"):
             self.form = "CONSTRUCT"
-            self.group(
-                Const(DEFAULT_GRAPH), into=self.template, allow_filter=False
+            tmpl = self.group_node(
+                Const(DEFAULT_GRAPH), allow_filter=False
             )
+            if tmpl.filters or any(
+                not isinstance(e, Bgp) for e in tmpl.elems
+            ):
+                raise SparqlParseError(
+                    "CONSTRUCT template must be plain triples"
+                )
+            self.template = [p for e in tmpl.elems for p in e.patterns]
             if not self.kw("WHERE"):
                 raise SparqlParseError("CONSTRUCT needs a WHERE pattern")
-            self.group(Const(DEFAULT_GRAPH))
+            self.root = self.group_node(Const(DEFAULT_GRAPH))
         else:
             raise SparqlParseError(
                 "only SELECT / ASK / CONSTRUCT queries are supported"
@@ -213,29 +285,58 @@ class _Parser:
             )
         return self
 
-    def group(self, graph, into=None, allow_filter=True):
-        into = self.patterns if into is None else into
+    def group_node(self, graph, allow_filter=True) -> Group:
         self.expect("{")
+        node = Group([], [])
+
+        def bgp() -> Bgp:
+            if not node.elems or not isinstance(node.elems[-1], Bgp):
+                node.elems.append(Bgp([]))
+            return node.elems[-1]
+
         while True:
             kind, tok = self.peek()
             if kind == "op" and tok == "}":
                 self.next()
-                return
+                if not node.elems and not node.filters:
+                    raise SparqlParseError("empty graph pattern group")
+                return node
             if kind == "kw" and tok.upper() == "GRAPH":
                 self.next()
                 g = self.term()
                 if isinstance(g, Const) and not g.value:
                     raise SparqlParseError("empty GRAPH iri")
-                self.group(g, into=into, allow_filter=allow_filter)
+                sub = self.group_node(g, allow_filter=allow_filter)
+                if len(sub.elems) == 1 and isinstance(
+                    sub.elems[0], Bgp
+                ) and not sub.filters:
+                    # pure triples: keep them in the enclosing join chain
+                    bgp().patterns.extend(sub.elems[0].patterns)
+                else:
+                    node.elems.append(sub)
+            elif kind == "kw" and tok.upper() == "OPTIONAL":
+                self.next()
+                node.elems.append(Opt(self.group_node(graph)))
             elif kind == "kw" and tok.upper() == "FILTER":
                 if not allow_filter:
                     raise SparqlParseError(
                         "FILTER not allowed in a CONSTRUCT template"
                     )
                 self.next()
-                self.filter_expr()
+                self.filter_expr(node)
+            elif kind == "op" and tok == "{":
+                branches = [self.group_node(graph)]
+                while self.kw("UNION"):
+                    branches.append(self.group_node(graph))
+                node.elems.append(
+                    UnionNode(branches) if len(branches) > 1 else branches[0]
+                )
+                # an optional '.' may separate the group from what follows
+                k2, t2 = self.peek()
+                if k2 == "op" and t2 == ".":
+                    self.next()
             else:
-                self.triples_block(graph, into)
+                self.triples_block(graph, bgp().patterns)
 
     def triples_block(self, graph, into):
         s = self.term()
@@ -264,7 +365,7 @@ class _Parser:
 
     _OPS = {"=", "!=", "<", "<=", ">", ">="}
 
-    def filter_expr(self):
+    def filter_expr(self, node: Group):
         self.expect("(")
         while True:
             lhs = self.term()
@@ -272,7 +373,7 @@ class _Parser:
             if op not in self._OPS:
                 raise SparqlParseError(f"unsupported FILTER operator {op!r}")
             rhs = self.term()
-            self.filters.append((op, lhs, rhs))
+            node.filters.append((op, lhs, rhs))
             kind, tok = self.peek()
             if kind == "op" and tok == "&&":
                 self.next()
@@ -317,14 +418,12 @@ def parse_select(text: str) -> _Parser:
     return _Parser(text).parse()
 
 
-def _compile(q: _Parser) -> tuple[LoweredRule, list]:
-    """BGP -> a LoweredRule body in the matcher's slot form (variables
-    numbered by first appearance, constants kept in string space)."""
-    if not q.patterns:
-        raise SparqlParseError("empty graph pattern")
+def _compile_bgp(patterns: list) -> tuple[LoweredRule, list]:
+    """One BGP -> a LoweredRule body in the matcher's slot form
+    (variables numbered by first appearance, constants in string space)."""
     slots: dict = {}
     body = []
-    for quad in q.patterns:
+    for quad in patterns:
         atom = []
         for t in quad:
             if isinstance(t, Var):
@@ -332,70 +431,167 @@ def _compile(q: _Parser) -> tuple[LoweredRule, list]:
             else:
                 atom.append(("c", t.value))
         body.append(atom)
-    head = []
-    for quad in q.template:
-        atom = []
-        for t in quad:
-            if isinstance(t, Var):
-                if t.name not in slots:
-                    # range restriction, the analog of UnboundImplied
-                    # (rules.py / reference src/rule.rs:118-131)
-                    raise SparqlParseError(
-                        f"template variable ?{t.name} not bound in WHERE"
-                    )
-                atom.append(("v", slots[t.name]))
-            else:
-                atom.append(("c", t.value))
-        head.append(atom)
     names = [n for n, _ in sorted(slots.items(), key=lambda kv: kv[1])]
     lrule = LoweredRule(
-        index=0, body=body, head=head, n_vars=len(slots), canon_vars=names
+        index=0, body=body, head=[], n_vars=len(slots), canon_vars=names
     )
     return lrule, names
+
+
+@dataclass
+class _Sol:
+    """A group element's solution relation: a DataFrame whose columns are
+    the bound variable names (plus possibly a unique existence-gate
+    column), and which of those variables can be null (unbound) — the
+    OPTIONAL / partial-UNION vars the subset restriction tracks."""
+
+    df: DataFrame
+    bound: set
+    maybe: set
+
+
+class _Eval:
+    def __init__(self, quads: DataFrame):
+        self.quads = quads.select("s", "p", "o", "g")
+        self._gate_n = 0
+
+    def bgp(self, patterns: list) -> _Sol:
+        lrule, names = _compile_bgp(patterns)
+        df = bindings(self.quads, lrule)
+        if names:
+            df = df.select(
+                *[F.col(f"v{i}").alias(n) for i, n in enumerate(names)]
+            )
+        else:
+            # fully-constant BGP: a 0-or-1-row existence gate; unique
+            # column name so gates from sibling elements can cross-join
+            self._gate_n += 1
+            df = df.select(F.lit(1).alias(f"__gate{self._gate_n}"))
+        return _Sol(df, set(names), set())
+
+    def join(self, a: _Sol, b: _Sol, how: str) -> _Sol:
+        shared = sorted(a.bound & b.bound)
+        bad = [v for v in shared if v in a.maybe or v in b.maybe]
+        if bad:
+            raise SparqlParseError(
+                f"join on possibly-unbound variable(s) {bad} (bound under "
+                "OPTIONAL or in only some UNION branches) is outside the "
+                "supported subset"
+            )
+        if shared:
+            df = a.df.join(b.df, on=shared, how=how)
+        elif how == "left":
+            raise SparqlParseError(
+                "OPTIONAL must share at least one variable with the "
+                "preceding part of its group"
+            )
+        else:
+            df = a.df.crossJoin(b.df)
+        maybe = a.maybe | b.maybe
+        if how == "left":
+            maybe |= b.bound - set(shared)
+        return _Sol(df, a.bound | b.bound, maybe)
+
+    def union(self, u: UnionNode) -> _Sol:
+        sols = [self.group(br) for br in u.branches]
+        allv = sorted(set().union(*[s.bound for s in sols]))
+        if not allv:
+            raise SparqlParseError("UNION branches bind no variables")
+        dfs = [
+            s.df.select(
+                *[
+                    F.col(v) if v in s.bound
+                    else F.lit(None).cast("string").alias(v)
+                    for v in allv
+                ]
+            )
+            for s in sols
+        ]
+        df = dfs[0]
+        for d in dfs[1:]:
+            df = df.unionByName(d)
+        common = set.intersection(*[s.bound for s in sols])
+        maybe = set().union(*[s.maybe for s in sols]) | (set(allv) - common)
+        return _Sol(df, set(allv), maybe)
+
+    def group(self, node: Group) -> _Sol:
+        acc: _Sol | None = None
+        for e in node.elems:
+            if isinstance(e, Opt):
+                if acc is None:
+                    raise SparqlParseError(
+                        "OPTIONAL cannot be the first element of a group"
+                    )
+                acc = self.join(acc, self.group(e.node), "left")
+                continue
+            if isinstance(e, Bgp):
+                s = self.bgp(e.patterns)
+            elif isinstance(e, UnionNode):
+                s = self.union(e)
+            else:
+                s = self.group(e)
+            acc = s if acc is None else self.join(acc, s, "inner")
+        if acc is None:
+            raise SparqlParseError("empty graph pattern")
+        # group-scoped filters; a comparison on a null (unbound) value is
+        # three-valued-false in Spark, i.e. the row is excluded — matching
+        # SPARQL's error-semantics for FILTER over unbound variables
+        for op, a, b in node.filters:
+            for t in (a, b):
+                if isinstance(t, Var) and t.name not in acc.bound:
+                    raise SparqlParseError(
+                        f"FILTER variable ?{t.name} not bound in its group"
+                    )
+
+            def _fcol(t):
+                return (
+                    F.col(t.name) if isinstance(t, Var) else F.lit(t.value)
+                )
+
+            la, lb = _fcol(a), _fcol(b)
+            cond = {
+                "=": la == lb, "!=": la != lb, "<": la < lb,
+                "<=": la <= lb, ">": la > lb, ">=": la >= lb,
+            }[op]
+            acc = _Sol(acc.df.filter(cond), acc.bound, acc.maybe)
+        return acc
+
+
+def _var_order(q: _Parser) -> list:
+    """Variable names in first syntactic appearance order (SELECT *)."""
+    seen: list = []
+    for quad in q.patterns:
+        for t in quad:
+            if isinstance(t, Var) and t.name not in seen:
+                seen.append(t.name)
+    return seen
 
 
 def sparql_select(quads: DataFrame, query: str) -> DataFrame:
     """Run a SPARQL SELECT over a decoded ``(s, p, o, g)`` quad DataFrame.
 
-    The BGP goes through :func:`rify_spark.matcher.bindings` — the same
+    Each BGP goes through :func:`rify_spark.matcher.bindings` — the same
     join-chain compiler the rule engine uses, so join order, constant-slot
-    pushdown and skew handling are shared. Result columns are the selected
-    variable names.
+    pushdown and skew handling are shared; OPTIONAL / UNION / nested
+    groups combine those chains with DataFrame joins and unions. Result
+    columns are the selected variable names.
     """
     q = parse_select(query)
     if q.form != "SELECT":
         raise SparqlParseError(
             f"{q.form} query passed to sparql_select — use sparql_query"
         )
-    lrule, names = _compile(q)
-    df = bindings(quads.select("s", "p", "o", "g"), lrule)
-    df = df.select(
-        *[F.col(f"v{i}").alias(n) for i, n in enumerate(names)]
-    )
-
-    def _fcol(t):
-        return F.col(t.name) if isinstance(t, Var) else F.lit(t.value)
-
-    for v in [t for op, a, b in q.filters for t in (a, b)]:
-        if isinstance(v, Var) and v.name not in names:
-            raise SparqlParseError(
-                f"FILTER variable ?{v.name} not bound in the pattern"
-            )
-    for op, a, b in q.filters:
-        la, lb = _fcol(a), _fcol(b)
-        cond = {
-            "=": la == lb, "!=": la != lb, "<": la < lb,
-            "<=": la <= lb, ">": la > lb, ">=": la >= lb,
-        }[op]
-        df = df.filter(cond)
-
+    sol = _Eval(quads).group(q.root)
+    names = [v for v in _var_order(q) if v in sol.bound]
     if q.select is not None:
-        missing = [v for v in q.select if v not in names]
+        missing = [v for v in q.select if v not in sol.bound]
         if missing:
             raise SparqlParseError(
                 f"selected variables not in pattern: {missing}"
             )
-        df = df.select(*q.select)
+        df = sol.df.select(*q.select)
+    else:
+        df = sol.df.select(*names) if names else sol.df
     if q.distinct:
         df = df.distinct()
     for v, desc in q.order:
@@ -419,13 +615,12 @@ def sparql_select(quads: DataFrame, query: str) -> DataFrame:
 
 def sparql_ask(quads: DataFrame, query: str) -> DataFrame:
     """ASK -> one row ``(ask: boolean)``: does the pattern have a match?
-    Executed as the bindings plan under LIMIT 1, so Spark stops at the
-    first satisfying row instead of materializing the binding set."""
+    Executed under LIMIT 1, so Spark stops at the first satisfying row
+    instead of materializing the binding set."""
     q = parse_select(query)
     if q.form != "ASK":
         raise SparqlParseError("sparql_ask needs an ASK query")
-    lrule, _ = _compile(q)
-    found = bindings(quads.select("s", "p", "o", "g"), lrule).limit(1)
+    found = _Eval(quads).group(q.root).df.limit(1)
     spark = quads.sparkSession
     return spark.createDataFrame(
         [(bool(found.take(1)),)], "ask boolean"
@@ -441,7 +636,8 @@ def sparql_construct(quads: DataFrame, query: str) -> DataFrame:
     (set semantics: duplicates collapse, as in ``Reasoner::insert``).
     Template variables must be bound by the WHERE pattern (the range-
     restriction check the rule validator applies, errors.UnboundImplied's
-    analog).
+    analog) and must not be possibly-unbound (OPTIONAL/partial-UNION) —
+    SPARQL's skip-incomplete-triple semantics is not implemented.
     """
     from .matcher import project_heads
 
@@ -450,8 +646,36 @@ def sparql_construct(quads: DataFrame, query: str) -> DataFrame:
         raise SparqlParseError("sparql_construct needs a CONSTRUCT query")
     if not q.template:
         raise SparqlParseError("empty CONSTRUCT template")
-    lrule, names = _compile(q)
-    b = bindings(quads.select("s", "p", "o", "g"), lrule)
+    sol = _Eval(quads).group(q.root)
+    slot_names = sorted(sol.bound)
+    slots = {n: i for i, n in enumerate(slot_names)}
+    head = []
+    for quad in q.template:
+        atom = []
+        for t in quad:
+            if isinstance(t, Var):
+                if t.name not in slots:
+                    # range restriction, the analog of UnboundImplied
+                    # (rules.py / reference src/rule.rs:118-131)
+                    raise SparqlParseError(
+                        f"template variable ?{t.name} not bound in WHERE"
+                    )
+                if t.name in sol.maybe:
+                    raise SparqlParseError(
+                        f"template variable ?{t.name} is possibly unbound "
+                        "(OPTIONAL/UNION) — outside the supported subset"
+                    )
+                atom.append(("v", slots[t.name]))
+            else:
+                atom.append(("c", t.value))
+        head.append(atom)
+    lrule = LoweredRule(
+        index=0, body=[], head=head, n_vars=len(slots),
+        canon_vars=slot_names,
+    )
+    b = sol.df.select(
+        *[F.col(n).alias(f"v{i}") for n, i in slots.items()]
+    )
     dtype = quads.schema["s"].dataType
     return project_heads(b, lrule, dtype).dropDuplicates(["s", "p", "o", "g"])
 
@@ -491,6 +715,61 @@ GATE_MODIFIERS = """
   }
   ORDER BY DESC(?cust) LIMIT 500
 """
+
+
+# OPTIONAL = left join: every customer row, order filled where one exists
+GATE_OPTIONAL = """
+  SELECT ?cust ?nation ?order WHERE {
+    GRAPH <graph://tpch> {
+      ?cust <in_nation> ?nation
+      OPTIONAL { ?order <placed_by> ?cust }
+    }
+  }
+"""
+
+# UNION = bag union with null padding on branch-local variables
+GATE_UNION = """
+  SELECT ?s ?o ?r WHERE {
+    { GRAPH <graph://tpch> { ?s <in_nation> ?o } }
+    UNION
+    { GRAPH <graph://tpch> { ?s <in_region> ?o . ?s <in_region> ?r } }
+  }
+"""
+
+
+def sparql_optional_gate(spark, sf_dir: str) -> DataFrame:
+    from .ops.quads import tpch_quads
+
+    return sparql_select(tpch_quads(spark, sf_dir), GATE_OPTIONAL)
+
+
+def sparql_optional_sql() -> str:
+    return """
+      SELECT 'cust:' || c.c_custkey AS cust,
+             'nation:' || c.c_nationkey AS nation,
+             'order:' || o.o_orderkey AS "order"
+      FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+    """
+
+
+def sparql_union_gate(spark, sf_dir: str) -> DataFrame:
+    from .ops.quads import tpch_quads
+
+    return sparql_select(tpch_quads(spark, sf_dir), GATE_UNION)
+
+
+def sparql_union_sql() -> str:
+    return """
+      SELECT 'cust:' || c_custkey AS s,
+             'nation:' || c_nationkey AS o,
+             CAST(NULL AS VARCHAR) AS r
+      FROM customer
+      UNION ALL
+      SELECT 'nation:' || n_nationkey,
+             'region:' || n_regionkey,
+             'region:' || n_regionkey
+      FROM nation
+    """
 
 
 # CONSTRUCT as one-shot KG derivation: customer -> region shortcut edges

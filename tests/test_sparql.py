@@ -123,7 +123,7 @@ def test_literal_escapes_in_query(spark):
         'SELECT ?x WHERE { ?x "lit" ?y }',  # literal predicate
         "SELECT ?x WHERE { ?x <p> ?y } ORDER BY ?y",  # order on unselected
         "SELECT ?x WHERE { ?x <p> ?y FILTER (?z = ?x) }",  # unbound filter var
-        "SELECT ?x WHERE { OPTIONAL { ?x <p> ?y } }",  # unsupported feature
+        "SELECT ?x WHERE { OPTIONAL { ?x <p> ?y } }",  # OPTIONAL first in group
         "SELECT ?x WHERE { ?x <p> ?y } LIMIT ?x",  # bad LIMIT
     ],
 )
@@ -206,3 +206,101 @@ def test_query_dispatch(quads):
     assert set(sparql_query(
         quads, "CONSTRUCT { ?x <p> ?t } WHERE { ?x a ?t }"
     ).columns) == {"s", "p", "o", "g"}
+
+
+def test_optional_left_join(quads):
+    # every knower kept; age filled only where present
+    q = """
+      SELECT ?x ?age WHERE {
+        GRAPH ?g { ?x <knows> ?y }
+        OPTIONAL { ?x <age> ?age }
+      }
+    """
+    got = _run(quads, q)
+    assert got == [("a", "3"), ("b", None), ("c", None)]
+
+
+def test_optional_var_usable_in_filter_and_select(quads):
+    q = """
+      SELECT ?x ?age WHERE {
+        GRAPH ?g { ?x <knows> ?y }
+        OPTIONAL { ?x <age> ?age }
+        FILTER (?age != "99")
+      }
+    """
+    # null comparisons exclude rows (SPARQL error-semantics == Spark nulls)
+    assert _run(quads, q) == [("a", "3")]
+
+
+def test_union_pads_missing_vars(quads):
+    q = """
+      SELECT ?x ?t ?y WHERE {
+        { ?x a ?t } UNION { GRAPH <g2> { ?x <knows> ?y } }
+      }
+    """
+    got = _run(quads, q)
+    assert got == [("a", "Person", None), ("b", "Person", None),
+                   ("c", None, "a")]
+
+
+def test_union_then_join_on_common_var(quads):
+    # ?x is bound in BOTH branches -> usable as a later join key
+    q = """
+      SELECT DISTINCT ?x ?g2 WHERE {
+        { ?x a "Person" } UNION { ?x <age> "3" }
+        GRAPH ?g2 { ?x <knows> ?anyone }
+      }
+    """
+    assert _run(quads, q) == [("a", "g1"), ("b", "g1")]
+
+
+def test_nested_group_equivalent_to_flat(quads):
+    flat = _run(quads, "SELECT ?x ?z WHERE { GRAPH <g1> "
+                       "{ ?x <knows> ?y . ?y <knows> ?z } }")
+    nested = _run(quads, "SELECT ?x ?z WHERE { GRAPH <g1> "
+                         "{ { ?x <knows> ?y } { ?y <knows> ?z } } }")
+    assert flat == nested == [("a", "c")]
+
+
+def test_filter_scopes_to_its_group(quads):
+    # the inner group's filter must not see (or constrain) outer rows
+    q = """
+      SELECT ?x ?t WHERE {
+        ?x a ?t
+        { GRAPH ?g { ?x <knows> ?y } FILTER (?y != "b") }
+      }
+    """
+    # a knows b (excluded by inner filter), b knows c (kept)
+    assert _run(quads, q) == [("b", "Person")]
+
+
+def test_maybe_null_join_key_rejected(quads):
+    q = """
+      SELECT ?x WHERE {
+        GRAPH ?g { ?x <knows> ?y }
+        OPTIONAL { ?x <age> ?age }
+        ?z <age> ?age .
+      }
+    """
+    with pytest.raises(SparqlParseError, match="possibly-unbound"):
+        sparql_select(quads, q)
+
+
+def test_construct_rejects_optional_template_var(quads):
+    from rify_spark.sparql import sparql_construct
+
+    q = """
+      CONSTRUCT { ?x <aged> ?age } WHERE {
+        GRAPH ?g { ?x <knows> ?y }
+        OPTIONAL { ?x <age> ?age }
+      }
+    """
+    with pytest.raises(SparqlParseError, match="possibly unbound"):
+        sparql_construct(quads, q)
+
+
+def test_optional_without_shared_var_rejected(quads):
+    q = ("SELECT ?x WHERE { GRAPH ?g { ?x <knows> ?y } "
+         "OPTIONAL { ?a <age> ?b } }")
+    with pytest.raises(SparqlParseError, match="share at least one"):
+        sparql_select(quads, q)
