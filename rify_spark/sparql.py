@@ -27,11 +27,14 @@ Supported subset (documented contract, errors otherwise):
     patterns outside GRAPH match the engine's default graph
     (``rdf.DEFAULT_GRAPH``);
   * ``FILTER`` with comparisons ``= != < <= > >=`` between variables and
-    constants, combined with ``&&`` (string comparison semantics — the
-    engine's term space is opaque strings, reference src/common.rs); a
-    FILTER scopes to the group it appears in, and a comparison on an
-    unbound (OPTIONAL-missing) value excludes the row — SPARQL's
-    error-semantics, which is exactly Spark's null-comparison behavior;
+    constants, plus ``bound(?v)`` / ``!bound(?v)`` and
+    ``regex(?v, "pat")`` / ``!regex(...)`` (Java regex flavor — Spark
+    ``rlike`` — a documented divergence from SPARQL's XPath flavor),
+    combined with ``&&`` (string comparison semantics — the engine's term
+    space is opaque strings, reference src/common.rs); a FILTER scopes to
+    the group it appears in, and a comparison on an unbound
+    (OPTIONAL-missing) value excludes the row — SPARQL's error-semantics,
+    which is exactly Spark's null-comparison behavior;
   * ``OPTIONAL { ... }`` — a left join on the shared variables (must
     share at least one always-bound variable with the preceding part of
     its group);
@@ -81,7 +84,7 @@ _TOKEN_RE = re.compile(
     | (?P<pname>(?:[A-Za-z_][A-Za-z0-9_-]*)?:[A-Za-z0-9_.-]*)
     | (?P<kw>[A-Za-z_][A-Za-z0-9_]*)
     | (?P<num>[0-9]+)
-    | (?P<op><=|>=|!=|&&|\|\||[{}.;,()=<>*:])
+    | (?P<op><=|>=|!=|&&|\|\||[{}.;,()=<>*:!])
     """,
     re.VERBOSE,
 )
@@ -368,18 +371,43 @@ class _Parser:
     def filter_expr(self, node: Group):
         self.expect("(")
         while True:
-            lhs = self.term()
-            kind, op = self.next()
-            if op not in self._OPS:
-                raise SparqlParseError(f"unsupported FILTER operator {op!r}")
-            rhs = self.term()
-            node.filters.append((op, lhs, rhs))
+            node.filters.append(self._filter_atom())
             kind, tok = self.peek()
             if kind == "op" and tok == "&&":
                 self.next()
                 continue
             break
         self.expect(")")
+
+    def _filter_atom(self):
+        kind, tok = self.peek()
+        if kind == "op" and tok == "!":
+            self.next()
+            k2, t2 = self.peek()
+            if not (k2 == "kw" and t2.lower() in ("bound", "regex")):
+                raise SparqlParseError("'!' only negates bound()/regex()")
+            op, *args = self._filter_atom()
+            return ("!" + op, *args)
+        if kind == "kw" and tok.lower() in ("bound", "regex"):
+            fn = self.next()[1].lower()
+            self.expect("(")
+            v = self.term()
+            if not isinstance(v, Var):
+                raise SparqlParseError(f"{fn}() needs a variable")
+            if fn == "regex":
+                self.expect(",")
+                k2, pat = self.next()
+                if k2 != "string":
+                    raise SparqlParseError("regex() needs a string pattern")
+                self.expect(")")
+                return ("regex", v, Const(pat[1:-1]))
+            self.expect(")")
+            return ("bound", v, None)
+        lhs = self.term()
+        kind, op = self.next()
+        if op not in self._OPS:
+            raise SparqlParseError(f"unsupported FILTER operator {op!r}")
+        return (op, lhs, self.term())
 
     def modifiers(self):
         if self.kw("ORDER"):
@@ -548,11 +576,23 @@ class _Eval:
                     F.col(t.name) if isinstance(t, Var) else F.lit(t.value)
                 )
 
-            la, lb = _fcol(a), _fcol(b)
-            cond = {
-                "=": la == lb, "!=": la != lb, "<": la < lb,
-                "<=": la <= lb, ">": la > lb, ">=": la >= lb,
-            }[op]
+            if op in ("bound", "!bound"):
+                # the OPTIONAL companion: null == unbound in this algebra
+                c = F.col(a.name)
+                cond = c.isNotNull() if op == "bound" else c.isNull()
+            elif op in ("regex", "!regex"):
+                # Java regex flavor (Spark rlike), documented divergence
+                # from SPARQL's XPath flavor; null input excludes the row
+                # under negation too (error-semantics, like comparisons)
+                cond = F.col(a.name).rlike(b.value)
+                if op == "!regex":
+                    cond = ~cond
+            else:
+                la, lb = _fcol(a), _fcol(b)
+                cond = {
+                    "=": la == lb, "!=": la != lb, "<": la < lb,
+                    "<=": la <= lb, ">": la > lb, ">=": la >= lb,
+                }[op]
             acc = _Sol(acc.df.filter(cond), acc.bound, acc.maybe)
         return acc
 

@@ -304,3 +304,31 @@ def test_optional_without_shared_var_rejected(quads):
          "OPTIONAL { ?a <age> ?b } }")
     with pytest.raises(SparqlParseError, match="share at least one"):
         sparql_select(quads, q)
+
+
+def test_filter_bound_and_negation(quads):
+    base = """
+      SELECT ?x WHERE {
+        GRAPH ?g { ?x <knows> ?y }
+        OPTIONAL { ?x <age> ?age }
+        FILTER (%s)
+      }
+    """
+    assert _run(quads, base % "bound(?age)") == [("a",)]
+    assert _run(quads, base % "!bound(?age)") == [("b",), ("c",)]
+
+
+def test_filter_regex(quads):
+    q = 'SELECT ?x ?y WHERE { GRAPH <g1> { ?x <knows> ?y } FILTER (regex(?y, "^[bc]$")) }'
+    assert _run(quads, q) == [("a", "b"), ("b", "c")]
+    q = 'SELECT ?x ?y WHERE { GRAPH <g1> { ?x <knows> ?y } FILTER (!regex(?y, "^b") && ?x != "q") }'
+    assert _run(quads, q) == [("b", "c")]
+
+
+def test_filter_fn_errors(quads):
+    with pytest.raises(SparqlParseError, match="needs a variable"):
+        sparql_select(quads, 'SELECT ?x WHERE { ?x <p> ?y FILTER (bound("c")) }')
+    with pytest.raises(SparqlParseError, match="string pattern"):
+        sparql_select(quads, "SELECT ?x WHERE { ?x <p> ?y FILTER (regex(?y, ?x)) }")
+    with pytest.raises(SparqlParseError, match="negates"):
+        sparql_select(quads, 'SELECT ?x WHERE { ?x <p> ?y FILTER (!(?x = "a")) }')
