@@ -145,3 +145,10 @@ LANG_MARKERS = ["the", "and", "with", "from", "value", "table"]
 LANG_EN_MIN_HITS = 1
 
 STOPWORDS = ["the", "a", "and", "of", "to", "in", "is", "for", "with", "on"]
+
+# document chunking (ops/text.py chunk_docs): token-window size and overlap
+# for training-sequence preparation; STRIDE = CHUNK_TOKENS - CHUNK_OVERLAP.
+# windows start at k*STRIDE while the previous window hasn't already
+# covered the tail: n_chunks = max(1, ceil((n_tok - OVERLAP) / STRIDE))
+CHUNK_TOKENS = 64
+CHUNK_OVERLAP = 8

@@ -16,6 +16,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .params import (
+    CHUNK_OVERLAP,
+    CHUNK_TOKENS,
     LANG_EN_MIN_HITS,
     LANG_MARKERS,
     STOPWORDS,
@@ -274,4 +276,75 @@ def top_ngrams_sql(table: str = "documents") -> str:
     GROUP BY ng
     ORDER BY n_occ DESC, ng
     LIMIT {TOPNGRAM_K}
+    """
+
+
+def chunk_docs(
+    docs: DataFrame,
+    chunk: int = CHUNK_TOKENS,
+    overlap: int = CHUNK_OVERLAP,
+) -> DataFrame:
+    """Token-window chunking for training-sequence prep: overlapping
+    windows of ``chunk`` whitespace tokens, stride ``chunk - overlap``.
+
+    Pure JVM (split -> sequence -> explode -> slice/array_join): a narrow
+    per-row expansion with NO shuffle — at 100 TB this pipelines with the
+    scan. Window count is ``max(1, ceil((n_tok - overlap) / stride))``:
+    every token lands in >= 1 chunk, the final window may be short, and a
+    document never emits a window whose content the previous window fully
+    covered.
+    """
+    stride = chunk - overlap
+    if stride <= 0:
+        raise ValueError("chunk must exceed overlap")
+    toks = F.split("text", " ")
+    n = F.size(toks)
+    n_chunks = F.greatest(
+        F.lit(1), F.expr(
+            f"(size(split(text, ' ')) - {overlap} + {stride} - 1)"
+            f" div {stride}"
+        ).cast("int"),
+    )
+    k = F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id")
+    exploded = docs.select("doc_id", toks.alias("__toks"), n.alias("__n"), k)
+    return exploded.select(
+        "doc_id",
+        F.col("chunk_id").cast("long"),
+        F.least(F.lit(chunk), F.col("__n") - F.col("chunk_id") * stride)
+        .cast("long")
+        .alias("n_chunk_tokens"),
+        F.array_join(
+            F.slice(
+                "__toks", F.col("chunk_id") * stride + 1, F.lit(chunk)
+            ),
+            " ",
+        ).alias("chunk_text"),
+    )
+
+
+def chunk_docs_sql(
+    chunk: int = CHUNK_TOKENS, overlap: int = CHUNK_OVERLAP
+) -> str:
+    stride = chunk - overlap
+    return f"""
+      WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+      ),
+      c AS (
+        SELECT doc_id, toks,
+               greatest(1, (len(toks) - {overlap} + {stride} - 1)
+                           // {stride}) AS nc
+        FROM t
+      )
+      , e AS (
+        SELECT doc_id, toks,
+               unnest(generate_series(0, nc - 1)) AS k
+        FROM c
+      )
+      SELECT doc_id, k AS chunk_id,
+             least({chunk}, len(toks) - k * {stride}) AS n_chunk_tokens,
+             array_to_string(
+               toks[k * {stride} + 1 : k * {stride} + {chunk}], ' '
+             ) AS chunk_text
+      FROM e
     """

@@ -93,3 +93,45 @@ def test_top_ngrams_oracle_parity(spark):
     orows = list(map(tuple, con.execute(T.top_ngrams_sql()).fetchall()))
     srows = list(map(tuple, T.top_ngrams(docs).collect()))
     assert srows == orows
+
+
+def test_chunk_docs_windows(spark):
+    from rify_spark.ops.text import chunk_docs
+
+    words = " ".join(f"w{i}" for i in range(10))
+    docs = spark.createDataFrame(
+        [(1, words), (2, "solo")], "doc_id long, text string"
+    )
+    out = {
+        (r.doc_id, r.chunk_id): (r.n_chunk_tokens, r.chunk_text)
+        for r in chunk_docs(docs, chunk=4, overlap=1).collect()
+    }
+    # doc 1: 10 tokens, stride 3 -> ceil((10-1)/3) = 3 chunks
+    assert out[(1, 0)] == (4, "w0 w1 w2 w3")
+    assert out[(1, 1)] == (4, "w3 w4 w5 w6")
+    assert out[(1, 2)] == (4, "w6 w7 w8 w9")
+    # every token covered; adjacent chunks share exactly `overlap` tokens
+    # doc 2: shorter than one window -> a single short chunk
+    assert out[(2, 0)] == (1, "solo")
+    assert len(out) == 4
+
+
+def test_chunk_docs_no_redundant_tail(spark):
+    from rify_spark.ops.text import chunk_docs
+
+    # 5 tokens, chunk 4, stride 3: chunk 1 ends at token 5 — a third
+    # window starting at 6 would be empty/covered and must not exist
+    docs = spark.createDataFrame(
+        [(1, "a b c d e")], "doc_id long, text string"
+    )
+    rows = chunk_docs(docs, chunk=4, overlap=1).collect()
+    assert sorted(r.chunk_text for r in rows) == ["a b c d", "d e"]
+
+
+def test_chunk_docs_rejects_bad_params(spark):
+    from rify_spark.ops.text import chunk_docs
+
+    import pytest as _pt
+    with _pt.raises(ValueError, match="exceed"):
+        chunk_docs(spark.createDataFrame([(1, "x")], "doc_id long, text string"),
+                   chunk=4, overlap=4)
