@@ -501,6 +501,12 @@ def _q_sparql_union(spark, sf_dir):
     return sparql_union_gate(spark, sf_dir)
 
 
+def _q_sparql_not_exists(spark, sf_dir):
+    from rify_spark.sparql import sparql_not_exists_gate
+
+    return sparql_not_exists_gate(spark, sf_dir)
+
+
 def _q_rdf_parse(spark, sf_dir):
     from rify_spark.rdf import rdf_nquads_parse
 
@@ -591,6 +597,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # group algebra: OPTIONAL (left join) and UNION (padded bag union)
         "sparql_optional": _q_sparql_optional,
         "sparql_union": _q_sparql_union,
+        # negation: FILTER NOT EXISTS compiled to an anti join
+        "sparql_not_exists": _q_sparql_not_exists,
         # KG construction
         "kg_extract_mentions": _q_kg_mentions,
         "kg_pipeline_derived": _q_kg_pipeline,
@@ -742,6 +750,7 @@ def oracle_sql() -> dict[str, str]:
         "sparql_construct": _sparql_sql("sparql_construct_sql"),
         "sparql_optional": _sparql_sql("sparql_optional_sql"),
         "sparql_union": _sparql_sql("sparql_union_sql"),
+        "sparql_not_exists": _sparql_sql("sparql_not_exists_sql"),
         "kg_pipeline_derived": KG_PIPELINE_SQL,
         "kg_extract_mentions": """
             SELECT DISTINCT doc_id, tok AS mention FROM (

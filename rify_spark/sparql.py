@@ -136,6 +136,11 @@ class Opt:
 
 
 @dataclass
+class Minus:
+    node: "Group"  # MINUS { ... } -> anti join on shared vars
+
+
+@dataclass
 class UnionNode:
     branches: list  # list[Group] -> padded unionByName
 
@@ -151,7 +156,7 @@ def _walk_patterns(node) -> list:
     for e in node.elems:
         if isinstance(e, Bgp):
             out.extend(e.patterns)
-        elif isinstance(e, Opt):
+        elif isinstance(e, (Opt, Minus)):
             out.extend(_walk_patterns(e.node))
         elif isinstance(e, UnionNode):
             for b in e.branches:
@@ -320,13 +325,34 @@ class _Parser:
             elif kind == "kw" and tok.upper() == "OPTIONAL":
                 self.next()
                 node.elems.append(Opt(self.group_node(graph)))
+            elif kind == "kw" and tok.upper() == "MINUS":
+                self.next()
+                node.elems.append(Minus(self.group_node(graph)))
             elif kind == "kw" and tok.upper() == "FILTER":
                 if not allow_filter:
                     raise SparqlParseError(
                         "FILTER not allowed in a CONSTRUCT template"
                     )
                 self.next()
-                self.filter_expr(node)
+                k2, t2 = self.peek()
+                if k2 == "kw" and t2.upper() in ("EXISTS", "NOT"):
+                    neg = t2.upper() == "NOT"
+                    self.next()
+                    if neg:
+                        kind3, tok3 = self.next()
+                        if tok3.upper() != "EXISTS":
+                            raise SparqlParseError(
+                                "expected EXISTS after FILTER NOT"
+                            )
+                    node.filters.append(
+                        (
+                            "not_exists" if neg else "exists",
+                            self.group_node(graph),
+                            None,
+                        )
+                    )
+                else:
+                    self.filter_expr(node)
             elif kind == "op" and tok == "{":
                 branches = [self.group_node(graph)]
                 while self.kw("UNION"):
@@ -542,6 +568,40 @@ class _Eval:
         maybe = set().union(*[s.maybe for s in sols]) | (set(allv) - common)
         return _Sol(df, set(allv), maybe)
 
+    def semi(self, acc: _Sol, s: _Sol, anti: bool, minus: bool) -> _Sol:
+        """EXISTS / NOT EXISTS / MINUS: a semi or anti join that adds no
+        columns. MINUS over disjoint variable domains removes nothing
+        (SPARQL's spec'd difference from NOT EXISTS, which gates on the
+        sub-pattern having any match at all)."""
+        shared = sorted(acc.bound & s.bound)
+        bad = [
+            v for v in shared if v in acc.maybe or v in s.maybe
+        ]
+        if bad:
+            raise SparqlParseError(
+                f"EXISTS/MINUS on possibly-unbound variable(s) {bad} is "
+                "outside the supported subset"
+            )
+        if shared:
+            right = s.df.select(
+                *[F.col(v).alias(f"__x_{v}") for v in shared]
+            )
+            cond = None
+            for v in shared:
+                c = F.col(v) == F.col(f"__x_{v}")
+                cond = c if cond is None else cond & c
+            df = acc.df.join(
+                right, cond, "left_anti" if anti else "left_semi"
+            )
+        elif minus:
+            return acc
+        else:
+            gate = s.df.limit(1)
+            df = acc.df.join(
+                gate, F.lit(True), "left_anti" if anti else "left_semi"
+            )
+        return _Sol(df, acc.bound, acc.maybe)
+
     def group(self, node: Group) -> _Sol:
         acc: _Sol | None = None
         for e in node.elems:
@@ -551,6 +611,15 @@ class _Eval:
                         "OPTIONAL cannot be the first element of a group"
                     )
                 acc = self.join(acc, self.group(e.node), "left")
+                continue
+            if isinstance(e, Minus):
+                if acc is None:
+                    raise SparqlParseError(
+                        "MINUS cannot be the first element of a group"
+                    )
+                acc = self.semi(
+                    acc, self.group(e.node), anti=True, minus=True
+                )
                 continue
             if isinstance(e, Bgp):
                 s = self.bgp(e.patterns)
@@ -565,6 +634,11 @@ class _Eval:
         # three-valued-false in Spark, i.e. the row is excluded — matching
         # SPARQL's error-semantics for FILTER over unbound variables
         for op, a, b in node.filters:
+            if op in ("exists", "not_exists"):
+                acc = self.semi(
+                    acc, self.group(a), anti=op == "not_exists", minus=False
+                )
+                continue
             for t in (a, b):
                 if isinstance(t, Var) and t.name not in acc.bound:
                     raise SparqlParseError(
@@ -809,6 +883,37 @@ def sparql_union_sql() -> str:
              'region:' || n_regionkey,
              'region:' || n_regionkey
       FROM nation
+    """
+
+
+# NOT EXISTS = anti join: customers with no LOW-KEY order (?order key
+# <= 999 via regex) — the sub-pattern carries its own scoped FILTER
+GATE_NOT_EXISTS = """
+  SELECT ?cust ?nation WHERE {
+    GRAPH <graph://tpch> { ?cust <in_nation> ?nation }
+    FILTER NOT EXISTS {
+      GRAPH <graph://tpch> { ?order <placed_by> ?cust }
+      FILTER (regex(?order, "^order:[0-9]{1,3}$"))
+    }
+  }
+"""
+
+
+def sparql_not_exists_gate(spark, sf_dir: str) -> DataFrame:
+    from .ops.quads import tpch_quads
+
+    return sparql_select(tpch_quads(spark, sf_dir), GATE_NOT_EXISTS)
+
+
+def sparql_not_exists_sql() -> str:
+    # independent derivation: the regex is just "order key has <= 3 digits"
+    return """
+      SELECT 'cust:' || c_custkey AS cust,
+             'nation:' || c_nationkey AS nation
+      FROM customer
+      WHERE c_custkey NOT IN (
+        SELECT o_custkey FROM orders WHERE o_orderkey BETWEEN 0 AND 999
+      )
     """
 
 

@@ -332,3 +332,74 @@ def test_filter_fn_errors(quads):
         sparql_select(quads, "SELECT ?x WHERE { ?x <p> ?y FILTER (regex(?y, ?x)) }")
     with pytest.raises(SparqlParseError, match="negates"):
         sparql_select(quads, 'SELECT ?x WHERE { ?x <p> ?y FILTER (!(?x = "a")) }')
+
+
+def test_filter_not_exists_negation(quads):
+    # people with no outgoing knows edge in g1
+    q = """
+      SELECT ?x WHERE {
+        ?x a "Person"
+        FILTER NOT EXISTS { GRAPH <g1> { ?x <knows> ?y } }
+      }
+    """
+    assert _run(quads, q) == []
+    q = """
+      SELECT ?x WHERE {
+        GRAPH ?g { ?x <knows> ?y }
+        FILTER NOT EXISTS { ?x <age> ?n }
+      }
+    """
+    assert _run(quads, q) == [("b",), ("c",)]
+
+
+def test_filter_exists(quads):
+    q = """
+      SELECT ?x WHERE {
+        GRAPH ?g { ?x <knows> ?y }
+        FILTER EXISTS { ?x <age> ?n }
+      }
+    """
+    assert _run(quads, q) == [("a",)]
+    # EXISTS with no shared vars gates on the sub-pattern matching at all
+    q = """
+      SELECT ?x WHERE {
+        GRAPH <g2> { ?x <knows> ?y }
+        FILTER EXISTS { <a> <age> "3" }
+      }
+    """
+    assert _run(quads, q) == [("c",)]
+    q = """
+      SELECT ?x WHERE {
+        GRAPH <g2> { ?x <knows> ?y }
+        FILTER EXISTS { <a> <age> "99" }
+      }
+    """
+    assert _run(quads, q) == []
+
+
+def test_minus(quads):
+    q = """
+      SELECT ?x ?y WHERE {
+        GRAPH ?g { ?x <knows> ?y }
+        MINUS { ?x <age> "3" }
+      }
+    """
+    assert _run(quads, q) == [("b", "c"), ("c", "a")]
+    # MINUS with a disjoint variable domain removes nothing (spec'd
+    # difference from NOT EXISTS)
+    q = """
+      SELECT ?x WHERE {
+        GRAPH <g1> { ?x <knows> ?y }
+        MINUS { ?a <age> ?b }
+      }
+    """
+    assert len(_run(quads, q)) == 2
+
+
+def test_minus_first_rejected(quads):
+    with pytest.raises(SparqlParseError, match="MINUS cannot"):
+        sparql_select(quads, 'SELECT ?x WHERE { MINUS { ?x <p> ?y } }')
+    with pytest.raises(SparqlParseError, match="EXISTS after"):
+        sparql_select(
+            quads, "SELECT ?x WHERE { ?x <p> ?y FILTER NOT BOUND(?x) }"
+        )
