@@ -507,6 +507,12 @@ def _q_sparql_not_exists(spark, sf_dir):
     return sparql_not_exists_gate(spark, sf_dir)
 
 
+def _q_sparql_path(spark, sf_dir):
+    from rify_spark.sparql import sparql_path_gate
+
+    return sparql_path_gate(spark, sf_dir)
+
+
 def _q_rdf_parse(spark, sf_dir):
     from rify_spark.rdf import rdf_nquads_parse
 
@@ -599,6 +605,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_union": _q_sparql_union,
         # negation: FILTER NOT EXISTS compiled to an anti join
         "sparql_not_exists": _q_sparql_not_exists,
+        # property path <p>+ executed by the engine's smart-TC fixpoint
+        "sparql_path": _q_sparql_path,
         # KG construction
         "kg_extract_mentions": _q_kg_mentions,
         "kg_pipeline_derived": _q_kg_pipeline,
@@ -751,6 +759,7 @@ def oracle_sql() -> dict[str, str]:
         "sparql_optional": _sparql_sql("sparql_optional_sql"),
         "sparql_union": _sparql_sql("sparql_union_sql"),
         "sparql_not_exists": _sparql_sql("sparql_not_exists_sql"),
+        "sparql_path": _sparql_sql("sparql_path_sql"),
         "kg_pipeline_derived": KG_PIPELINE_SQL,
         "kg_extract_mentions": """
             SELECT DISTINCT doc_id, tok AS mention FROM (

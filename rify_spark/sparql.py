@@ -84,7 +84,7 @@ _TOKEN_RE = re.compile(
     | (?P<pname>(?:[A-Za-z_][A-Za-z0-9_-]*)?:[A-Za-z0-9_.-]*)
     | (?P<kw>[A-Za-z_][A-Za-z0-9_]*)
     | (?P<num>[0-9]+)
-    | (?P<op><=|>=|!=|&&|\|\||[{}.;,()=<>*:!])
+    | (?P<op><=|>=|!=|&&|\|\||[{}.;,()=<>*:!+])
     """,
     re.VERBOSE,
 )
@@ -117,6 +117,16 @@ class Var:
 @dataclass(frozen=True)
 class Const:
     value: str
+
+
+@dataclass(frozen=True)
+class Path:
+    """A one-or-more property path ``<pred>+`` in predicate position —
+    executed by the inference engine itself: the path compiles to the
+    pure two-rule transitive-closure program, which the fixpoint
+    auto-delegates to the O(log depth) smart-TC strategy (tc.py)."""
+
+    pred: str
 
 
 # --- group-graph-pattern AST ------------------------------------------------
@@ -371,6 +381,14 @@ class _Parser:
         s = self.term()
         while True:
             p = self.term(as_pred=True)
+            k2, t2 = self.peek()
+            if k2 == "op" and t2 == "+":
+                self.next()
+                if not isinstance(p, Const):
+                    raise SparqlParseError(
+                        "property path needs a constant predicate"
+                    )
+                p = Path(p.value)
             while True:
                 o = self.term()
                 into.append((s, p, o, graph))
@@ -507,9 +525,22 @@ class _Sol:
 class _Eval:
     def __init__(self, quads: DataFrame):
         self.quads = quads.select("s", "p", "o", "g")
+        self.spark = quads.sparkSession
         self._gate_n = 0
 
     def bgp(self, patterns: list) -> _Sol:
+        plain = [q for q in patterns if not isinstance(q[1], Path)]
+        paths = [q for q in patterns if isinstance(q[1], Path)]
+        acc: _Sol | None = None
+        if plain:
+            acc = self._plain_bgp(plain)
+        for pat in paths:
+            s = self._path_closure(pat)
+            acc = s if acc is None else self.join(acc, s, "inner")
+        assert acc is not None  # parser guarantees non-empty BGPs
+        return acc
+
+    def _plain_bgp(self, patterns: list) -> _Sol:
         lrule, names = _compile_bgp(patterns)
         df = bindings(self.quads, lrule)
         if names:
@@ -522,6 +553,62 @@ class _Eval:
             self._gate_n += 1
             df = df.select(F.lit(1).alias(f"__gate{self._gate_n}"))
         return _Sol(df, set(names), set())
+
+    def _path_closure(self, pat) -> _Sol:
+        """``?x <p>+ ?y``: the transitive closure of the predicate's edge
+        set, graph-scoped — computed BY THE ENGINE: the path lowers to the
+        copy+transitivity rule pair, infer_df detects the pure-TC shape
+        and runs the smart-TC (repeated-squaring) strategy, so a
+        10^4-deep chain costs O(log depth) rounds, not O(depth)."""
+        from .api import infer_df
+        from .infer import InferConfig
+        from .rules import Bound as RB, Rule, Unbound as RU
+
+        s_t, path, o_t, g_t = pat
+        prem = self.quads.filter(F.col("p") == path.pred)
+        if isinstance(g_t, Const):
+            prem = prem.filter(F.col("g") == g_t.value)
+        head = "\x02tc"  # internal head predicate, unmintable from text
+        rules = [
+            Rule.create(
+                [[RU("a"), RB(path.pred), RU("b"), RU("g")]],
+                [[RU("a"), RB(head), RU("b"), RU("g")]],
+            ),
+            Rule.create(
+                [
+                    [RU("a"), RB(head), RU("b"), RU("g")],
+                    [RU("b"), RB(head), RU("c"), RU("g")],
+                ],
+                [[RU("a"), RB(head), RU("c"), RU("g")]],
+            ),
+        ]
+        derived, _res = infer_df(
+            self.spark, prem, rules, InferConfig(encode_terms=False)
+        )
+        cl = derived.filter(F.col("p") == head)
+        bound: set = set()
+        cols = []
+        for colname, t in (("s", s_t), ("o", o_t), ("g", g_t)):
+            if isinstance(t, Var):
+                if t.name in bound:
+                    # repeated variable: intra-row equality
+                    first = next(
+                        c for c, tt in (("s", s_t), ("o", o_t), ("g", g_t))
+                        if isinstance(tt, Var) and tt.name == t.name
+                    )
+                    cl = cl.filter(F.col(colname) == F.col(first))
+                else:
+                    bound.add(t.name)
+                    cols.append(F.col(colname).alias(t.name))
+            else:
+                cl = cl.filter(F.col(colname) == t.value)
+        if not cols:
+            self._gate_n += 1
+            return _Sol(
+                cl.select(F.lit(1).alias(f"__gate{self._gate_n}")).limit(1),
+                set(), set(),
+            )
+        return _Sol(cl.select(*cols), bound, set())
 
     def join(self, a: _Sol, b: _Sol, how: str) -> _Sol:
         shared = sorted(a.bound & b.bound)
@@ -767,6 +854,10 @@ def sparql_construct(quads: DataFrame, query: str) -> DataFrame:
     for quad in q.template:
         atom = []
         for t in quad:
+            if isinstance(t, Path):
+                raise SparqlParseError(
+                    "property path not allowed in a CONSTRUCT template"
+                )
             if isinstance(t, Var):
                 if t.name not in slots:
                     # range restriction, the analog of UnboundImplied
@@ -914,6 +1005,36 @@ def sparql_not_exists_sql() -> str:
       WHERE c_custkey NOT IN (
         SELECT o_custkey FROM orders WHERE o_orderkey BETWEEN 0 AND 999
       )
+    """
+
+
+# property path: the descendants cone of node:1, closed by the engine's
+# smart-TC fixpoint (oracle: recursive CTE over the same edge derivation)
+GATE_PATH = """
+  SELECT ?d ?g WHERE { GRAPH ?g { ?d <parent>+ <node:1> } }
+"""
+
+
+def sparql_path_gate(spark, sf_dir: str) -> DataFrame:
+    from .ops.quads import tree_edges
+
+    return sparql_select(tree_edges(spark, sf_dir), GATE_PATH)
+
+
+def sparql_path_sql() -> str:
+    from .ops.quads import TREE_G
+
+    return f"""
+      WITH RECURSIVE e AS (
+        SELECT 'node:' || c_custkey AS s, 'node:' || (c_custkey // 2) AS o
+        FROM customer WHERE c_custkey >= 1
+      ),
+      down AS (
+        SELECT s FROM e WHERE o = 'node:1'
+        UNION
+        SELECT e.s FROM e JOIN down ON e.o = down.s
+      )
+      SELECT s AS d, '{TREE_G}' AS g FROM down
     """
 
 

@@ -403,3 +403,33 @@ def test_minus_first_rejected(quads):
         sparql_select(
             quads, "SELECT ?x WHERE { ?x <p> ?y FILTER NOT BOUND(?x) }"
         )
+
+
+def test_property_path_plus(quads):
+    q = "SELECT ?x ?y WHERE { GRAPH <g1> { ?x <knows>+ ?y } }"
+    assert _run(quads, q) == [("a", "b"), ("a", "c"), ("b", "c")]
+    # constant object endpoint
+    q = "SELECT ?x WHERE { GRAPH <g1> { ?x <knows>+ <c> } }"
+    assert _run(quads, q) == [("a",), ("b",)]
+    # path joined with a plain atom in the same BGP
+    q = 'SELECT ?x ?y WHERE { GRAPH <g1> { ?x <knows>+ ?y } ?x a "Person" }'
+    assert _run(quads, q) == [("a", "b"), ("a", "c"), ("b", "c")]
+
+
+def test_property_path_graph_variable_scopes_closure(quads):
+    # closure is per graph: g2's single edge must not compose with g1's
+    q = "SELECT ?g ?x ?y WHERE { GRAPH ?g { ?x <knows>+ ?y } }"
+    got = _run(quads, q)
+    assert got == [("g1", "a", "b"), ("g1", "a", "c"), ("g1", "b", "c"),
+                   ("g2", "c", "a")]
+
+
+def test_property_path_errors(quads):
+    with pytest.raises(SparqlParseError, match="constant predicate"):
+        sparql_select(quads, "SELECT ?x WHERE { ?x ?p+ ?y }")
+    from rify_spark.sparql import sparql_construct
+    with pytest.raises(SparqlParseError, match="CONSTRUCT template"):
+        sparql_construct(
+            quads,
+            "CONSTRUCT { ?x <p>+ ?y } WHERE { GRAPH <g1> { ?x <knows> ?y } }",
+        )
