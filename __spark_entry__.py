@@ -620,6 +620,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_top_ngrams": lambda s, d: text.top_ngrams(_docs(s, d)),
         # training-sequence prep: overlapping token-window chunking
         "docs_chunk": lambda s, d: text.chunk_docs(_docs(s, d)),
+        # concat-then-chunk sequence packing offsets (one window shuffle)
+        "docs_pack": lambda s, d: text.pack_offsets(_docs(s, d)),
         # deduplication
         "dedup_exact": lambda s, d: dedup.exact_dedup(_docs(s, d)),
         "dedup_minhash": lambda s, d: dedup.minhash_signatures(_docs(s, d)),
@@ -775,6 +777,7 @@ def oracle_sql() -> dict[str, str]:
         "text_repetition": text.repetition_sql(),
         "text_top_ngrams": text.top_ngrams_sql(),
         "docs_chunk": text.chunk_docs_sql(),
+        "docs_pack": text.pack_offsets_sql(),
         "dedup_exact": dedup.exact_dedup_sql(),
         "dedup_minhash": dedup.minhash_signatures_sql(),
         "dedup_lsh_pairs": dedup.lsh_candidate_pairs_sql(),

@@ -152,3 +152,8 @@ STOPWORDS = ["the", "a", "and", "of", "to", "in", "is", "for", "with", "on"]
 # covered the tail: n_chunks = max(1, ceil((n_tok - OVERLAP) / STRIDE))
 CHUNK_TOKENS = 64
 CHUNK_OVERLAP = 8
+
+# sequence packing (ops/text.py pack_offsets): fixed token budget per
+# training sequence; documents concatenate in doc_id order and split at
+# budget boundaries (concat-then-chunk)
+PACK_SEQ_TOKENS = 256

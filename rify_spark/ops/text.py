@@ -20,6 +20,7 @@ from .params import (
     CHUNK_TOKENS,
     LANG_EN_MIN_HITS,
     LANG_MARKERS,
+    PACK_SEQ_TOKENS,
     STOPWORDS,
     TOPNGRAM_K,
     TOPNGRAM_N,
@@ -347,4 +348,65 @@ def chunk_docs_sql(
                toks[k * {stride} + 1 : k * {stride} + {chunk}], ' '
              ) AS chunk_text
       FROM e
+    """
+
+
+def pack_offsets(docs: DataFrame, budget: int = PACK_SEQ_TOKENS) -> DataFrame:
+    """Concat-then-chunk sequence packing: documents concatenate in
+    ``doc_id`` order and split into fixed ``budget``-token training
+    sequences; each document gets its global token offset, the sequence
+    it starts in, the offset inside that sequence, and whether it spans a
+    sequence boundary.
+
+    One shuffle: the running-sum window over ``doc_id`` order
+    range-partitions the table (Spark's global-window machinery), which
+    is the scalable form of "concatenate the corpus" — no driver-side
+    sequencing, no per-doc Python.
+    """
+    from pyspark.sql import Window
+
+    n = F.size(F.split("text", " ")).cast("long")
+    w = Window.orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = F.sum(n).over(w)
+    start = (cum - n).alias("global_offset")
+    return docs.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        start,
+    ).select(
+        "doc_id",
+        "n_tokens",
+        "global_offset",
+        F.expr(f"global_offset div {budget}").alias("seq_id"),
+        (F.col("global_offset") % budget).alias("offset_in_seq"),
+        (
+            (F.col("global_offset") % budget) + F.col("n_tokens") > budget
+        ).alias("spans_boundary"),
+    )
+
+
+def pack_offsets_sql(budget: int = PACK_SEQ_TOKENS) -> str:
+    return f"""
+      WITH t AS (
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        FROM documents
+      ),
+      c AS (
+        SELECT doc_id, n_tokens,
+               -- DuckDB types SUM(BIGINT) OVER as HUGEINT; the gate's
+               -- value hash is dtype-sensitive, so pin BIGINT
+               CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+                 ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT)
+                 AS global_offset
+        FROM t
+      )
+      SELECT doc_id, n_tokens, global_offset,
+             global_offset // {budget} AS seq_id,
+             global_offset % {budget} AS offset_in_seq,
+             (global_offset % {budget}) + n_tokens > {budget}
+               AS spans_boundary
+      FROM c
     """

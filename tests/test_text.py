@@ -135,3 +135,20 @@ def test_chunk_docs_rejects_bad_params(spark):
     with _pt.raises(ValueError, match="exceed"):
         chunk_docs(spark.createDataFrame([(1, "x")], "doc_id long, text string"),
                    chunk=4, overlap=4)
+
+
+def test_pack_offsets_concat_then_chunk(spark):
+    from rify_spark.ops.text import pack_offsets
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "d e"), (3, "f g h i")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in pack_offsets(docs, budget=4).collect()}
+    # offsets: doc1 @0 (3 toks), doc2 @3 (2 toks), doc3 @5 (4 toks)
+    assert (out[1].global_offset, out[1].seq_id, out[1].offset_in_seq,
+            out[1].spans_boundary) == (0, 0, 0, False)
+    assert (out[2].global_offset, out[2].seq_id, out[2].offset_in_seq,
+            out[2].spans_boundary) == (3, 0, 3, True)
+    assert (out[3].global_offset, out[3].seq_id, out[3].offset_in_seq,
+            out[3].spans_boundary) == (5, 1, 1, True)
