@@ -359,3 +359,99 @@ def test_nquads_literal_parse_matches_python_escaper(spark, rows):
     got = sorted((r.s, r.p, r.o) for r in out)
     want = sorted((s, p, lit) for s, p, lit in rows)
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# property 8: SPARQL BGP evaluation vs a brute-force unification oracle
+# ---------------------------------------------------------------------------
+
+_SPQ_TERMS = ("t0", "t1", "t2")
+_SPQ_GRAPHS = ("g0", "g1")
+_spq_quads_st = st.lists(
+    st.tuples(
+        st.sampled_from(_SPQ_TERMS), st.sampled_from(("p0", "p1")),
+        st.sampled_from(_SPQ_TERMS), st.sampled_from(_SPQ_GRAPHS),
+    ),
+    min_size=0, max_size=12,
+)
+# an atom slot: a variable (x/y/z) or a constant drawn from the alphabet
+_spq_slot = st.one_of(
+    st.sampled_from(["?x", "?y", "?z"]),
+    st.sampled_from(list(_SPQ_TERMS)),
+)
+_spq_atoms_st = st.lists(
+    st.tuples(
+        _spq_slot,
+        st.one_of(st.sampled_from(["?p"]), st.sampled_from(["p0", "p1"])),
+        _spq_slot,
+        st.sampled_from(list(_SPQ_GRAPHS) + ["?g"]),
+    ),
+    min_size=1, max_size=3,
+)
+
+
+def _spq_bruteforce(quads, atoms):
+    """All variable assignments satisfying the conjunction — direct
+    backtracking over the quad list, no engine code."""
+    sols = [dict()]
+    for atom in atoms:
+        nxt = []
+        for env in sols:
+            for q in quads:
+                e = dict(env)
+                ok = True
+                for slot, val in zip(atom, q):
+                    if slot.startswith("?"):
+                        if e.get(slot, val) != val:
+                            ok = False
+                            break
+                        e[slot] = val
+                    elif slot != val:
+                        ok = False
+                        break
+                if ok:
+                    nxt.append(e)
+        sols = nxt
+    return sols
+
+
+@settings(max_examples=10 * _SCALE, **_SETTINGS)
+@given(quads=_spq_quads_st, atoms=_spq_atoms_st)
+def test_sparql_bgp_matches_bruteforce(spark, quads, atoms):
+    from rify_spark.sparql import sparql_select
+
+    # dedupe the quad store: with duplicate store rows a fully-constant
+    # atom is a limit-1 existence gate in the engine (set semantics)
+    # while the brute force would multiply — distinct input makes both
+    # sides agree on multiplicities everywhere
+    quads = sorted(set(quads))
+    varnames = sorted(
+        {s[1:] for a in atoms for s in a if s.startswith("?")}
+    )
+    if not varnames:
+        return  # fully-constant query: covered by the ASK/gate tests
+    # wrap each atom in its graph context
+    parts = []
+    for a in atoms:
+        terms = " ".join(
+            s if s.startswith("?") else f"<{s}>" for s in a[:3]
+        )
+        g = a[3]
+        if g.startswith("?"):
+            parts.append(f"GRAPH {g} {{ {terms} }}")
+        else:
+            parts.append(f"GRAPH <{g}> {{ {terms} }}")
+    q = "SELECT {} WHERE {{ {} }}".format(
+        " ".join("?" + v for v in varnames), " ".join(parts)
+    )
+    df = spark.createDataFrame(
+        quads or [("x", "x", "x", "x")], SCHEMA
+    )
+    if not quads:
+        df = df.limit(0)
+    got = sorted(tuple(r) for r in sparql_select(df, q).collect())
+    want = sorted(
+        tuple(e.get("?" + v) for v in varnames)
+        for e in _spq_bruteforce(quads, atoms)
+    )
+    assert got == want
