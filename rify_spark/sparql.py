@@ -40,6 +40,9 @@ Supported subset (documented contract, errors otherwise):
     its group);
   * ``{ ... } UNION { ... }`` — branch solutions padded to the union of
     their variables (missing vars null/unbound) and unioned;
+  * ``VALUES ?x { ... }`` / ``VALUES (?x ?y) { (..) .. }`` inline
+    bindings with ``UNDEF`` (an UNDEF column is possibly-unbound and
+    follows the same subset restriction as OPTIONAL vars);
   * nested ``{ }`` groups; each contiguous triple block compiles through
     ``matcher.bindings`` as ONE join chain, and group elements combine
     with DataFrame joins;
@@ -151,6 +154,12 @@ class Minus:
 
 
 @dataclass
+class ValuesBlock:
+    names: list  # variable names
+    rows: list  # list[tuple[str | None, ...]] — None == UNDEF
+
+
+@dataclass
 class UnionNode:
     branches: list  # list[Group] -> padded unionByName
 
@@ -171,6 +180,8 @@ def _walk_patterns(node) -> list:
         elif isinstance(e, UnionNode):
             for b in e.branches:
                 out.extend(_walk_patterns(b))
+        elif isinstance(e, ValuesBlock):
+            pass  # no quad patterns; _var_order handles its names
         else:
             out.extend(_walk_patterns(e))
     return out
@@ -338,6 +349,9 @@ class _Parser:
             elif kind == "kw" and tok.upper() == "MINUS":
                 self.next()
                 node.elems.append(Minus(self.group_node(graph)))
+            elif kind == "kw" and tok.upper() == "VALUES":
+                self.next()
+                node.elems.append(self.values_block())
             elif kind == "kw" and tok.upper() == "FILTER":
                 if not allow_filter:
                     raise SparqlParseError(
@@ -409,6 +423,55 @@ class _Parser:
         kind, tok = self.peek()
         if kind == "op" and tok == ".":
             self.next()
+
+    def values_block(self) -> ValuesBlock:
+        """``VALUES ?x { t... }`` or ``VALUES (?x ?y) { (t t) ... }``;
+        ``UNDEF`` leaves that variable unbound (null) in the row."""
+        kind, tok = self.peek()
+        if kind == "var":
+            names = [self.next()[1][1:]]
+            single = True
+        elif kind == "op" and tok == "(":
+            self.next()
+            names = []
+            while self.peek()[0] == "var":
+                names.append(self.next()[1][1:])
+            self.expect(")")
+            if not names:
+                raise SparqlParseError("VALUES needs at least one variable")
+            single = False
+        else:
+            raise SparqlParseError("VALUES needs ?var or (?var ...)")
+
+        def one_value():
+            k, t = self.peek()
+            if k == "kw" and t.upper() == "UNDEF":
+                self.next()
+                return None
+            v = self.term()
+            if isinstance(v, Var):
+                raise SparqlParseError("VALUES rows take constants/UNDEF")
+            return v.value
+
+        rows = []
+        self.expect("{")
+        while True:
+            k, t = self.peek()
+            if k == "op" and t == "}":
+                self.next()
+                break
+            if single:
+                rows.append((one_value(),))
+            else:
+                self.expect("(")
+                row = []
+                for _ in names:
+                    row.append(one_value())
+                self.expect(")")
+                rows.append(tuple(row))
+        if not rows:
+            raise SparqlParseError("empty VALUES block")
+        return ValuesBlock(names, rows)
 
     _OPS = {"=", "!=", "<", "<=", ">", ">="}
 
@@ -712,6 +775,19 @@ class _Eval:
                 s = self.bgp(e.patterns)
             elif isinstance(e, UnionNode):
                 s = self.union(e)
+            elif isinstance(e, ValuesBlock):
+                df = self.spark.createDataFrame(
+                    e.rows, ", ".join(f"{n} string" for n in e.names)
+                )
+                s = _Sol(
+                    df,
+                    set(e.names),
+                    {
+                        n
+                        for i, n in enumerate(e.names)
+                        if any(r[i] is None for r in e.rows)
+                    },
+                )
             else:
                 s = self.group(e)
             acc = s if acc is None else self.join(acc, s, "inner")
@@ -761,10 +837,28 @@ class _Eval:
 def _var_order(q: _Parser) -> list:
     """Variable names in first syntactic appearance order (SELECT *)."""
     seen: list = []
-    for quad in q.patterns:
-        for t in quad:
-            if isinstance(t, Var) and t.name not in seen:
-                seen.append(t.name)
+
+    def walk(node):
+        for e in node.elems:
+            if isinstance(e, Bgp):
+                for quad in e.patterns:
+                    for t in quad:
+                        if isinstance(t, Var) and t.name not in seen:
+                            seen.append(t.name)
+            elif isinstance(e, ValuesBlock):
+                for n in e.names:
+                    if n not in seen:
+                        seen.append(n)
+            elif isinstance(e, (Opt, Minus)):
+                walk(e.node)
+            elif isinstance(e, UnionNode):
+                for b in e.branches:
+                    walk(b)
+            else:
+                walk(e)
+
+    if q.root:
+        walk(q.root)
     return seen
 
 

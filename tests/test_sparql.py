@@ -433,3 +433,45 @@ def test_property_path_errors(quads):
             quads,
             "CONSTRUCT { ?x <p>+ ?y } WHERE { GRAPH <g1> { ?x <knows> ?y } }",
         )
+
+
+def test_values_single_var_join(quads):
+    q = """
+      SELECT ?x ?y WHERE {
+        VALUES ?x { <a> <c> }
+        GRAPH ?g { ?x <knows> ?y }
+      }
+    """
+    assert _run(quads, q) == [("a", "b"), ("c", "a")]
+
+
+def test_values_multi_var_and_undef(quads):
+    q = """
+      SELECT ?x ?t WHERE {
+        GRAPH <g1> { ?x <knows> ?y }
+        VALUES (?x ?t) { (<a> "first") (UNDEF "wild") }
+      }
+    """
+    # UNDEF ?x joins nothing (possibly-unbound join key is rejected)
+    with pytest.raises(SparqlParseError, match="possibly-unbound"):
+        sparql_select(quads, q)
+    q = """
+      SELECT ?x ?t WHERE {
+        GRAPH <g1> { ?x <knows> ?y }
+        VALUES (?x ?t) { (<a> "first") (<b> UNDEF) }
+      }
+    """
+    assert _run(quads, q) == [("a", "first"), ("b", None)]
+
+
+def test_values_standalone(quads):
+    q = 'SELECT ?v WHERE { VALUES ?v { "1" "2" "2" } }'
+    # bag semantics: duplicates preserved
+    assert _run(quads, q) == [("1",), ("2",), ("2",)]
+
+
+def test_values_errors(quads):
+    with pytest.raises(SparqlParseError, match="constants"):
+        sparql_select(quads, "SELECT ?v WHERE { VALUES ?v { ?w } }")
+    with pytest.raises(SparqlParseError, match="empty VALUES"):
+        sparql_select(quads, "SELECT ?v WHERE { VALUES ?v { } }")
