@@ -513,6 +513,18 @@ def _q_sparql_path(spark, sf_dir):
     return sparql_path_gate(spark, sf_dir)
 
 
+def _q_sparql_agg_count(spark, sf_dir):
+    from rify_spark.sparql import sparql_agg_count_gate
+
+    return sparql_agg_count_gate(spark, sf_dir)
+
+
+def _q_sparql_agg_sum(spark, sf_dir):
+    from rify_spark.sparql import sparql_agg_sum_gate
+
+    return sparql_agg_sum_gate(spark, sf_dir)
+
+
 def _q_rdf_parse(spark, sf_dir):
     from rify_spark.rdf import rdf_nquads_parse
 
@@ -607,6 +619,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_not_exists": _q_sparql_not_exists,
         # property path <p>+ executed by the engine's smart-TC fixpoint
         "sparql_path": _q_sparql_path,
+        # aggregates: GROUP BY + COUNT/COUNT DISTINCT through an OPTIONAL
+        # (one partial-aggregating shuffle), and SUM/MIN/MAX over integer
+        # lexemes with a hidden HAVING aggregate
+        "sparql_agg_count": _q_sparql_agg_count,
+        "sparql_agg_sum": _q_sparql_agg_sum,
         # KG construction
         "kg_extract_mentions": _q_kg_mentions,
         "kg_pipeline_derived": _q_kg_pipeline,
@@ -762,6 +779,8 @@ def oracle_sql() -> dict[str, str]:
         "sparql_union": _sparql_sql("sparql_union_sql"),
         "sparql_not_exists": _sparql_sql("sparql_not_exists_sql"),
         "sparql_path": _sparql_sql("sparql_path_sql"),
+        "sparql_agg_count": _sparql_sql("sparql_agg_count_sql"),
+        "sparql_agg_sum": _sparql_sql("sparql_agg_sum_sql"),
         "kg_pipeline_derived": KG_PIPELINE_SQL,
         "kg_extract_mentions": """
             SELECT DISTINCT doc_id, tok AS mention FROM (

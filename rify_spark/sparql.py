@@ -46,6 +46,19 @@ Supported subset (documented contract, errors otherwise):
   * nested ``{ }`` groups; each contiguous triple block compiles through
     ``matcher.bindings`` as ONE join chain, and group elements combine
     with DataFrame joins;
+  * aggregates: ``SELECT (COUNT(*) AS ?n) (COUNT([DISTINCT] ?v) AS ?c)
+    (SUM(?v) AS ?s) (MIN(?v) AS ?lo) (MAX(?v) AS ?hi) ?g ... GROUP BY
+    ?g ... HAVING (COUNT(*) > 3 && ...)`` — one partial-aggregating
+    shuffle (``groupBy(...).agg(...)``; map-side combine, so a hot group
+    key costs its combiner, not a skewed reduce). The engine's term
+    space is opaque strings, so ``SUM`` casts the lexeme to a 64-bit
+    integer (non-integer lexemes contribute NULL and are skipped — the
+    SQL twin is ``SUM(TRY_CAST(v AS BIGINT))``); ``MIN``/``MAX`` compare
+    lexicographically; every plain selected variable must be GROUPed BY;
+    grouping by a possibly-unbound variable puts the unbound rows in one
+    NULL group (Spark's and SQL's shared convention); ``HAVING`` takes
+    aggregate-vs-constant comparisons (integer constants for
+    COUNT/SUM, string constants for MIN/MAX);
   * ``ORDER BY [ASC|DESC](?v)``, ``LIMIT n``, ``OFFSET n``.
 
 Subset restriction (raises rather than silently approximating): a
@@ -53,9 +66,10 @@ variable that can be UNBOUND (introduced under OPTIONAL, or missing from
 some UNION branch) may appear in FILTERs and in SELECT, but not as a
 later join key between group elements and not in a CONSTRUCT template —
 SPARQL's unbound-compatible join semantics is the one piece of the
-algebra this compiler does not implement. Also not supported: property
-paths, subqueries, aggregates, blank-node syntax, numeric-typed
-comparisons.
+algebra this compiler does not implement. Also not supported:
+blank-node syntax, numeric-typed FILTER comparisons, AVG/SAMPLE/
+GROUP_CONCAT aggregates, aggregate expressions over anything but a
+single variable.
 """
 
 from __future__ import annotations
@@ -120,6 +134,23 @@ class Var:
 @dataclass(frozen=True)
 class Const:
     value: str
+
+
+@dataclass(frozen=True)
+class Agg:
+    """One ``(FUNC([DISTINCT] ?v | *) AS ?alias)`` SELECT item or the
+    FUNC(...) half of a HAVING comparison (``alias`` is None there)."""
+
+    func: str  # COUNT | SUM | MIN | MAX
+    var: str | None  # None == COUNT(*)
+    distinct: bool
+    alias: str | None
+
+    @property
+    def key(self):
+        """Identity of the computed aggregate, ignoring the alias — a
+        HAVING aggregate that matches a selected one reuses its column."""
+        return (self.func, self.var, self.distinct)
 
 
 @dataclass(frozen=True)
@@ -196,10 +227,21 @@ class _Parser:
         self.root: Group | None = None  # the WHERE group
         self.template: list = []  # CONSTRUCT head quads
         self.select: list | None = None  # None == SELECT *
+        self.projection: list = []  # ("var", name) | Agg — SELECT order
+        self.group_by: list = []  # variable names
+        self.having: list = []  # (Agg, op, py-literal)
         self.distinct = False
         self.order: list = []  # (Var, descending)
         self.limit: int | None = None
         self.offset: int | None = None
+
+    @property
+    def is_aggregate(self) -> bool:
+        return (
+            bool(self.group_by)
+            or bool(self.having)
+            or any(isinstance(it, Agg) for it in self.projection)
+        )
 
     @property
     def patterns(self) -> list:
@@ -279,10 +321,35 @@ class _Parser:
                 self.select = None
             else:
                 self.select = []
-                while self.peek()[0] == "var":
-                    self.select.append(self.next()[1][1:])
+                while True:
+                    kind, tok = self.peek()
+                    if kind == "var":
+                        name = self.next()[1][1:]
+                        self.select.append(name)
+                        self.projection.append(("var", name))
+                    elif kind == "op" and tok == "(":
+                        self.next()
+                        agg = self.agg_expr()
+                        self.expect("AS")
+                        k2, t2 = self.next()
+                        if k2 != "var":
+                            raise SparqlParseError(
+                                "aggregate needs 'AS ?alias'"
+                            )
+                        self.expect(")")
+                        alias = t2[1:]
+                        self.select.append(alias)
+                        self.projection.append(
+                            Agg(agg.func, agg.var, agg.distinct, alias)
+                        )
+                    else:
+                        break
                 if not self.select:
                     raise SparqlParseError("SELECT needs ?vars or *")
+                if len(set(self.select)) != len(self.select):
+                    raise SparqlParseError(
+                        "duplicate name in the SELECT clause"
+                    )
             self.kw("WHERE")
             self.root = self.group_node(Const(DEFAULT_GRAPH))
             self.modifiers()
@@ -516,7 +583,77 @@ class _Parser:
             raise SparqlParseError(f"unsupported FILTER operator {op!r}")
         return (op, lhs, self.term())
 
+    _AGG_FUNCS = {"COUNT", "SUM", "MIN", "MAX"}
+
+    def agg_expr(self) -> Agg:
+        """``FUNC([DISTINCT] ?v)`` or ``COUNT([DISTINCT] *)`` — the
+        single-variable aggregate subset (no expressions under the
+        aggregate; alias filled in by the caller)."""
+        kind, tok = self.next()
+        func = tok.upper()
+        if kind != "kw" or func not in self._AGG_FUNCS:
+            raise SparqlParseError(
+                f"expected aggregate COUNT/SUM/MIN/MAX, got {tok!r}"
+            )
+        self.expect("(")
+        distinct = self.kw("DISTINCT")
+        kind, tok = self.peek()
+        if kind == "op" and tok == "*":
+            self.next()
+            if func != "COUNT":
+                raise SparqlParseError(f"{func}(*) is not an aggregate")
+            var = None
+        elif kind == "var":
+            var = self.next()[1][1:]
+        else:
+            raise SparqlParseError(
+                f"aggregate argument must be ?var or *, got {tok!r}"
+            )
+        self.expect(")")
+        return Agg(func, var, distinct, None)
+
     def modifiers(self):
+        if self.kw("GROUP"):
+            self.expect("BY")
+            while self.peek()[0] == "var":
+                self.group_by.append(self.next()[1][1:])
+            if not self.group_by:
+                raise SparqlParseError("GROUP BY needs ?variables")
+        if self.kw("HAVING"):
+            self.expect("(")
+            while True:
+                agg = self.agg_expr()
+                kind, op = self.next()
+                if op not in self._OPS:
+                    raise SparqlParseError(
+                        f"unsupported HAVING operator {op!r}"
+                    )
+                kind, tok = self.next()
+                if kind == "num":
+                    val = int(tok)
+                    if agg.func in ("MIN", "MAX"):
+                        raise SparqlParseError(
+                            f"HAVING {agg.func} compares string terms — "
+                            "use a quoted constant"
+                        )
+                elif kind == "string":
+                    val = tok[1:-1]
+                    if agg.func in ("COUNT", "SUM"):
+                        raise SparqlParseError(
+                            f"HAVING {agg.func} compares integers — "
+                            "use a numeric constant"
+                        )
+                else:
+                    raise SparqlParseError(
+                        "HAVING compares an aggregate to a constant"
+                    )
+                self.having.append((agg, op, val))
+                kind, tok = self.peek()
+                if kind == "op" and tok == "&&":
+                    self.next()
+                    continue
+                break
+            self.expect(")")
         if self.kw("ORDER"):
             self.expect("BY")
             while True:
@@ -862,6 +999,99 @@ def _var_order(q: _Parser) -> list:
     return seen
 
 
+def _agg_column(agg: Agg, sol: _Sol, name: str):
+    """One aggregate -> a Spark aggregate expression aliased ``name``.
+
+    COUNT counts non-null (non-unbound) bindings — SPARQL's
+    skip-the-errors semantics is exactly Spark's null-skipping; SUM casts
+    the opaque string lexeme to BIGINT (non-integer lexemes -> NULL,
+    skipped; SQL twin: SUM(TRY_CAST(v AS BIGINT))); MIN/MAX compare
+    lexicographically (binary collation in both engines)."""
+    if agg.var is not None and agg.var not in sol.bound:
+        raise SparqlParseError(
+            f"aggregate variable ?{agg.var} not bound in the pattern"
+        )
+    if agg.func == "COUNT":
+        if agg.var is None:
+            if agg.distinct:
+                cols = [F.col(v) for v in sorted(sol.bound)]
+                return F.count_distinct(*cols).alias(name)
+            return F.count(F.lit(1)).alias(name)
+        if agg.distinct:
+            return F.count_distinct(F.col(agg.var)).alias(name)
+        return F.count(F.col(agg.var)).alias(name)
+    if agg.func == "SUM":
+        # try_cast, not cast: ANSI mode would throw on a non-numeric
+        # lexeme; the contract is NULL -> skipped (TRY_CAST in the twin)
+        c = F.col(agg.var).try_cast("long")
+        e = F.sum_distinct(c) if agg.distinct else F.sum(c)
+        return e.alias(name)
+    # MIN/MAX: DISTINCT is a no-op on extrema
+    fn = F.min if agg.func == "MIN" else F.max
+    return fn(F.col(agg.var)).alias(name)
+
+
+def _aggregate(sol: _Sol, q: _Parser) -> DataFrame:
+    """GROUP BY / aggregate evaluation: ONE partial-aggregating shuffle
+    (map-side combine keeps a hot group key linear in its partition
+    count, not its row count), HAVING as a post-aggregation filter that
+    reuses a selected aggregate's column when the expression matches."""
+    if q.select is None:
+        raise SparqlParseError(
+            "SELECT * cannot be combined with GROUP BY / aggregates"
+        )
+    for g in q.group_by:
+        if g not in sol.bound:
+            raise SparqlParseError(
+                f"GROUP BY variable ?{g} not bound in the pattern"
+            )
+    grouped = set(q.group_by)
+    for it in q.projection:
+        if isinstance(it, Agg):
+            continue
+        _, n = it
+        if n not in sol.bound:
+            raise SparqlParseError(
+                f"selected variable ?{n} not bound in the pattern"
+            )
+        if n not in grouped:
+            raise SparqlParseError(
+                f"selected variable ?{n} must appear in GROUP BY when "
+                "the query aggregates"
+            )
+    exprs, by_key = [], {}
+    for it in q.projection:
+        if isinstance(it, Agg):
+            if it.alias in grouped:
+                raise SparqlParseError(
+                    f"aggregate alias ?{it.alias} collides with a "
+                    "GROUP BY variable"
+                )
+            exprs.append(_agg_column(it, sol, it.alias))
+            by_key[it.key] = it.alias
+    hidden = []
+    for agg, _op, _val in q.having:
+        if agg.key not in by_key:
+            name = f"__h{len(hidden)}"
+            exprs.append(_agg_column(agg, sol, name))
+            by_key[agg.key] = name
+            hidden.append(name)
+    if exprs:
+        gdf = sol.df.groupBy(*[F.col(g) for g in q.group_by]).agg(*exprs)
+    else:
+        # pure GROUP BY projection: the distinct group keys
+        gdf = sol.df.select(*q.group_by).distinct()
+    for agg, op, val in q.having:
+        c, lv = F.col(by_key[agg.key]), F.lit(val)
+        gdf = gdf.filter(
+            {
+                "=": c == lv, "!=": c != lv, "<": c < lv,
+                "<=": c <= lv, ">": c > lv, ">=": c >= lv,
+            }[op]
+        )
+    return gdf.select(*q.select)
+
+
 def sparql_select(quads: DataFrame, query: str) -> DataFrame:
     """Run a SPARQL SELECT over a decoded ``(s, p, o, g)`` quad DataFrame.
 
@@ -878,19 +1108,24 @@ def sparql_select(quads: DataFrame, query: str) -> DataFrame:
         )
     sol = _Eval(quads).group(q.root)
     names = [v for v in _var_order(q) if v in sol.bound]
-    if q.select is not None:
+    if q.is_aggregate:
+        df = _aggregate(sol, q)
+        out_names = list(q.select)
+    elif q.select is not None:
         missing = [v for v in q.select if v not in sol.bound]
         if missing:
             raise SparqlParseError(
                 f"selected variables not in pattern: {missing}"
             )
         df = sol.df.select(*q.select)
+        out_names = list(q.select)
     else:
         df = sol.df.select(*names) if names else sol.df
+        out_names = names
     if q.distinct:
         df = df.distinct()
     for v, desc in q.order:
-        if v.name not in (q.select if q.select is not None else names):
+        if v.name not in out_names:
             raise SparqlParseError(
                 f"ORDER BY ?{v.name} must be a selected variable"
             )
@@ -1159,6 +1394,85 @@ def sparql_construct_sql() -> str:
              'region:' || n_regionkey AS o,
              'graph://derived' AS g
       FROM customer JOIN nation ON c_nationkey = n_nationkey
+    """
+
+
+# aggregates over the left-join algebra: per-nation order/customer counts
+# through an OPTIONAL (customers without orders count 0 orders but 1
+# customer), HAVING reusing the selected COUNT column
+GATE_AGG_COUNT = """
+  SELECT ?nation (COUNT(?order) AS ?n_orders) (COUNT(DISTINCT ?cust) AS ?n_cust)
+  WHERE {
+    GRAPH <graph://tpch> {
+      ?cust <in_nation> ?nation
+      OPTIONAL { ?order <placed_by> ?cust }
+    }
+  } GROUP BY ?nation HAVING (COUNT(?order) >= 10)
+"""
+
+# SUM over integer lexemes + MAX over the raw lexeme (lexicographic — the
+# documented opaque-term contract: '999...' can exceed '10000...'), with a
+# hidden HAVING aggregate (MIN) that never reaches the output schema
+GATE_AGG_SUM = """
+  SELECT ?cust (SUM(?t) AS ?total_cents) (MAX(?t) AS ?max_lex)
+  WHERE {
+    GRAPH <graph://tpch> {
+      ?o <placed_by> ?cust .
+      ?o <total_cents> ?t
+    }
+  } GROUP BY ?cust HAVING (MIN(?t) != "0" && SUM(?t) > 0)
+"""
+
+
+def _order_total_quads(spark, sf_dir: str) -> DataFrame:
+    """tpch_quads plus ``order:N <total_cents> "<int>"`` literals —
+    FLOOR(o_totalprice * 100): the same IEEE double multiply + floor in
+    both engines, so the lexeme is bit-identical to the SQL twin's."""
+    from .ops.quads import tpch_quads
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    totals = orders.select(
+        F.concat(F.lit("order:"), F.col("o_orderkey")).alias("s"),
+        F.lit("total_cents").alias("p"),
+        F.floor(F.col("o_totalprice") * 100).cast("string").alias("o"),
+        F.lit("graph://tpch").alias("g"),
+    )
+    return tpch_quads(spark, sf_dir).unionByName(totals)
+
+
+def sparql_agg_count_gate(spark, sf_dir: str) -> DataFrame:
+    from .ops.quads import tpch_quads
+
+    return sparql_select(tpch_quads(spark, sf_dir), GATE_AGG_COUNT)
+
+
+def sparql_agg_count_sql() -> str:
+    return """
+      SELECT 'nation:' || c.c_nationkey AS nation,
+             CAST(COUNT(o.o_orderkey) AS BIGINT) AS n_orders,
+             CAST(COUNT(DISTINCT c.c_custkey) AS BIGINT) AS n_cust
+      FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_nationkey
+      HAVING COUNT(o.o_orderkey) >= 10
+    """
+
+
+def sparql_agg_sum_gate(spark, sf_dir: str) -> DataFrame:
+    return sparql_select(_order_total_quads(spark, sf_dir), GATE_AGG_SUM)
+
+
+def sparql_agg_sum_sql() -> str:
+    return """
+      SELECT 'cust:' || o_custkey AS cust,
+             CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS total_cents,
+             MAX(CAST(CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS VARCHAR))
+               AS max_lex
+      FROM orders
+      GROUP BY o_custkey
+      HAVING MIN(CAST(CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS VARCHAR))
+               <> '0'
+         AND SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) > 0
     """
 
 

@@ -475,3 +475,107 @@ def test_values_errors(quads):
         sparql_select(quads, "SELECT ?v WHERE { VALUES ?v { ?w } }")
     with pytest.raises(SparqlParseError, match="empty VALUES"):
         sparql_select(quads, "SELECT ?v WHERE { VALUES ?v { } }")
+
+
+# --- aggregates: GROUP BY / COUNT / SUM / MIN / MAX / HAVING -----------------
+
+def test_group_by_count(quads):
+    q = """
+      SELECT ?x (COUNT(?y) AS ?n) WHERE { GRAPH <g1> { ?x <knows> ?y } }
+      GROUP BY ?x ORDER BY ?x
+    """
+    assert _run(quads, q) == [("a", 1), ("b", 1)]
+
+
+def test_global_aggregates_sum_skips_non_integer_lexemes(quads):
+    # SUM casts the opaque lexeme to BIGINT; 'x' -> NULL -> skipped
+    more = quads.sparkSession.createDataFrame(
+        [("c", "age", "x", "default_graph")],
+        "s string, p string, o string, g string",
+    )
+    q = """
+      SELECT (SUM(?v) AS ?s) (MIN(?v) AS ?lo) (MAX(?v) AS ?hi)
+             (COUNT(*) AS ?n)
+      WHERE { ?x <age> ?v }
+    """
+    got = _run(quads.unionByName(more), q)
+    assert got == [(3, "3", "x", 2)]
+
+
+def test_global_aggregate_on_empty_pattern_is_one_row(quads):
+    q = "SELECT (COUNT(*) AS ?n) WHERE { ?x <nope> ?y }"
+    assert _run(quads, q) == [(0,)]
+
+
+def test_count_distinct_and_optional_unbound_skipped(quads):
+    # ?z is unbound for ?y without an age edge; COUNT skips the nulls
+    q = """
+      SELECT ?x (COUNT(DISTINCT ?z) AS ?n) WHERE {
+        GRAPH <g1> { ?x <knows> ?y }
+        OPTIONAL { ?y <age> ?z }
+      } GROUP BY ?x ORDER BY ?x
+    """
+    # a knows b (b has no age in default graph... b age? only a has age 3)
+    got = _run(quads, q)
+    assert got == [("a", 0), ("b", 0)]
+
+
+def test_having_reuses_selected_aggregate_column(quads):
+    q = """
+      SELECT ?g (COUNT(*) AS ?n) WHERE { GRAPH ?g { ?s ?p ?o } }
+      GROUP BY ?g HAVING (COUNT(*) >= 2) ORDER BY ?g
+    """
+    assert _run(quads, q) == [("default_graph", 3), ("g1", 2)]
+
+
+def test_having_hidden_aggregate_and_string_comparison(quads):
+    q = """
+      SELECT ?g (COUNT(*) AS ?n) WHERE { GRAPH ?g { ?s <knows> ?o } }
+      GROUP BY ?g HAVING (MIN(?s) <= "b" && COUNT(*) >= 1) ORDER BY ?g
+    """
+    # hidden MIN(?s) column computed, filtered on, then dropped
+    got = _run(quads, q)
+    assert got == [("g1", 2)]
+    cols = sparql_select(quads, q).columns
+    assert cols == ["g", "n"]
+
+
+def test_pure_group_by_is_distinct_keys(quads):
+    q = "SELECT ?p WHERE { GRAPH ?g { ?s ?p ?o } } GROUP BY ?p ORDER BY ?p"
+    assert _run(quads, q) == [("age",), (RDF_TYPE,), ("knows",)]
+
+
+def test_order_by_aggregate_alias(quads):
+    q = """
+      SELECT ?p (COUNT(*) AS ?n) WHERE { GRAPH ?g { ?s ?p ?o } }
+      GROUP BY ?p ORDER BY DESC(?n) ?p LIMIT 2
+    """
+    assert [tuple(r) for r in sparql_select(quads, q).collect()] == [
+        ("knows", 3), (RDF_TYPE, 2)
+    ]
+
+
+def test_aggregate_errors(quads):
+    cases = [
+        ("SELECT ?x (COUNT(?y) AS ?n) WHERE { GRAPH <g1> { ?x <knows> ?y } }",
+         "must appear in GROUP BY"),
+        ("SELECT * WHERE { GRAPH <g1> { ?x <knows> ?y } } GROUP BY ?x",
+         r"SELECT \*"),
+        ("SELECT (AVG(?y) AS ?a) WHERE { GRAPH <g1> { ?x <knows> ?y } }",
+         "COUNT/SUM/MIN/MAX"),
+        ("SELECT (COUNT(?y) AS ?n) WHERE { GRAPH <g1> { ?x <knows> ?y } }"
+         ' HAVING (MIN(?y) > 3)', "quoted constant"),
+        ("SELECT (COUNT(?y) AS ?n) WHERE { GRAPH <g1> { ?x <knows> ?y } }"
+         ' HAVING (COUNT(?y) > "b")', "numeric constant"),
+        ("SELECT ?x (COUNT(?y) AS ?x) WHERE { GRAPH <g1> { ?x <knows> ?y } }"
+         " GROUP BY ?x", "duplicate name"),
+        ("SELECT (SUM(*) AS ?s) WHERE { GRAPH <g1> { ?x <knows> ?y } }",
+         "not an aggregate"),
+        ("SELECT (COUNT(?zz) AS ?n) WHERE { GRAPH <g1> { ?x <knows> ?y } }",
+         "not bound"),
+        ("SELECT (COUNT(?y) AS ?n) WHERE { GRAPH <g1> { ?x <knows> ?y } }"
+         " GROUP BY ?zz", "not bound"),
+    ]
+    for q, pat in cases:
+        with pytest.raises(SparqlParseError, match=pat):
+            sparql_select(quads, q).collect()
