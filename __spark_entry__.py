@@ -513,6 +513,18 @@ def _q_sparql_path(spark, sf_dir):
     return sparql_path_gate(spark, sf_dir)
 
 
+def _q_sparql_path_expr(spark, sf_dir):
+    from rify_spark.sparql import sparql_path_expr_gate
+
+    return sparql_path_expr_gate(spark, sf_dir)
+
+
+def _q_sparql_path_star(spark, sf_dir):
+    from rify_spark.sparql import sparql_path_star_gate
+
+    return sparql_path_star_gate(spark, sf_dir)
+
+
 def _q_sparql_agg_count(spark, sf_dir):
     from rify_spark.sparql import sparql_agg_count_gate
 
@@ -619,6 +631,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_not_exists": _q_sparql_not_exists,
         # property path <p>+ executed by the engine's smart-TC fixpoint
         "sparql_path": _q_sparql_path,
+        # path expressions: ^/sequence composition (pure join chain) and
+        # the zero-or-more closure with its zero-length identity
+        "sparql_path_expr": _q_sparql_path_expr,
+        "sparql_path_star": _q_sparql_path_star,
         # aggregates: GROUP BY + COUNT/COUNT DISTINCT through an OPTIONAL
         # (one partial-aggregating shuffle), and SUM/MIN/MAX over integer
         # lexemes with a hidden HAVING aggregate
@@ -779,6 +795,8 @@ def oracle_sql() -> dict[str, str]:
         "sparql_union": _sparql_sql("sparql_union_sql"),
         "sparql_not_exists": _sparql_sql("sparql_not_exists_sql"),
         "sparql_path": _sparql_sql("sparql_path_sql"),
+        "sparql_path_expr": _sparql_sql("sparql_path_expr_sql"),
+        "sparql_path_star": _sparql_sql("sparql_path_star_sql"),
         "sparql_agg_count": _sparql_sql("sparql_agg_count_sql"),
         "sparql_agg_sum": _sparql_sql("sparql_agg_sum_sql"),
         "kg_pipeline_derived": KG_PIPELINE_SQL,

@@ -46,6 +46,17 @@ Supported subset (documented contract, errors otherwise):
   * nested ``{ }`` groups; each contiguous triple block compiles through
     ``matcher.bindings`` as ONE join chain, and group elements combine
     with DataFrame joins;
+  * property-path expressions in predicate position over constant
+    predicates: ``^p`` (inverse), ``p1/p2`` (sequence — an equi-join on
+    the middle node within the same graph), ``p1|p2`` (alternation),
+    ``p+`` / ``p*`` (transitive closure, executed by the inference
+    engine's fixpoint — the pure-TC shape auto-delegates to the
+    O(log depth) smart-TC strategy), ``p?`` (zero-or-one), and
+    parenthesised combinations. Set semantics throughout (SPARQL's
+    closures are distinct-node too; its ``/`` and ``|`` are
+    bag-semantics — a documented divergence, matching the engine's
+    set-based store). The zero-length path relates each term occurring
+    as a subject or object in the (graph-scoped) data to itself;
   * aggregates: ``SELECT (COUNT(*) AS ?n) (COUNT([DISTINCT] ?v) AS ?c)
     (SUM(?v) AS ?s) (MIN(?v) AS ?lo) (MAX(?v) AS ?hi) ?g ... GROUP BY
     ?g ... HAVING (COUNT(*) > 3 && ...)`` — one partial-aggregating
@@ -101,7 +112,7 @@ _TOKEN_RE = re.compile(
     | (?P<pname>(?:[A-Za-z_][A-Za-z0-9_-]*)?:[A-Za-z0-9_.-]*)
     | (?P<kw>[A-Za-z_][A-Za-z0-9_]*)
     | (?P<num>[0-9]+)
-    | (?P<op><=|>=|!=|&&|\|\||[{}.;,()=<>*:!+])
+    | (?P<op><=|>=|!=|&&|\|\||[{}.;,()=<>*:!+^/|?])
     """,
     re.VERBOSE,
 )
@@ -154,13 +165,60 @@ class Agg:
 
 
 @dataclass(frozen=True)
-class Path:
-    """A one-or-more property path ``<pred>+`` in predicate position —
-    executed by the inference engine itself: the path compiles to the
-    pure two-rule transitive-closure program, which the fixpoint
-    auto-delegates to the O(log depth) smart-TC strategy (tc.py)."""
+class PPred:
+    """Path leaf: one constant predicate's edge set."""
 
     pred: str
+
+
+@dataclass(frozen=True)
+class PInv:
+    """``^path`` — the inverse: every edge reversed."""
+
+    child: object
+
+
+@dataclass(frozen=True)
+class PSeq:
+    """``p1/p2/...`` — edge-set composition (join on the middle node,
+    within the same graph)."""
+
+    parts: tuple
+
+
+@dataclass(frozen=True)
+class PAlt:
+    """``p1|p2|...`` — edge-set union."""
+
+    parts: tuple
+
+
+@dataclass(frozen=True)
+class PClos:
+    """``path+`` (``min0=False``) or ``path*`` (``min0=True``) — the
+    transitive closure of the child's edge set, executed by the
+    inference engine itself: the closure compiles to the pure two-rule
+    transitive-closure program, which the fixpoint auto-delegates to the
+    O(log depth) smart-TC strategy (tc.py). ``*`` adds the zero-length
+    identity over the graph's nodes."""
+
+    child: object
+    min0: bool
+
+
+@dataclass(frozen=True)
+class POpt01:
+    """``path?`` — the child's edges plus the zero-length identity."""
+
+    child: object
+
+
+@dataclass(frozen=True)
+class Path:
+    """A property-path expression in predicate position; ``expr`` is a
+    tree of PPred/PInv/PSeq/PAlt/PClos/POpt01 nodes."""
+
+    expr: object
 
 
 # --- group-graph-pattern AST ------------------------------------------------
@@ -458,18 +516,87 @@ class _Parser:
             else:
                 self.triples_block(graph, bgp().patterns)
 
+    _PATH_POSTFIX = {"+", "*", "?"}
+    _PATH_OPS = {"+", "*", "?", "/", "|", "^", "("}
+
+    def path_or_pred(self):
+        """Predicate position: a variable, a bare constant predicate, or
+        a property-path expression (``^``, ``/``, ``|``, ``+``, ``*``,
+        ``?``, parenthesised)."""
+        kind, tok = self.peek()
+        if kind == "var":
+            p = self.term(as_pred=True)
+            k2, t2 = self.peek()
+            if k2 == "op" and t2 in self._PATH_POSTFIX:
+                raise SparqlParseError(
+                    "property path needs a constant predicate"
+                )
+            return p
+        node = self.path_alt()
+        if isinstance(node, PPred):
+            return Const(node.pred)  # no path operator involved
+        return Path(node)
+
+    def path_alt(self):
+        parts = [self.path_seq()]
+        while True:
+            kind, tok = self.peek()
+            if kind == "op" and tok == "|":
+                self.next()
+                parts.append(self.path_seq())
+            else:
+                break
+        return parts[0] if len(parts) == 1 else PAlt(tuple(parts))
+
+    def path_seq(self):
+        parts = [self.path_elt()]
+        while True:
+            kind, tok = self.peek()
+            if kind == "op" and tok == "/":
+                self.next()
+                parts.append(self.path_elt())
+            else:
+                break
+        return parts[0] if len(parts) == 1 else PSeq(tuple(parts))
+
+    def path_elt(self):
+        kind, tok = self.peek()
+        inv = False
+        if kind == "op" and tok == "^":
+            self.next()
+            inv = True
+        node = self.path_primary()
+        if inv:
+            node = PInv(node)
+        kind, tok = self.peek()
+        if kind == "op" and tok in self._PATH_POSTFIX:
+            self.next()
+            if tok == "+":
+                node = PClos(node, min0=False)
+            elif tok == "*":
+                node = PClos(node, min0=True)
+            else:
+                node = POpt01(node)
+        return node
+
+    def path_primary(self):
+        kind, tok = self.peek()
+        if kind == "op" and tok == "(":
+            self.next()
+            node = self.path_alt()
+            self.expect(")")
+            return node
+        t = self.term(as_pred=True)
+        if not isinstance(t, Const):
+            raise SparqlParseError(
+                "property path needs a constant predicate"
+            )
+        return PPred(t.value)
+
     def triples_block(self, graph, into):
         s = self.term()
         while True:
-            p = self.term(as_pred=True)
-            k2, t2 = self.peek()
-            if k2 == "op" and t2 == "+":
-                self.next()
-                if not isinstance(p, Const):
-                    raise SparqlParseError(
-                        "property path needs a constant predicate"
-                    )
-                p = Path(p.value)
+            p = self.path_or_pred()
             while True:
                 o = self.term()
                 into.append((s, p, o, graph))
@@ -754,24 +881,100 @@ class _Eval:
             df = df.select(F.lit(1).alias(f"__gate{self._gate_n}"))
         return _Sol(df, set(names), set())
 
-    def _path_closure(self, pat) -> _Sol:
-        """``?x <p>+ ?y``: the transitive closure of the predicate's edge
-        set, graph-scoped — computed BY THE ENGINE: the path lowers to the
-        copy+transitivity rule pair, infer_df detects the pure-TC shape
-        and runs the smart-TC (repeated-squaring) strategy, so a
-        10^4-deep chain costs O(log depth) rounds, not O(depth)."""
+    def _graph_scoped(self, g_t) -> DataFrame:
+        if isinstance(g_t, Const):
+            return self.quads.filter(F.col("g") == g_t.value)
+        return self.quads
+
+    def _path_edges(self, node, g_t) -> DataFrame:
+        """A path-expression tree -> its edge relation ``(s, o, g)``.
+
+        Leaves are constant-predicate scans (pushed-down filters on the
+        quad store); ``^`` flips columns (free); ``/`` composes by an
+        equi-join on the middle node within the same graph; ``|`` unions;
+        ``+``/``*`` hand the edge set to the inference engine's fixpoint
+        (pure-TC shape -> the O(log depth) smart-TC strategy). Every
+        combinator deduplicates — the whole SPARQL path algebra here is
+        set-semantics, matching the engine's Reasoner::insert contract
+        (and SPARQL's own distinct-node semantics for closures; for
+        ``/`` and ``|`` SPARQL is bag-semantics, a documented
+        divergence)."""
+        if isinstance(node, PPred):
+            e = self._graph_scoped(g_t).filter(F.col("p") == node.pred)
+            return e.select("s", "o", "g")
+        if isinstance(node, PInv):
+            e = self._path_edges(node.child, g_t)
+            return e.select(
+                F.col("o").alias("s"), F.col("s").alias("o"), "g"
+            )
+        if isinstance(node, PSeq):
+            acc = self._path_edges(node.parts[0], g_t)
+            for part in node.parts[1:]:
+                nxt = self._path_edges(part, g_t)
+                acc = (
+                    acc.alias("l")
+                    .join(
+                        nxt.alias("r"),
+                        (F.col("l.o") == F.col("r.s"))
+                        & (F.col("l.g") == F.col("r.g")),
+                    )
+                    .select(
+                        F.col("l.s").alias("s"),
+                        F.col("r.o").alias("o"),
+                        F.col("l.g").alias("g"),
+                    )
+                    .distinct()
+                )
+            return acc
+        if isinstance(node, PAlt):
+            acc = self._path_edges(node.parts[0], g_t)
+            for part in node.parts[1:]:
+                acc = acc.unionByName(self._path_edges(part, g_t))
+            return acc.distinct()
+        if isinstance(node, PClos):
+            cl = self._closure_of(self._path_edges(node.child, g_t))
+            if node.min0:
+                cl = cl.unionByName(self._path_identity(g_t)).distinct()
+            return cl
+        if isinstance(node, POpt01):
+            e = self._path_edges(node.child, g_t)
+            return e.unionByName(self._path_identity(g_t)).distinct()
+        raise AssertionError(f"unknown path node {node!r}")
+
+    def _path_identity(self, g_t) -> DataFrame:
+        """The zero-length path: every node related to itself, per graph.
+        'Node' = any term occurring as a subject or object in the
+        (graph-scoped) data — a term appearing only in predicate
+        position, or not at all, is outside the identity (a documented
+        divergence from SPARQL's all-terms zero-length semantics)."""
+        q = self._graph_scoped(g_t)
+        nodes = (
+            q.select(F.col("s").alias("n"), "g")
+            .unionByName(q.select(F.col("o").alias("n"), "g"))
+            .distinct()
+        )
+        return nodes.select(
+            F.col("n").alias("s"), F.col("n").alias("o"), "g"
+        )
+
+    def _closure_of(self, edges: DataFrame) -> DataFrame:
+        """Transitive closure of an ``(s, o, g)`` edge relation — BY THE
+        ENGINE: the edges become premises of the copy+transitivity rule
+        pair, infer_df detects the pure-TC shape and runs the smart-TC
+        (repeated-squaring) strategy, so a 10^4-deep chain costs
+        O(log depth) rounds, not O(depth)."""
         from .api import infer_df
         from .infer import InferConfig
         from .rules import Bound as RB, Rule, Unbound as RU
 
-        s_t, path, o_t, g_t = pat
-        prem = self.quads.filter(F.col("p") == path.pred)
-        if isinstance(g_t, Const):
-            prem = prem.filter(F.col("g") == g_t.value)
-        head = "\x02tc"  # internal head predicate, unmintable from text
+        edge = "\x02e"  # internal predicates, unmintable from query text
+        head = "\x02tc"
+        prem = edges.select(
+            "s", F.lit(edge).alias("p"), "o", "g"
+        )
         rules = [
             Rule.create(
-                [[RU("a"), RB(path.pred), RU("b"), RU("g")]],
+                [[RU("a"), RB(edge), RU("b"), RU("g")]],
                 [[RU("a"), RB(head), RU("b"), RU("g")]],
             ),
             Rule.create(
@@ -785,7 +988,12 @@ class _Eval:
         derived, _res = infer_df(
             self.spark, prem, rules, InferConfig(encode_terms=False)
         )
-        cl = derived.filter(F.col("p") == head)
+        return derived.filter(F.col("p") == head).select("s", "o", "g")
+
+    def _path_closure(self, pat) -> _Sol:
+        """Bind a path pattern's endpoints over its edge relation."""
+        s_t, path, o_t, g_t = pat
+        cl = self._path_edges(path.expr, g_t)
         bound: set = set()
         cols = []
         for colname, t in (("s", s_t), ("o", o_t), ("g", g_t)):
@@ -1394,6 +1602,58 @@ def sparql_construct_sql() -> str:
              'region:' || n_regionkey AS o,
              'graph://derived' AS g
       FROM customer JOIN nation ON c_nationkey = n_nationkey
+    """
+
+
+# path expression without a closure: inverse + sequence — region swept to
+# its customers through two reversed edges, one equi-join chain, no fixpoint
+GATE_PATH_EXPR = """
+  SELECT ?region ?cust WHERE {
+    GRAPH <graph://tpch> { ?region (^<in_region>/^<in_nation>) ?cust }
+  }
+"""
+
+# zero-or-more: the descendants-or-self cone (the + closure plus the
+# zero-length identity restricted to the constant endpoint)
+GATE_PATH_STAR = """
+  SELECT ?d WHERE { GRAPH <graph://tree> { ?d <parent>* <node:1> } }
+"""
+
+
+def sparql_path_expr_gate(spark, sf_dir: str) -> DataFrame:
+    from .ops.quads import tpch_quads
+
+    return sparql_select(tpch_quads(spark, sf_dir), GATE_PATH_EXPR)
+
+
+def sparql_path_expr_sql() -> str:
+    return """
+      SELECT DISTINCT 'region:' || n.n_regionkey AS region,
+             'cust:' || c.c_custkey AS cust
+      FROM nation n JOIN customer c ON c.c_nationkey = n.n_nationkey
+    """
+
+
+def sparql_path_star_gate(spark, sf_dir: str) -> DataFrame:
+    from .ops.quads import tree_edges
+
+    return sparql_select(tree_edges(spark, sf_dir), GATE_PATH_STAR)
+
+
+def sparql_path_star_sql() -> str:
+    return """
+      WITH RECURSIVE e AS (
+        SELECT 'node:' || c_custkey AS s, 'node:' || (c_custkey // 2) AS o
+        FROM customer WHERE c_custkey >= 1
+      ),
+      down AS (
+        SELECT s FROM e WHERE o = 'node:1'
+        UNION
+        SELECT e.s FROM e JOIN down ON e.o = down.s
+      )
+      SELECT s AS d FROM down
+      UNION
+      SELECT 'node:1' AS d
     """
 
 

@@ -579,3 +579,75 @@ def test_aggregate_errors(quads):
     for q, pat in cases:
         with pytest.raises(SparqlParseError, match=pat):
             sparql_select(quads, q).collect()
+
+
+# --- property-path expressions: ^ / | * ? and compositions -------------------
+
+def test_path_inverse(quads):
+    got = _run(quads, "SELECT ?x ?y WHERE { GRAPH <g1> { ?x ^<knows> ?y } }")
+    assert got == [("b", "a"), ("c", "b")]
+
+
+def test_path_sequence(quads):
+    # two hops in one path expression == the two-pattern BGP
+    got = _run(
+        quads, "SELECT ?x ?z WHERE { GRAPH <g1> { ?x <knows>/<knows> ?z } }"
+    )
+    assert got == [("a", "c")]
+
+
+def test_path_alternation(quads):
+    got = _run(
+        quads,
+        'SELECT ?x ?y WHERE { ?x (<knows>|<age>) ?y }',
+    )
+    # default graph: only the age edge (knows lives in g1/g2)
+    assert got == [("a", "3")]
+
+
+def test_path_star_includes_zero_length(quads):
+    # <knows>* against a constant endpoint: the + closure plus c itself
+    got = _run(quads, "SELECT ?x WHERE { GRAPH <g1> { ?x <knows>* <c> } }")
+    assert got == [("a",), ("b",), ("c",)]
+
+
+def test_path_question_mark(quads):
+    got = _run(quads, "SELECT ?x WHERE { GRAPH <g1> { ?x <knows>? <c> } }")
+    # direct edge b->c plus the zero-length c->c
+    assert got == [("b",), ("c",)]
+
+
+def test_path_inverse_closure_composition(quads):
+    # (^knows)+ from c walks the g1 chain backwards
+    got = _run(quads, "SELECT ?y WHERE { GRAPH <g1> { <c> (^<knows>)+ ?y } }")
+    assert got == [("a",), ("b",)]
+
+
+def test_path_closure_inside_sequence(quads):
+    # knows+ then one more hop — closure result composes like any edge set
+    got = _run(
+        quads,
+        "SELECT ?x ?z WHERE { GRAPH <g1> { ?x <knows>+/<knows> ?z } }",
+    )
+    assert got == [("a", "c")]
+
+
+def test_path_parenthesised_alternation_closure(quads):
+    more = quads.sparkSession.createDataFrame(
+        [("c", "likes", "d", "g1")], "s string, p string, o string, g string"
+    )
+    got = sorted(
+        tuple(r)
+        for r in sparql_select(
+            quads.unionByName(more),
+            "SELECT ?y WHERE { GRAPH <g1> { <a> (<knows>|<likes>)+ ?y } }",
+        ).collect()
+    )
+    assert got == [("b",), ("c",), ("d",)]
+
+
+def test_path_grammar_errors(quads):
+    with pytest.raises(SparqlParseError, match="constant predicate"):
+        sparql_select(quads, "SELECT ?x WHERE { ?x (?p|<q>) ?y }")
+    with pytest.raises(SparqlParseError, match="expected"):
+        sparql_select(quads, "SELECT ?x WHERE { GRAPH <g1> { ?x (<p> ?y } }")
