@@ -525,6 +525,12 @@ def _q_sparql_path_star(spark, sf_dir):
     return sparql_path_star_gate(spark, sf_dir)
 
 
+def _q_sparql_subquery(spark, sf_dir):
+    from rify_spark.sparql import sparql_subquery_gate
+
+    return sparql_subquery_gate(spark, sf_dir)
+
+
 def _q_sparql_agg_count(spark, sf_dir):
     from rify_spark.sparql import sparql_agg_count_gate
 
@@ -640,6 +646,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # lexemes with a hidden HAVING aggregate
         "sparql_agg_count": _q_sparql_agg_count,
         "sparql_agg_sum": _q_sparql_agg_sum,
+        # subquery: aggregate bottom-up, join in the enclosing group
+        "sparql_subquery": _q_sparql_subquery,
         # KG construction
         "kg_extract_mentions": _q_kg_mentions,
         "kg_pipeline_derived": _q_kg_pipeline,
@@ -799,6 +807,7 @@ def oracle_sql() -> dict[str, str]:
         "sparql_path_star": _sparql_sql("sparql_path_star_sql"),
         "sparql_agg_count": _sparql_sql("sparql_agg_count_sql"),
         "sparql_agg_sum": _sparql_sql("sparql_agg_sum_sql"),
+        "sparql_subquery": _sparql_sql("sparql_subquery_sql"),
         "kg_pipeline_derived": KG_PIPELINE_SQL,
         "kg_extract_mentions": """
             SELECT DISTINCT doc_id, tok AS mention FROM (

@@ -70,6 +70,12 @@ Supported subset (documented contract, errors otherwise):
     NULL group (Spark's and SQL's shared convention); ``HAVING`` takes
     aggregate-vs-constant comparisons (integer constants for
     COUNT/SUM, string constants for MIN/MAX);
+  * ``{ SELECT ... }`` subqueries as group elements — evaluated
+    bottom-up (their own WHERE/GROUP BY/HAVING/modifiers), then joined
+    with the enclosing group on shared projected variables; aggregate
+    aliases become ordinary bound variables in the outer scope
+    (SUM/MIN/MAX aliases are possibly-unbound — an all-null group —
+    and follow the OPTIONAL-var subset restriction);
   * ``ORDER BY [ASC|DESC](?v)``, ``LIMIT n``, ``OFFSET n``.
 
 Subset restriction (raises rather than silently approximating): a
@@ -254,8 +260,16 @@ class UnionNode:
 
 
 @dataclass
+class SubSelect:
+    """``{ SELECT ... }`` — a nested query evaluated bottom-up; its
+    projected variables join with the enclosing group."""
+
+    q: "_Parser"
+
+
+@dataclass
 class Group:
-    elems: list  # Bgp | Group | Opt | UnionNode, joined in order
+    elems: list  # Bgp | Group | Opt | UnionNode | SubSelect, joined in order
     filters: list  # (op, lhs, rhs), applied after this group's joins
 
 
@@ -271,6 +285,8 @@ def _walk_patterns(node) -> list:
                 out.extend(_walk_patterns(b))
         elif isinstance(e, ValuesBlock):
             pass  # no quad patterns; _var_order handles its names
+        elif isinstance(e, SubSelect):
+            out.extend(_walk_patterns(e.q.root))
         else:
             out.extend(_walk_patterns(e))
     return out
@@ -371,46 +387,7 @@ class _Parser:
                 raise SparqlParseError("PREFIX needs an <iri>")
             self.prefixes[name] = iri[1:-1]
         if self.kw("SELECT"):
-            self.form = "SELECT"
-            self.distinct = self.kw("DISTINCT")
-            kind, tok = self.peek()
-            if kind == "op" and tok == "*":
-                self.next()
-                self.select = None
-            else:
-                self.select = []
-                while True:
-                    kind, tok = self.peek()
-                    if kind == "var":
-                        name = self.next()[1][1:]
-                        self.select.append(name)
-                        self.projection.append(("var", name))
-                    elif kind == "op" and tok == "(":
-                        self.next()
-                        agg = self.agg_expr()
-                        self.expect("AS")
-                        k2, t2 = self.next()
-                        if k2 != "var":
-                            raise SparqlParseError(
-                                "aggregate needs 'AS ?alias'"
-                            )
-                        self.expect(")")
-                        alias = t2[1:]
-                        self.select.append(alias)
-                        self.projection.append(
-                            Agg(agg.func, agg.var, agg.distinct, alias)
-                        )
-                    else:
-                        break
-                if not self.select:
-                    raise SparqlParseError("SELECT needs ?vars or *")
-                if len(set(self.select)) != len(self.select):
-                    raise SparqlParseError(
-                        "duplicate name in the SELECT clause"
-                    )
-            self.kw("WHERE")
-            self.root = self.group_node(Const(DEFAULT_GRAPH))
-            self.modifiers()
+            self.select_query()
         elif self.kw("ASK"):
             self.form = "ASK"
             self.root = self.group_node(Const(DEFAULT_GRAPH))
@@ -438,6 +415,64 @@ class _Parser:
                 f"trailing input at {self.peek()[1]!r}"
             )
         return self
+
+    def select_query(self):
+        """Parse from just after the SELECT keyword: projection clause,
+        WHERE group, and solution modifiers (shared by the top-level
+        query and ``{ SELECT ... }`` subqueries)."""
+        self.form = "SELECT"
+        self.distinct = self.kw("DISTINCT")
+        kind, tok = self.peek()
+        if kind == "op" and tok == "*":
+            self.next()
+            self.select = None
+        else:
+            self.select = []
+            while True:
+                kind, tok = self.peek()
+                if kind == "var":
+                    name = self.next()[1][1:]
+                    self.select.append(name)
+                    self.projection.append(("var", name))
+                elif kind == "op" and tok == "(":
+                    self.next()
+                    agg = self.agg_expr()
+                    self.expect("AS")
+                    k2, t2 = self.next()
+                    if k2 != "var":
+                        raise SparqlParseError(
+                            "aggregate needs 'AS ?alias'"
+                        )
+                    self.expect(")")
+                    alias = t2[1:]
+                    self.select.append(alias)
+                    self.projection.append(
+                        Agg(agg.func, agg.var, agg.distinct, alias)
+                    )
+                else:
+                    break
+            if not self.select:
+                raise SparqlParseError("SELECT needs ?vars or *")
+            if len(set(self.select)) != len(self.select):
+                raise SparqlParseError(
+                    "duplicate name in the SELECT clause"
+                )
+        self.kw("WHERE")
+        self.root = self.group_node(Const(DEFAULT_GRAPH))
+        self.modifiers()
+
+    def sub_select(self) -> SubSelect:
+        """A ``{ SELECT ... }`` group element; the '{' and the SELECT
+        keyword are already consumed. Parsed with a child parser sharing
+        the token stream and prefix table."""
+        child = _Parser("")
+        child.toks = self.toks
+        child.i = self.i
+        child.prefixes = self.prefixes
+        child.select_query()
+        self.i = child.i
+        self.expect("}")
+        return SubSelect(child)
 
     def group_node(self, graph, allow_filter=True) -> Group:
         self.expect("{")
@@ -503,6 +538,15 @@ class _Parser:
                 else:
                     self.filter_expr(node)
             elif kind == "op" and tok == "{":
+                k2, t2 = self.toks[self.i + 1]
+                if k2 == "kw" and t2.upper() == "SELECT":
+                    self.next()
+                    self.next()
+                    node.elems.append(self.sub_select())
+                    k2, t2 = self.peek()
+                    if k2 == "op" and t2 == ".":
+                        self.next()
+                    continue
                 branches = [self.group_node(graph)]
                 while self.kw("UNION"):
                     branches.append(self.group_node(graph))
@@ -1120,6 +1164,8 @@ class _Eval:
                 s = self.bgp(e.patterns)
             elif isinstance(e, UnionNode):
                 s = self.union(e)
+            elif isinstance(e, SubSelect):
+                s = _select_solution(self, e.q)
             elif isinstance(e, ValuesBlock):
                 df = self.spark.createDataFrame(
                     e.rows, ", ".join(f"{n} string" for n in e.names)
@@ -1192,6 +1238,15 @@ def _var_order(q: _Parser) -> list:
                             seen.append(t.name)
             elif isinstance(e, ValuesBlock):
                 for n in e.names:
+                    if n not in seen:
+                        seen.append(n)
+            elif isinstance(e, SubSelect):
+                sub = (
+                    e.q.select
+                    if e.q.select is not None
+                    else _var_order(e.q)
+                )
+                for n in sub:
                     if n not in seen:
                         seen.append(n)
             elif isinstance(e, (Opt, Minus)):
@@ -1314,11 +1369,26 @@ def sparql_select(quads: DataFrame, query: str) -> DataFrame:
         raise SparqlParseError(
             f"{q.form} query passed to sparql_select — use sparql_query"
         )
-    sol = _Eval(quads).group(q.root)
+    return _select_solution(_Eval(quads), q).df
+
+
+def _select_solution(ev: _Eval, q: _Parser) -> _Sol:
+    """Evaluate a parsed SELECT query to its solution relation — used by
+    the top-level query and, recursively, by ``{ SELECT ... }``
+    subqueries (which then join with their enclosing group on shared
+    projected variables, SPARQL's bottom-up subquery semantics)."""
+    sol = ev.group(q.root)
     names = [v for v in _var_order(q) if v in sol.bound]
     if q.is_aggregate:
         df = _aggregate(sol, q)
         out_names = list(q.select)
+        # a COUNT is never null; SUM/MIN/MAX are null on all-null groups,
+        # and a grouped-by variable keeps its possibly-unbound status
+        maybe = {
+            it.alias
+            for it in q.projection
+            if isinstance(it, Agg) and it.func != "COUNT"
+        } | (set(q.group_by) & sol.maybe)
     elif q.select is not None:
         missing = [v for v in q.select if v not in sol.bound]
         if missing:
@@ -1327,9 +1397,11 @@ def sparql_select(quads: DataFrame, query: str) -> DataFrame:
             )
         df = sol.df.select(*q.select)
         out_names = list(q.select)
+        maybe = set(q.select) & sol.maybe
     else:
         df = sol.df.select(*names) if names else sol.df
         out_names = names
+        maybe = set(names) & sol.maybe
     if q.distinct:
         df = df.distinct()
     for v, desc in q.order:
@@ -1348,7 +1420,7 @@ def sparql_select(quads: DataFrame, query: str) -> DataFrame:
         df = df.offset(q.offset)
     if q.limit is not None:
         df = df.limit(q.limit)
-    return df
+    return _Sol(df, set(out_names), maybe)
 
 
 def sparql_ask(quads: DataFrame, query: str) -> DataFrame:
@@ -1654,6 +1726,36 @@ def sparql_path_star_sql() -> str:
       SELECT s AS d FROM down
       UNION
       SELECT 'node:1' AS d
+    """
+
+
+# subquery: per-customer order counts aggregated bottom-up, then joined
+# to the nation edge in the enclosing group (aggregate-then-join algebra)
+GATE_SUBQUERY = """
+  SELECT ?nation ?cust ?n_orders WHERE {
+    GRAPH <graph://tpch> { ?cust <in_nation> ?nation }
+    { SELECT ?cust (COUNT(?o) AS ?n_orders) WHERE {
+        GRAPH <graph://tpch> { ?o <placed_by> ?cust }
+      } GROUP BY ?cust }
+  }
+"""
+
+
+def sparql_subquery_gate(spark, sf_dir: str) -> DataFrame:
+    from .ops.quads import tpch_quads
+
+    return sparql_select(tpch_quads(spark, sf_dir), GATE_SUBQUERY)
+
+
+def sparql_subquery_sql() -> str:
+    return """
+      SELECT 'nation:' || c.c_nationkey AS nation,
+             'cust:' || c.c_custkey AS cust,
+             CAST(t.n AS BIGINT) AS n_orders
+      FROM customer c
+      JOIN (
+        SELECT o_custkey, COUNT(*) AS n FROM orders GROUP BY o_custkey
+      ) t ON t.o_custkey = c.c_custkey
     """
 
 

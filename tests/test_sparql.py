@@ -651,3 +651,74 @@ def test_path_grammar_errors(quads):
         sparql_select(quads, "SELECT ?x WHERE { ?x (?p|<q>) ?y }")
     with pytest.raises(SparqlParseError, match="expected"):
         sparql_select(quads, "SELECT ?x WHERE { GRAPH <g1> { ?x (<p> ?y } }")
+
+
+# --- subqueries ---------------------------------------------------------------
+
+def test_subquery_aggregate_joins_outer(quads):
+    q = """
+      SELECT ?x ?t ?n WHERE {
+        ?x a ?t
+        { SELECT ?x (COUNT(?y) AS ?n) WHERE { GRAPH <g1> { ?x <knows> ?y } }
+          GROUP BY ?x }
+      }
+    """
+    # only a and b know anyone in g1; both are typed Person
+    assert _run(quads, q) == [("a", "Person", 1), ("b", "Person", 1)]
+
+
+def test_subquery_having_filters_before_outer_join(quads):
+    q = """
+      SELECT ?x WHERE {
+        { SELECT ?x WHERE { GRAPH ?g { ?x <knows> ?y } } GROUP BY ?x
+          HAVING (COUNT(?y) >= 1) }
+        ?x a "Person"
+      }
+    """
+    assert _run(quads, q) == [("a",), ("b",)]
+
+
+def test_subquery_select_star_passthrough(quads):
+    q = """
+      SELECT ?y WHERE { { SELECT * WHERE { GRAPH <g1> { ?x <knows> ?y } } } }
+    """
+    assert _run(quads, q) == [("b",), ("c",)]
+
+
+def test_subquery_inside_optional_yields_unbound(quads):
+    q = """
+      SELECT ?x ?n WHERE {
+        ?x a "Person"
+        OPTIONAL {
+          { SELECT ?x (COUNT(*) AS ?n) WHERE { GRAPH <g2> { ?x <knows> ?y } }
+            GROUP BY ?x }
+        }
+      }
+    """
+    # only c knows in g2, and c is not a Person; both Persons get null n
+    assert _run(quads, q) == [("a", None), ("b", None)]
+
+
+def test_subquery_limit_is_scoped(quads):
+    q = """
+      SELECT ?x ?y WHERE {
+        { SELECT ?x WHERE { GRAPH ?g { ?x <knows> ?w } } GROUP BY ?x
+          ORDER BY ?x LIMIT 1 }
+        GRAPH <g1> { ?x <knows> ?y }
+      }
+    """
+    # inner LIMIT keeps only ?x = a; outer join expands its g1 edges
+    assert _run(quads, q) == [("a", "b")]
+
+
+def test_subquery_sum_alias_is_possibly_unbound(quads):
+    # SUM alias can be null -> rejected as a later join key
+    q = """
+      SELECT ?x ?s WHERE {
+        { SELECT ?x (SUM(?y) AS ?s) WHERE { GRAPH <g1> { ?x <knows> ?y } }
+          GROUP BY ?x }
+        GRAPH <g1> { ?s <knows> ?x }
+      }
+    """
+    with pytest.raises(SparqlParseError, match="possibly-unbound"):
+        sparql_select(quads, q)
