@@ -462,6 +462,85 @@ def main() -> None:
         )
     )
 
+    # SPARQL front-end: aggregates, path expressions, subqueries
+    from rify_spark.sparql import (
+        sparql_agg_count_gate,
+        sparql_path_expr_gate,
+        sparql_subquery_gate,
+    )
+
+    agg_exec = (
+        sparql_agg_count_gate(spark, SF_DIR)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    sections.append(("sparql_agg_count", agg_exec[:4000]))
+    checks.append(
+        (
+            "sparql_agg_count",
+            "partial aggregation (map-side combine) before the shuffle",
+            bool(re.search(r"partial_count", agg_exec)),
+        )
+    )
+    checks.append(
+        (
+            "sparql_agg_count",
+            "JVM-only, no cartesian product",
+            not re.search(
+                r"(BatchEvalPython|ArrowEvalPython|CartesianProduct)",
+                agg_exec,
+            ),
+        )
+    )
+
+    pe_exec = (
+        sparql_path_expr_gate(spark, SF_DIR)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    sections.append(("sparql_path_expr", pe_exec[:4000]))
+    checks.append(
+        (
+            "sparql_path_expr",
+            "predicate constants prune the quad union to just the two "
+            "edge tables (no orders scan)",
+            bool(re.search(r"nation\.parquet", pe_exec))
+            and bool(re.search(r"customer\.parquet", pe_exec))
+            and not re.search(r"orders\.parquet", pe_exec),
+        )
+    )
+    checks.append(
+        (
+            "sparql_path_expr",
+            "equi-join composition, no cartesian, no Python",
+            not re.search(
+                r"(BatchEvalPython|ArrowEvalPython|CartesianProduct)",
+                pe_exec,
+            ),
+        )
+    )
+
+    sq_exec = (
+        sparql_subquery_gate(spark, SF_DIR)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    sections.append(("sparql_subquery", sq_exec[:4000]))
+    checks.append(
+        (
+            "sparql_subquery",
+            "subquery aggregates partially before joining the outer group",
+            bool(re.search(r"partial_count", sq_exec)),
+        )
+    )
+    checks.append(
+        (
+            "sparql_subquery",
+            "JVM-only, no cartesian product",
+            not re.search(
+                r"(BatchEvalPython|ArrowEvalPython|CartesianProduct)",
+                sq_exec,
+            ),
+        )
+    )
+
     lines = ["# PLANS — physical-plan audit", ""]
     lines.append("| query | property | status |")
     lines.append("|---|---|---|")

@@ -455,3 +455,147 @@ def test_sparql_bgp_matches_bruteforce(spark, quads, atoms):
         for e in _spq_bruteforce(quads, atoms)
     )
     assert got == want
+
+
+# --- SPARQL aggregates vs a pure-Python groupby -------------------------------
+
+_agg_obj_pool = ("1", "2", "30", "-4", "x", "t0")
+_agg_quads_st = st.lists(
+    st.tuples(
+        st.sampled_from(_SPQ_TERMS),
+        st.sampled_from(["p0", "p1"]),
+        st.sampled_from(_agg_obj_pool),
+        st.sampled_from(_SPQ_GRAPHS),
+    ),
+    min_size=0, max_size=14,
+)
+
+
+def _py_long(t):
+    """try_cast(.. as long) twin: optional sign + digits, else None."""
+    import re as _re
+
+    return int(t) if _re.fullmatch(r"-?\d+", t) else None
+
+
+@settings(max_examples=8 * _SCALE, **_SETTINGS)
+@given(quads=_agg_quads_st, g=st.sampled_from(_SPQ_GRAPHS))
+def test_sparql_aggregates_match_python_groupby(spark, quads, g):
+    from rify_spark.sparql import sparql_select
+
+    quads = sorted(set(quads))
+    q = (
+        "SELECT ?s (COUNT(?o) AS ?n) (COUNT(DISTINCT ?o) AS ?d) "
+        "(SUM(?o) AS ?sum) (MIN(?o) AS ?lo) (MAX(?o) AS ?hi) WHERE "
+        f"{{ GRAPH <{g}> {{ ?s <p0> ?o }} }} GROUP BY ?s"
+    )
+    df = spark.createDataFrame(quads or [("x", "x", "x", "x")], SCHEMA)
+    if not quads:
+        df = df.limit(0)
+    got = sorted(tuple(r) for r in sparql_select(df, q).collect())
+    groups = {}
+    for s, p, o, gg in quads:
+        if p == "p0" and gg == g:
+            groups.setdefault(s, []).append(o)
+    want = sorted(
+        (
+            s,
+            len(os_),
+            len(set(os_)),
+            (lambda v: sum(v) if v else None)(
+                [x for x in map(_py_long, os_) if x is not None]
+            ),
+            min(os_),
+            max(os_),
+        )
+        for s, os_ in groups.items()
+    )
+    assert got == want
+
+
+# --- SPARQL path expressions vs a pure-Python edge algebra --------------------
+
+def _path_ast_st():
+    leaf = st.sampled_from(["p0", "p1"]).map(lambda p: ("pred", p))
+    return st.recursive(
+        leaf,
+        lambda kids: st.one_of(
+            kids.map(lambda k: ("inv", k)),
+            kids.map(lambda k: ("plus", k)),
+            kids.map(lambda k: ("star", k)),
+            kids.map(lambda k: ("opt", k)),
+            st.tuples(kids, kids).map(lambda ab: ("seq", *ab)),
+            st.tuples(kids, kids).map(lambda ab: ("alt", *ab)),
+        ),
+        max_leaves=4,
+    )
+
+
+def _path_text(node):
+    kind = node[0]
+    if kind == "pred":
+        return f"<{node[1]}>"
+    if kind == "inv":
+        return f"(^{_path_text(node[1])})"
+    if kind == "plus":
+        return f"({_path_text(node[1])}+)"
+    if kind == "star":
+        return f"({_path_text(node[1])}*)"
+    if kind == "opt":
+        return f"({_path_text(node[1])}?)"
+    a, b = node[1], node[2]
+    op = "/" if kind == "seq" else "|"
+    return f"({_path_text(a)}{op}{_path_text(b)})"
+
+
+def _py_path(node, quads):
+    """Independent edge-algebra evaluator over (s, o) pairs (the quads
+    are already graph-scoped): mirrors the documented path semantics."""
+    kind = node[0]
+    if kind == "pred":
+        return {(s, o) for s, p, o, _g in quads if p == node[1]}
+    if kind == "inv":
+        return {(o, s) for s, o in _py_path(node[1], quads)}
+    if kind == "seq":
+        a, b = _py_path(node[1], quads), _py_path(node[2], quads)
+        return {(s, o2) for s, o in a for s2, o2 in b if o == s2}
+    if kind == "alt":
+        return _py_path(node[1], quads) | _py_path(node[2], quads)
+    ident = {
+        (n, n)
+        for s, _p, o, _g in quads
+        for n in (s, o)
+    }
+    if kind == "opt":
+        return _py_path(node[1], quads) | ident
+    closure = set(_py_path(node[1], quads))
+    while True:
+        nxt = closure | {
+            (s, o2) for s, o in closure for s2, o2 in closure if o == s2
+        }
+        if nxt == closure:
+            break
+        closure = nxt
+    if kind == "star":
+        return closure | ident
+    return closure  # plus
+
+
+@settings(max_examples=6 * _SCALE, **_SETTINGS)
+@given(
+    quads=_agg_quads_st,
+    ast=_path_ast_st(),
+    g=st.sampled_from(_SPQ_GRAPHS),
+)
+def test_sparql_path_expressions_match_python_algebra(spark, quads, ast, g):
+    from rify_spark.sparql import sparql_select
+
+    quads = sorted(set(quads))
+    scoped = [q for q in quads if q[3] == g]
+    q = f"SELECT ?x ?y WHERE {{ GRAPH <{g}> {{ ?x {_path_text(ast)} ?y }} }}"
+    df = spark.createDataFrame(quads or [("x", "x", "x", "x")], SCHEMA)
+    if not quads:
+        df = df.limit(0)
+    got = sorted(tuple(r) for r in sparql_select(df, q).collect())
+    want = sorted(_py_path(ast, scoped))
+    assert got == want
