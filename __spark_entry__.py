@@ -525,6 +525,18 @@ def _q_sparql_path_star(spark, sf_dir):
     return sparql_path_star_gate(spark, sf_dir)
 
 
+def _q_sparql_agg_concat(spark, sf_dir):
+    from rify_spark.sparql import sparql_agg_concat_gate
+
+    return sparql_agg_concat_gate(spark, sf_dir)
+
+
+def _q_sparql_numeric_filter(spark, sf_dir):
+    from rify_spark.sparql import sparql_numeric_filter_gate
+
+    return sparql_numeric_filter_gate(spark, sf_dir)
+
+
 def _q_sparql_subquery(spark, sf_dir):
     from rify_spark.sparql import sparql_subquery_gate
 
@@ -646,6 +658,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # lexemes with a hidden HAVING aggregate
         "sparql_agg_count": _q_sparql_agg_count,
         "sparql_agg_sum": _q_sparql_agg_sum,
+        # sorted GROUP_CONCAT + deterministic SAMPLE; numeric try_cast FILTER
+        "sparql_agg_concat": _q_sparql_agg_concat,
+        "sparql_numeric_filter": _q_sparql_numeric_filter,
         # subquery: aggregate bottom-up, join in the enclosing group
         "sparql_subquery": _q_sparql_subquery,
         # KG construction
@@ -807,6 +822,8 @@ def oracle_sql() -> dict[str, str]:
         "sparql_path_star": _sparql_sql("sparql_path_star_sql"),
         "sparql_agg_count": _sparql_sql("sparql_agg_count_sql"),
         "sparql_agg_sum": _sparql_sql("sparql_agg_sum_sql"),
+        "sparql_agg_concat": _sparql_sql("sparql_agg_concat_sql"),
+        "sparql_numeric_filter": _sparql_sql("sparql_numeric_filter_sql"),
         "sparql_subquery": _sparql_sql("sparql_subquery_sql"),
         "kg_pipeline_derived": KG_PIPELINE_SQL,
         "kg_extract_mentions": """

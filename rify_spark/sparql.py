@@ -58,18 +58,25 @@ Supported subset (documented contract, errors otherwise):
     set-based store). The zero-length path relates each term occurring
     as a subject or object in the (graph-scoped) data to itself;
   * aggregates: ``SELECT (COUNT(*) AS ?n) (COUNT([DISTINCT] ?v) AS ?c)
-    (SUM(?v) AS ?s) (MIN(?v) AS ?lo) (MAX(?v) AS ?hi) ?g ... GROUP BY
+    (SUM(?v) AS ?s) (MIN(?v) AS ?lo) (MAX(?v) AS ?hi) (SAMPLE(?v) AS
+    ?any) (GROUP_CONCAT(?v ; SEPARATOR = ",") AS ?cat) ?g ... GROUP BY
     ?g ... HAVING (COUNT(*) > 3 && ...)`` — one partial-aggregating
     shuffle (``groupBy(...).agg(...)``; map-side combine, so a hot group
     key costs its combiner, not a skewed reduce). The engine's term
     space is opaque strings, so ``SUM`` casts the lexeme to a 64-bit
     integer (non-integer lexemes contribute NULL and are skipped — the
     SQL twin is ``SUM(TRY_CAST(v AS BIGINT))``); ``MIN``/``MAX`` compare
-    lexicographically; every plain selected variable must be GROUPed BY;
-    grouping by a possibly-unbound variable puts the unbound rows in one
-    NULL group (Spark's and SQL's shared convention); ``HAVING`` takes
-    aggregate-vs-constant comparisons (integer constants for
-    COUNT/SUM, string constants for MIN/MAX);
+    lexicographically; ``SAMPLE`` picks the minimum (deterministic, a
+    legal SAMPLE); ``GROUP_CONCAT`` joins the values SORTED (SPARQL
+    leaves the order unspecified — determinism chosen so results are
+    reproducible and SQL-twinnable); every plain selected variable must
+    be GROUPed BY; grouping by a possibly-unbound variable puts the
+    unbound rows in one NULL group (Spark's and SQL's shared
+    convention); ``HAVING`` takes aggregate-vs-constant comparisons
+    (integer constants for COUNT/SUM, string constants otherwise);
+  * numeric FILTER comparisons: an unquoted integer constant switches
+    that comparison to numeric semantics — the variable side try_casts
+    to BIGINT, non-integer lexemes exclude the row (error-semantics);
   * ``{ SELECT ... }`` subqueries as group elements — evaluated
     bottom-up (their own WHERE/GROUP BY/HAVING/modifiers), then joined
     with the enclosing group on shared projected variables; aggregate
@@ -84,9 +91,8 @@ some UNION branch) may appear in FILTERs and in SELECT, but not as a
 later join key between group elements and not in a CONSTRUCT template —
 SPARQL's unbound-compatible join semantics is the one piece of the
 algebra this compiler does not implement. Also not supported:
-blank-node syntax, numeric-typed FILTER comparisons, AVG/SAMPLE/
-GROUP_CONCAT aggregates, aggregate expressions over anything but a
-single variable.
+blank-node syntax, AVG (the term space has no exact decimal type),
+aggregate expressions over anything but a single variable.
 """
 
 from __future__ import annotations
@@ -154,20 +160,31 @@ class Const:
 
 
 @dataclass(frozen=True)
+class NumConst:
+    """An unquoted integer in a FILTER comparison: switches the
+    comparison to numeric semantics (the variable side is try_cast to
+    BIGINT; non-integer lexemes become NULL and the row is excluded —
+    SPARQL's error-semantics)."""
+
+    value: int
+
+
+@dataclass(frozen=True)
 class Agg:
     """One ``(FUNC([DISTINCT] ?v | *) AS ?alias)`` SELECT item or the
     FUNC(...) half of a HAVING comparison (``alias`` is None there)."""
 
-    func: str  # COUNT | SUM | MIN | MAX
+    func: str  # COUNT | SUM | MIN | MAX | SAMPLE | GROUP_CONCAT
     var: str | None  # None == COUNT(*)
     distinct: bool
     alias: str | None
+    sep: str | None = None  # GROUP_CONCAT separator (default " ")
 
     @property
     def key(self):
         """Identity of the computed aggregate, ignoring the alias — a
         HAVING aggregate that matches a selected one reuses its column."""
-        return (self.func, self.var, self.distinct)
+        return (self.func, self.var, self.distinct, self.sep)
 
 
 @dataclass(frozen=True)
@@ -447,7 +464,7 @@ class _Parser:
                     alias = t2[1:]
                     self.select.append(alias)
                     self.projection.append(
-                        Agg(agg.func, agg.var, agg.distinct, alias)
+                        Agg(agg.func, agg.var, agg.distinct, alias, agg.sep)
                     )
                 else:
                     break
@@ -748,23 +765,32 @@ class _Parser:
                 return ("regex", v, Const(pat[1:-1]))
             self.expect(")")
             return ("bound", v, None)
-        lhs = self.term()
+        lhs = self._filter_operand()
         kind, op = self.next()
         if op not in self._OPS:
             raise SparqlParseError(f"unsupported FILTER operator {op!r}")
-        return (op, lhs, self.term())
+        return (op, lhs, self._filter_operand())
 
-    _AGG_FUNCS = {"COUNT", "SUM", "MIN", "MAX"}
+    def _filter_operand(self):
+        kind, tok = self.peek()
+        if kind == "num":
+            self.next()
+            return NumConst(int(tok))
+        return self.term()
+
+    _AGG_FUNCS = {"COUNT", "SUM", "MIN", "MAX", "SAMPLE", "GROUP_CONCAT"}
 
     def agg_expr(self) -> Agg:
         """``FUNC([DISTINCT] ?v)`` or ``COUNT([DISTINCT] *)`` — the
         single-variable aggregate subset (no expressions under the
-        aggregate; alias filled in by the caller)."""
+        aggregate; alias filled in by the caller). GROUP_CONCAT takes an
+        optional ``; SEPARATOR = "..."``."""
         kind, tok = self.next()
         func = tok.upper()
         if kind != "kw" or func not in self._AGG_FUNCS:
             raise SparqlParseError(
-                f"expected aggregate COUNT/SUM/MIN/MAX, got {tok!r}"
+                "expected aggregate COUNT/SUM/MIN/MAX/SAMPLE/"
+                f"GROUP_CONCAT, got {tok!r}"
             )
         self.expect("(")
         distinct = self.kw("DISTINCT")
@@ -780,8 +806,27 @@ class _Parser:
             raise SparqlParseError(
                 f"aggregate argument must be ?var or *, got {tok!r}"
             )
+        sep = None
+        kind, tok = self.peek()
+        if kind == "op" and tok == ";":
+            if func != "GROUP_CONCAT":
+                raise SparqlParseError(
+                    f"only GROUP_CONCAT takes a SEPARATOR, not {func}"
+                )
+            self.next()
+            self.expect("SEPARATOR")
+            self.expect("=")
+            k2, t2 = self.next()
+            if k2 != "string":
+                raise SparqlParseError("SEPARATOR needs a string")
+            sep = re.sub(
+                r"\\.", lambda m: _UNESC.get(m.group(), m.group()),
+                t2[1:-1],
+            )
         self.expect(")")
-        return Agg(func, var, distinct, None)
+        if func == "GROUP_CONCAT" and sep is None:
+            sep = " "  # the SPARQL default separator
+        return Agg(func, var, distinct, None, sep)
 
     def modifiers(self):
         if self.kw("GROUP"):
@@ -802,7 +847,7 @@ class _Parser:
                 kind, tok = self.next()
                 if kind == "num":
                     val = int(tok)
-                    if agg.func in ("MIN", "MAX"):
+                    if agg.func not in ("COUNT", "SUM"):
                         raise SparqlParseError(
                             f"HAVING {agg.func} compares string terms — "
                             "use a quoted constant"
@@ -1199,10 +1244,17 @@ class _Eval:
                         f"FILTER variable ?{t.name} not bound in its group"
                     )
 
+            numeric = isinstance(a, NumConst) or isinstance(b, NumConst)
+
             def _fcol(t):
-                return (
-                    F.col(t.name) if isinstance(t, Var) else F.lit(t.value)
-                )
+                if isinstance(t, NumConst):
+                    return F.lit(t.value)
+                if isinstance(t, Var):
+                    c = F.col(t.name)
+                    # numeric comparison: the term lexeme try_casts to
+                    # BIGINT (null -> excluded, SPARQL error-semantics)
+                    return c.try_cast("long") if numeric else c
+                return F.lit(t.value)
 
             if op in ("bound", "!bound"):
                 # the OPTIONAL companion: null == unbound in this algebra
@@ -1289,8 +1341,18 @@ def _agg_column(agg: Agg, sol: _Sol, name: str):
         c = F.col(agg.var).try_cast("long")
         e = F.sum_distinct(c) if agg.distinct else F.sum(c)
         return e.alias(name)
-    # MIN/MAX: DISTINCT is a no-op on extrema
-    fn = F.min if agg.func == "MIN" else F.max
+    if agg.func == "GROUP_CONCAT":
+        # deterministic: values sorted before joining (SPARQL leaves the
+        # order unspecified; the SQL twin is string_agg(.. ORDER BY ..));
+        # an all-null group yields NULL, matching string_agg
+        c = F.col(agg.var)
+        arr = F.collect_set(c) if agg.distinct else F.collect_list(c)
+        joined = F.array_join(F.array_sort(arr), agg.sep)
+        return F.when(F.count(c) > 0, joined).alias(name)
+    # MIN/MAX compare lexicographically; SAMPLE must pick SOME value and
+    # picking the minimum keeps it deterministic (and SQL-twinnable).
+    # DISTINCT is a no-op on extrema.
+    fn = F.max if agg.func == "MAX" else F.min
     return fn(F.col(agg.var)).alias(name)
 
 
@@ -1726,6 +1788,55 @@ def sparql_path_star_sql() -> str:
       SELECT s AS d FROM down
       UNION
       SELECT 'node:1' AS d
+    """
+
+
+# GROUP_CONCAT (sorted, SQL twin string_agg ORDER BY) + SAMPLE (min) per
+# nation, over the customer edge
+GATE_AGG_CONCAT = """
+  SELECT ?nation (GROUP_CONCAT(?cust ; SEPARATOR = ",") AS ?custs)
+         (SAMPLE(?cust) AS ?any)
+  WHERE { GRAPH <graph://tpch> { ?cust <in_nation> ?nation } }
+  GROUP BY ?nation
+"""
+
+# numeric FILTER: try_cast comparison over the integer total_cents lexeme
+# (lexicographic would misorder '999...' vs '10000...')
+GATE_NUMERIC_FILTER = """
+  SELECT ?o ?t WHERE {
+    GRAPH <graph://tpch> { ?o <total_cents> ?t }
+    FILTER (?t >= 40000000)
+  }
+"""
+
+
+def sparql_agg_concat_gate(spark, sf_dir: str) -> DataFrame:
+    from .ops.quads import tpch_quads
+
+    return sparql_select(tpch_quads(spark, sf_dir), GATE_AGG_CONCAT)
+
+
+def sparql_agg_concat_sql() -> str:
+    return """
+      SELECT 'nation:' || c_nationkey AS nation,
+             string_agg('cust:' || c_custkey, ','
+                        ORDER BY 'cust:' || c_custkey) AS custs,
+             MIN('cust:' || c_custkey) AS any
+      FROM customer
+      GROUP BY c_nationkey
+    """
+
+
+def sparql_numeric_filter_gate(spark, sf_dir: str) -> DataFrame:
+    return sparql_select(_order_total_quads(spark, sf_dir), GATE_NUMERIC_FILTER)
+
+
+def sparql_numeric_filter_sql() -> str:
+    return """
+      SELECT 'order:' || o_orderkey AS o,
+             CAST(CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS VARCHAR) AS t
+      FROM orders
+      WHERE CAST(FLOOR(o_totalprice * 100) AS BIGINT) >= 40000000
     """
 
 

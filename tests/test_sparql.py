@@ -722,3 +722,62 @@ def test_subquery_sum_alias_is_possibly_unbound(quads):
     """
     with pytest.raises(SparqlParseError, match="possibly-unbound"):
         sparql_select(quads, q)
+
+
+# --- numeric FILTER comparisons, GROUP_CONCAT, SAMPLE ------------------------
+
+def test_numeric_filter_comparison(quads):
+    more = quads.sparkSession.createDataFrame(
+        [("b", "age", "12", "default_graph"),
+         ("c", "age", "x", "default_graph")],
+        "s string, p string, o string, g string",
+    )
+    both = quads.unionByName(more)
+    # lexicographically "3" > "12"; numerically 3 < 12 — and the
+    # non-integer lexeme "x" is excluded (error-semantics)
+    got = sorted(
+        tuple(r) for r in sparql_select(
+            both, "SELECT ?x WHERE { ?x <age> ?v FILTER (?v < 10) }"
+        ).collect()
+    )
+    assert got == [("a",)]
+    got = sorted(
+        tuple(r) for r in sparql_select(
+            both, "SELECT ?x WHERE { ?x <age> ?v FILTER (3 <= ?v) }"
+        ).collect()
+    )
+    assert got == [("a",), ("b",)]
+
+
+def test_group_concat_sorted_and_sample(quads):
+    more = quads.sparkSession.createDataFrame(
+        [("a", "tag", "t2", "default_graph"),
+         ("a", "tag", "t1", "default_graph"),
+         ("a", "tag", "t1", "default_graph")],
+        "s string, p string, o string, g string",
+    )
+    q = (
+        'SELECT ?x (GROUP_CONCAT(?t ; SEPARATOR = ",") AS ?cat) '
+        '(GROUP_CONCAT(DISTINCT ?t ; SEPARATOR = "|") AS ?dcat) '
+        "(SAMPLE(?t) AS ?any) WHERE { ?x <tag> ?t } GROUP BY ?x"
+    )
+    got = _run(quads.unionByName(more), q)
+    assert got == [("a", "t1,t1,t2", "t1|t2", "t1")]
+
+
+def test_group_concat_default_separator_and_null_group(quads):
+    q = (
+        "SELECT ?x (GROUP_CONCAT(?t) AS ?cat) WHERE { "
+        "?x a \"Person\" OPTIONAL { ?x <tag> ?t } } GROUP BY ?x"
+    )
+    # no tag quads in the default graph: all-null groups yield NULL
+    # (string_agg semantics), not ""
+    assert _run(quads, q) == [("a", None), ("b", None)]
+
+
+def test_separator_rejected_outside_group_concat(quads):
+    with pytest.raises(SparqlParseError, match="SEPARATOR"):
+        sparql_select(
+            quads,
+            'SELECT (SUM(?v ; SEPARATOR = ",") AS ?s) WHERE { ?x <age> ?v }',
+        )
