@@ -537,6 +537,12 @@ def _q_sparql_numeric_filter(spark, sf_dir):
     return sparql_numeric_filter_gate(spark, sf_dir)
 
 
+def _q_sparql_entailed(spark, sf_dir):
+    from rify_spark.sparql import sparql_entailed_gate
+
+    return sparql_entailed_gate(spark, sf_dir)
+
+
 def _q_sparql_subquery(spark, sf_dir):
     from rify_spark.sparql import sparql_subquery_gate
 
@@ -663,6 +669,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_numeric_filter": _q_sparql_numeric_filter,
         # subquery: aggregate bottom-up, join in the enclosing group
         "sparql_subquery": _q_sparql_subquery,
+        # entailment regime: SPARQL aggregate over infer_df's closure
+        "sparql_entailed": _q_sparql_entailed,
         # KG construction
         "kg_extract_mentions": _q_kg_mentions,
         "kg_pipeline_derived": _q_kg_pipeline,
@@ -825,6 +833,7 @@ def oracle_sql() -> dict[str, str]:
         "sparql_agg_concat": _sparql_sql("sparql_agg_concat_sql"),
         "sparql_numeric_filter": _sparql_sql("sparql_numeric_filter_sql"),
         "sparql_subquery": _sparql_sql("sparql_subquery_sql"),
+        "sparql_entailed": _sparql_sql("sparql_entailed_sql"),
         "kg_pipeline_derived": KG_PIPELINE_SQL,
         "kg_extract_mentions": """
             SELECT DISTINCT doc_id, tok AS mention FROM (

@@ -1567,6 +1567,37 @@ def sparql_query(quads: DataFrame, query: str) -> DataFrame:
     return fn(quads, query)
 
 
+def sparql_query_entailed(
+    spark,
+    premises: DataFrame,
+    rules,
+    query: str,
+    config=None,
+) -> DataFrame:
+    """SPARQL over the RULE-ENTAILED store: the query runs against
+    premises ∪ the fixpoint's derived quads, so the rule set plays the
+    role of an entailment regime (RDFS/OWL-RL-style reasoning under the
+    query — the reasoning-endpoint composition a rify user gets from
+    ``infer`` + querying the result).
+
+    ``derived`` is disjoint from the deduplicated premises by the
+    engine's novelty anti-join contract (reference
+    ``Reasoner::insert``), so the union below is already a set.
+    """
+    from .api import infer_df
+    from .infer import InferConfig
+
+    derived, _res = infer_df(
+        spark, premises, rules, config or InferConfig(encode_terms=False)
+    )
+    store = (
+        premises.select("s", "p", "o", "g")
+        .dropDuplicates(["s", "p", "o", "g"])
+        .unionByName(derived.select("s", "p", "o", "g"))
+    )
+    return sparql_query(store, query)
+
+
 # --- driver-gate queries + DuckDB oracles -----------------------------------
 
 # two-hop BGP over the TPC-H quad graph with a GRAPH clause and a filter
@@ -1837,6 +1868,42 @@ def sparql_numeric_filter_sql() -> str:
              CAST(CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS VARCHAR) AS t
       FROM orders
       WHERE CAST(FLOOR(o_totalprice * 100) AS BIGINT) >= 40000000
+    """
+
+
+# entailment-regime query: the located_in shortcut is NOT in the data —
+# a rule derives it, and the SPARQL aggregate runs over the entailed store
+GATE_ENTAILED = """
+  SELECT ?region (COUNT(?cust) AS ?n_cust) WHERE {
+    GRAPH <graph://tpch> { ?cust <located_in> ?region }
+  } GROUP BY ?region
+"""
+
+
+def sparql_entailed_gate(spark, sf_dir: str) -> DataFrame:
+    from .ops.quads import tpch_quads
+    from .rules import Bound as RB, Rule, Unbound as RU
+
+    rules = [
+        Rule.create(
+            [
+                [RU("c"), RB("in_nation"), RU("n"), RU("g")],
+                [RU("n"), RB("in_region"), RU("r"), RU("g")],
+            ],
+            [[RU("c"), RB("located_in"), RU("r"), RU("g")]],
+        )
+    ]
+    return sparql_query_entailed(
+        spark, tpch_quads(spark, sf_dir), rules, GATE_ENTAILED
+    )
+
+
+def sparql_entailed_sql() -> str:
+    return """
+      SELECT 'region:' || n.n_regionkey AS region,
+             CAST(COUNT(c.c_custkey) AS BIGINT) AS n_cust
+      FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY n.n_regionkey
     """
 
 

@@ -781,3 +781,31 @@ def test_separator_rejected_outside_group_concat(quads):
             quads,
             'SELECT (SUM(?v ; SEPARATOR = ",") AS ?s) WHERE { ?x <age> ?v }',
         )
+
+
+def test_sparql_query_entailed_runs_rules_under_the_query(quads):
+    from rify_spark.rules import Bound as B, Rule, Unbound as U
+    from rify_spark.sparql import sparql_query_entailed
+
+    rules = [
+        Rule.create(
+            [[U("x"), B("knows"), U("y"), U("g")]],
+            [[U("x"), B("reach"), U("y"), U("g")]],
+        ),
+        Rule.create(
+            [
+                [U("x"), B("reach"), U("y"), U("g")],
+                [U("y"), B("reach"), U("z"), U("g")],
+            ],
+            [[U("x"), B("reach"), U("z"), U("g")]],
+        ),
+    ]
+    got = sorted(
+        tuple(r)
+        for r in sparql_query_entailed(
+            quads.sparkSession, quads, rules,
+            "SELECT ?x ?y WHERE { GRAPH <g1> { ?x <reach> ?y } }",
+        ).collect()
+    )
+    # reach is derived-only: g1's chain closes to 3 pairs; g2 untouched
+    assert got == [("a", "b"), ("a", "c"), ("b", "c")]
