@@ -300,3 +300,32 @@ def test_nquads_stream_malformed_policies(spark, tmp_path):
 
     with pytest.raises(ValueError, match="on_malformed"):
         r2.start_nquads_stream(src, ckpt1, on_malformed="quarantine")
+
+
+def test_sparql_continuous_query_over_live_store(spark, tmp_path):
+    """Composition: a SPARQL aggregate re-evaluated between micro-batches
+    runs directly over the incremental reasoner's maintained closure —
+    the continuous-query surface a KG endpoint exposes."""
+    from rify_spark.sparql import sparql_select
+
+    src = str(tmp_path / "src")
+    store = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src, exist_ok=True)
+
+    r = IncrementalReasoner(spark, _rules(), store)
+    q = (
+        "SELECT ?x (COUNT(?y) AS ?n) WHERE { GRAPH <dg> { ?x <anc> ?y } } "
+        "GROUP BY ?x ORDER BY ?x"
+    )
+
+    _write_batch(spark, src, [("a", "parent", "b", DG)], "b1")
+    r.start_file_stream(src, ckpt, available_now=True).awaitTermination(120)
+    got1 = [tuple(x) for x in sparql_select(r.facts(), q).collect()]
+    assert got1 == [("a", 1)]
+
+    _write_batch(spark, src, [("b", "parent", "c", DG)], "b2")
+    r.start_file_stream(src, ckpt, available_now=True).awaitTermination(120)
+    got2 = [tuple(x) for x in sparql_select(r.facts(), q).collect()]
+    # the cross-batch derivation a->c is visible to the query
+    assert got2 == [("a", 2), ("b", 1)]
