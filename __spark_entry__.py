@@ -543,6 +543,12 @@ def _q_sparql_entailed(spark, sf_dir):
     return sparql_entailed_gate(spark, sf_dir)
 
 
+def _q_sparql_compat_join(spark, sf_dir):
+    from rify_spark.sparql import sparql_compat_join_gate
+
+    return sparql_compat_join_gate(spark, sf_dir)
+
+
 def _q_sparql_subquery(spark, sf_dir):
     from rify_spark.sparql import sparql_subquery_gate
 
@@ -671,6 +677,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_subquery": _q_sparql_subquery,
         # entailment regime: SPARQL aggregate over infer_df's closure
         "sparql_entailed": _q_sparql_entailed,
+        # compatible-mappings join on a possibly-unbound (partial-UNION)
+        # variable — null-split decomposition keeps the bound mass equi
+        "sparql_compat_join": _q_sparql_compat_join,
         # KG construction
         "kg_extract_mentions": _q_kg_mentions,
         "kg_pipeline_derived": _q_kg_pipeline,
@@ -834,6 +843,7 @@ def oracle_sql() -> dict[str, str]:
         "sparql_numeric_filter": _sparql_sql("sparql_numeric_filter_sql"),
         "sparql_subquery": _sparql_sql("sparql_subquery_sql"),
         "sparql_entailed": _sparql_sql("sparql_entailed_sql"),
+        "sparql_compat_join": _sparql_sql("sparql_compat_join_sql"),
         "kg_pipeline_derived": KG_PIPELINE_SQL,
         "kg_extract_mentions": """
             SELECT DISTINCT doc_id, tok AS mention FROM (

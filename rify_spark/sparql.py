@@ -85,14 +85,17 @@ Supported subset (documented contract, errors otherwise):
     and follow the OPTIONAL-var subset restriction);
   * ``ORDER BY [ASC|DESC](?v)``, ``LIMIT n``, ``OFFSET n``.
 
-Subset restriction (raises rather than silently approximating): a
-variable that can be UNBOUND (introduced under OPTIONAL, or missing from
-some UNION branch) may appear in FILTERs and in SELECT, but not as a
-later join key between group elements and not in a CONSTRUCT template —
-SPARQL's unbound-compatible join semantics is the one piece of the
-algebra this compiler does not implement. Also not supported:
-blank-node syntax, AVG (the term space has no exact decimal type),
-aggregate expressions over anything but a single variable.
+Possibly-unbound variables (introduced under OPTIONAL, or missing from
+some UNION branch) are first-class: they may appear in FILTERs and
+SELECT, and as later join / EXISTS / MINUS keys with SPARQL's
+compatible-mappings semantics (spec §18.5: an unbound variable is
+compatible with any value; the merged solution takes the bound one) —
+see ``_Eval._compat_join`` for the plan shapes. The one remaining
+restriction (raises rather than silently approximating): a
+possibly-unbound variable cannot instantiate a CONSTRUCT template.
+Also not supported: blank-node syntax, AVG (the term space has no
+exact decimal type), aggregate expressions over anything but a single
+variable.
 """
 
 from __future__ import annotations
@@ -1109,15 +1112,12 @@ class _Eval:
 
     def join(self, a: _Sol, b: _Sol, how: str) -> _Sol:
         shared = sorted(a.bound & b.bound)
-        bad = [v for v in shared if v in a.maybe or v in b.maybe]
-        if bad:
-            raise SparqlParseError(
-                f"join on possibly-unbound variable(s) {bad} (bound under "
-                "OPTIONAL or in only some UNION branches) is outside the "
-                "supported subset"
-            )
-        if shared:
+        maybe_shared = [v for v in shared if v in a.maybe or v in b.maybe]
+        sure = [v for v in shared if v not in maybe_shared]
+        if shared and not maybe_shared:
             df = a.df.join(b.df, on=shared, how=how)
+        elif shared:
+            df = self._compat_join(a.df, b.df, sure, maybe_shared, how)
         elif how == "left":
             raise SparqlParseError(
                 "OPTIONAL must share at least one variable with the "
@@ -1125,10 +1125,81 @@ class _Eval:
             )
         else:
             df = a.df.crossJoin(b.df)
-        maybe = a.maybe | b.maybe
+        maybe = (a.maybe | b.maybe) - set(maybe_shared)
+        for v in maybe_shared:
+            # the merged column is coalesce(a.v, b.v): still unbound only
+            # when the a side is null AND the b side is null (inner) or
+            # null-or-missing (left-join miss)
+            if v in a.maybe and (v in b.maybe or how == "left"):
+                maybe.add(v)
         if how == "left":
             maybe |= b.bound - set(shared)
         return _Sol(df, a.bound | b.bound, maybe)
+
+    def _compat_join(
+        self, left: DataFrame, right: DataFrame,
+        sure: list, maybe_shared: list, how: str,
+    ) -> DataFrame:
+        """SPARQL compatible-mappings join (spec §18.5 Join) when some
+        shared variables are possibly-unbound (OPTIONAL / partial-UNION):
+        an unbound (null) variable is compatible with ANY value on the
+        other side, and the merged solution takes the bound one
+        (``coalesce``). Definitely-bound shared vars stay plain equi-join
+        keys, so whenever one exists Catalyst plans a hash join with the
+        per-var compatibility predicates as post-match join filters — the
+        at-scale shape. With NO definitely-bound key, an inner join is
+        decomposed on the first maybe-var's null split into four disjoint
+        legs, so the dominant bound=bound mass still equi-joins and only
+        the null slices (OPTIONAL-miss / UNION-miss rows) pay a
+        nested-loop leg against the other side. A LEFT join with no
+        definitely-bound key keeps the single conditioned join
+        (BroadcastNestedLoop) — stated, not hidden: that shape means an
+        OPTIONAL whose every link to its group is itself optional."""
+        ren = {v: f"__r_{v}" for v in sure + maybe_shared}
+        for v, rv in ren.items():
+            right = right.withColumnRenamed(v, rv)
+
+        def compat(v):
+            rv = ren[v]
+            return (
+                F.col(v).isNull()
+                | F.col(rv).isNull()
+                | (F.col(v) == F.col(rv))
+            )
+
+        def conj(conds):
+            if not conds:
+                return F.lit(True)
+            out = conds[0]
+            for c in conds[1:]:
+                out = out & c
+            return out
+
+        eq = [F.col(v) == F.col(ren[v]) for v in sure]
+        if sure or how == "left":
+            df = left.join(
+                right, conj(eq + [compat(v) for v in maybe_shared]), how
+            )
+        else:
+            v0, rest = maybe_shared[0], maybe_shared[1:]
+            rv0 = ren[v0]
+            rest_c = [compat(v) for v in rest]
+            l_b = left.filter(F.col(v0).isNotNull())
+            l_n = left.filter(F.col(v0).isNull())
+            r_b = right.filter(F.col(rv0).isNotNull())
+            r_n = right.filter(F.col(rv0).isNull())
+            df = l_b.join(
+                r_b, conj([F.col(v0) == F.col(rv0)] + rest_c), "inner"
+            )
+            for lhs, rhs in ((l_b, r_n), (l_n, r_b), (l_n, r_n)):
+                df = df.unionByName(lhs.join(rhs, conj(rest_c), "inner"))
+        merged = [
+            F.coalesce(F.col(v), F.col(ren[v])).alias(v)
+            for v in maybe_shared
+        ]
+        drop = set(ren.values()) | set(maybe_shared)
+        keep = [c for c in df.columns if c not in drop]
+        return df.select(*[F.col(c) for c in keep], *merged)
 
     def union(self, u: UnionNode) -> _Sol:
         sols = [self.group(br) for br in u.branches]
@@ -1156,24 +1227,41 @@ class _Eval:
         """EXISTS / NOT EXISTS / MINUS: a semi or anti join that adds no
         columns. MINUS over disjoint variable domains removes nothing
         (SPARQL's spec'd difference from NOT EXISTS, which gates on the
-        sub-pattern having any match at all)."""
+        sub-pattern having any match at all). Possibly-unbound shared
+        variables use compatible-mappings semantics: a null on either
+        side is compatible with anything; for MINUS the domains must
+        additionally intersect PER ROW — at least one shared variable
+        bound (non-null) on both sides — else that pair removes nothing
+        (spec §18.5 Minus). Definitely-bound shared vars remain plain
+        equi keys, so the join stays hash-planned whenever one exists."""
         shared = sorted(acc.bound & s.bound)
-        bad = [
+        maybe_shared = [
             v for v in shared if v in acc.maybe or v in s.maybe
         ]
-        if bad:
-            raise SparqlParseError(
-                f"EXISTS/MINUS on possibly-unbound variable(s) {bad} is "
-                "outside the supported subset"
-            )
+        sure = [v for v in shared if v not in maybe_shared]
         if shared:
             right = s.df.select(
                 *[F.col(v).alias(f"__x_{v}") for v in shared]
             )
-            cond = None
-            for v in shared:
-                c = F.col(v) == F.col(f"__x_{v}")
-                cond = c if cond is None else cond & c
+            conds = [F.col(v) == F.col(f"__x_{v}") for v in sure]
+            conds += [
+                F.col(v).isNull()
+                | F.col(f"__x_{v}").isNull()
+                | (F.col(v) == F.col(f"__x_{v}"))
+                for v in maybe_shared
+            ]
+            if minus and not sure:
+                dom = None
+                for v in shared:
+                    c = (
+                        F.col(v).isNotNull()
+                        & F.col(f"__x_{v}").isNotNull()
+                    )
+                    dom = c if dom is None else dom | c
+                conds.append(dom)
+            cond = conds[0]
+            for c in conds[1:]:
+                cond = cond & c
             df = acc.df.join(
                 right, cond, "left_anti" if anti else "left_semi"
             )
@@ -1868,6 +1956,51 @@ def sparql_numeric_filter_sql() -> str:
              CAST(CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS VARCHAR) AS t
       FROM orders
       WHERE CAST(FLOOR(o_totalprice * 100) AS BIGINT) >= 40000000
+    """
+
+
+# compatible-mappings join: ?nation is bound in only one UNION branch, so
+# the following pattern joins on a possibly-unbound key — a null is
+# compatible with any (nation, region) pair and the merged ?nation takes
+# the bound side (spec §18.5 Join). No definitely-bound shared key
+# exists, so the evaluator's null-split decomposition runs: the customer
+# branch equi-joins on ?nation, the orders branch (null ?nation)
+# cross-joins the 25-row nation relation.
+GATE_COMPAT_JOIN = """
+  SELECT ?cust ?nation ?region WHERE {
+    GRAPH <graph://tpch> {
+      { ?cust <in_nation> ?nation } UNION { ?ord <placed_by> ?cust }
+      ?nation <in_region> ?region .
+    }
+  }
+"""
+
+
+def sparql_compat_join_gate(spark, sf_dir: str) -> DataFrame:
+    from .ops.quads import tpch_quads
+
+    return sparql_select(tpch_quads(spark, sf_dir), GATE_COMPAT_JOIN)
+
+
+def sparql_compat_join_sql() -> str:
+    return """
+      WITH lhs AS (
+        SELECT 'cust:' || c_custkey AS cust,
+               'nation:' || c_nationkey AS nation
+        FROM customer
+        UNION ALL
+        SELECT 'cust:' || o_custkey AS cust, NULL AS nation
+        FROM orders
+      ), rhs AS (
+        SELECT 'nation:' || n_nationkey AS nation,
+               'region:' || n_regionkey AS region
+        FROM nation
+      )
+      SELECT lhs.cust AS cust,
+             COALESCE(lhs.nation, rhs.nation) AS nation,
+             rhs.region AS region
+      FROM lhs JOIN rhs
+        ON (lhs.nation IS NULL OR lhs.nation = rhs.nation)
     """
 
 

@@ -465,8 +465,33 @@ def main() -> None:
     # SPARQL front-end: aggregates, path expressions, subqueries
     from rify_spark.sparql import (
         sparql_agg_count_gate,
+        sparql_compat_join_gate,
         sparql_path_expr_gate,
         sparql_subquery_gate,
+    )
+
+    cj_exec = (
+        sparql_compat_join_gate(spark, SF_DIR)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    sections.append(("sparql_compat_join", cj_exec[:4000]))
+    checks.append(
+        (
+            "sparql_compat_join",
+            "null-split decomposition: the bound=bound mass equi-joins "
+            "(hash join present despite no definitely-bound key)",
+            bool(
+                re.search(r"(BroadcastHashJoin|SortMergeJoin)", cj_exec)
+            ),
+        )
+    )
+    checks.append(
+        (
+            "sparql_compat_join",
+            "no unconditioned cartesian product (nested-loop legs are "
+            "null-slice-restricted and conditioned)",
+            "CartesianProduct" not in cj_exec,
+        )
     )
 
     agg_exec = (

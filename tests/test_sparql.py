@@ -274,7 +274,11 @@ def test_filter_scopes_to_its_group(quads):
     assert _run(quads, q) == [("b", "Person")]
 
 
-def test_maybe_null_join_key_rejected(quads):
+def test_compat_join_on_possibly_unbound_var(quads):
+    # ?age is unbound for x=b,c after the OPTIONAL; SPARQL compatible-
+    # mappings semantics: an unbound var matches ANY binding of ?age on
+    # the other side, so all three ?x rows survive the join (with
+    # ?age/?z filled from the right side for b and c)
     q = """
       SELECT ?x WHERE {
         GRAPH ?g { ?x <knows> ?y }
@@ -282,8 +286,69 @@ def test_maybe_null_join_key_rejected(quads):
         ?z <age> ?age .
       }
     """
-    with pytest.raises(SparqlParseError, match="possibly-unbound"):
-        sparql_select(quads, q)
+    assert _run(quads, q) == [("a",), ("b",), ("c",)]
+
+
+def test_compat_join_merges_bound_value(quads):
+    # after the join the merged ?age is the bound side's value
+    q = """
+      SELECT ?x ?age WHERE {
+        GRAPH ?g { ?x <knows> ?y }
+        OPTIONAL { ?x <age> ?age }
+        ?z <age> ?age .
+      }
+    """
+    assert _run(quads, q) == [("a", "3"), ("b", "3"), ("c", "3")]
+
+
+def test_compat_join_with_sure_key_stays_selective(quads):
+    # shared ?x is definitely bound on both sides (the equi key); the
+    # possibly-unbound ?age rides as a compatibility predicate
+    q = """
+      SELECT ?x ?y ?age WHERE {
+        GRAPH ?g { ?x <knows> ?y }
+        OPTIONAL { ?x <age> ?age }
+        ?x <age> ?age .
+      }
+    """
+    assert _run(quads, q) == [("a", "b", "3")]
+
+
+def test_compat_optional_on_possibly_unbound_var(quads):
+    # a second OPTIONAL whose only shared var is possibly-unbound: the
+    # null rows are compatible with the sub-solution, so every row fills
+    q = """
+      SELECT ?x ?age ?w WHERE {
+        GRAPH ?g { ?x <knows> ?y }
+        OPTIONAL { ?x <age> ?age }
+        OPTIONAL { ?w <age> ?age }
+      }
+    """
+    assert _run(quads, q) == [
+        ("a", "3", "a"), ("b", "3", "a"), ("c", "3", "a")
+    ]
+
+
+def test_minus_disjoint_domain_rows_survive(quads):
+    # MINUS removes only rows whose domains INTERSECT the sub-solution's
+    # (spec §18.5): x=a has ?age bound (removed); x=b,c have ?age unbound
+    # — compatible, but the per-row domain intersection is empty, so they
+    # survive. FILTER NOT EXISTS has no domain condition: it removes all.
+    base = """
+      SELECT ?x WHERE {{
+        GRAPH ?g {{ ?x <knows> ?y }}
+        OPTIONAL {{ ?x <age> ?age }}
+        {neg}
+      }}
+    """
+    got = _run(quads, base.format(neg="MINUS { ?z <age> ?age }"))
+    assert got == [("b",), ("c",)]
+    got = _run(
+        quads, base.format(neg="FILTER NOT EXISTS { ?z <age> ?age }")
+    )
+    assert got == []
+    got = _run(quads, base.format(neg="FILTER EXISTS { ?z <age> ?age }"))
+    assert got == [("a",), ("b",), ("c",)]
 
 
 def test_construct_rejects_optional_template_var(quads):
