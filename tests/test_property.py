@@ -599,3 +599,148 @@ def test_sparql_path_expressions_match_python_algebra(spark, quads, ast, g):
     got = sorted(tuple(r) for r in sparql_select(df, q).collect())
     want = sorted(_py_path(ast, scoped))
     assert got == want
+
+
+# --- SPARQL compatible-mappings joins vs a pure-Python algebra ---------------
+# Random three-element groups (BGP + OPTIONAL/UNION + BGP/MINUS) whose
+# shared variables may be possibly-unbound, pinned against a direct
+# implementation of the spec's §18.5 operators over mapping dicts that
+# contain ONLY bound vars (so domain/compatibility semantics are literal).
+
+_CJ_VALS = ("a", "b", "c")
+_CJ_PREDS = ("p0", "p1")
+_CJ_GRAPHS = ("g0", "g1")
+_cj_slot = st.sampled_from(("?x", "?y", "?z") + _CJ_VALS)
+_cj_atom_st = st.tuples(
+    _cj_slot,
+    st.sampled_from(("?p",) + _CJ_PREDS),
+    _cj_slot,
+    st.sampled_from(("?g",) + _CJ_GRAPHS),
+)
+_cj_quads_st = st.lists(
+    st.tuples(
+        st.sampled_from(_CJ_VALS),
+        st.sampled_from(_CJ_PREDS),
+        st.sampled_from(_CJ_VALS),
+        st.sampled_from(_CJ_GRAPHS),
+    ),
+    min_size=0,
+    max_size=8,
+)
+
+
+def _cj_vars(atom):
+    return {s for s in atom if s.startswith("?")}
+
+
+def _cj_atom_sols(quads, atom):
+    out = []
+    for q in quads:
+        e, ok = {}, True
+        for slot, val in zip(atom, q):
+            if slot.startswith("?"):
+                if e.get(slot, val) != val:
+                    ok = False
+                    break
+                e[slot] = val
+            elif slot != val:
+                ok = False
+                break
+        if ok:
+            out.append(e)
+    return out
+
+
+def _cj_compatible(m1, m2):
+    return all(m1[k] == m2[k] for k in m1.keys() & m2.keys())
+
+
+def _cj_join(A, B):
+    return [
+        {**a, **b} for a in A for b in B if _cj_compatible(a, b)
+    ]
+
+
+def _cj_leftjoin(A, B):
+    out = []
+    for a in A:
+        ms = [{**a, **b} for b in B if _cj_compatible(a, b)]
+        out.extend(ms or [a])
+    return out
+
+
+def _cj_minus(A, B):
+    # spec §18.5 Minus: remove only on compatible AND intersecting domains
+    return [
+        a
+        for a in A
+        if not any(
+            _cj_compatible(a, b) and (a.keys() & b.keys()) for b in B
+        )
+    ]
+
+
+def _cj_text(atom):
+    s, p, o, g = (
+        t if t.startswith("?") else f"<{t}>" for t in atom
+    )
+    gg = atom[3] if atom[3].startswith("?") else f"<{atom[3]}>"
+    return f"GRAPH {gg} {{ {s} {p} {o} }}"
+
+
+@settings(max_examples=6 * _SCALE, **_SETTINGS)
+@given(
+    quads=_cj_quads_st,
+    a1=_cj_atom_st,
+    a2=_cj_atom_st,
+    a3=_cj_atom_st,
+    shape=st.sampled_from(
+        ["optional_join", "union_join", "optional_minus"]
+    ),
+)
+def test_sparql_compat_joins_match_python_algebra(
+    spark, quads, a1, a2, a3, shape
+):
+    from hypothesis import assume
+
+    from rify_spark.sparql import sparql_select
+
+    quads = sorted(set(quads))
+    v1, v2, v3 = _cj_vars(a1), _cj_vars(a2), _cj_vars(a3)
+    assume(v1)  # engine existence-gates a fully-constant first element
+    if shape == "optional_join":
+        assume(v1 & v2)  # OPTIONAL must share a var with its group
+        body = f"{_cj_text(a1)} OPTIONAL {{ {_cj_text(a2)} }} {_cj_text(a3)}"
+        sel = sorted(v1 | v2 | v3)
+        assume(v3)  # a constant third element is an existence gate
+    elif shape == "union_join":
+        body = (
+            f"{{ {_cj_text(a1)} }} UNION {{ {_cj_text(a2)} }} {_cj_text(a3)}"
+        )
+        sel = sorted(v1 | v2 | v3)
+        assume(v2 and v3)
+    else:
+        assume(v1 & v2)
+        body = f"{_cj_text(a1)} OPTIONAL {{ {_cj_text(a2)} }} MINUS {{ {_cj_text(a3)} }}"
+        sel = sorted(v1 | v2)
+    q = "SELECT {} WHERE {{ {} }}".format(" ".join(sel), body)
+    s1 = _cj_atom_sols(quads, a1)
+    s2 = _cj_atom_sols(quads, a2)
+    s3 = _cj_atom_sols(quads, a3)
+    if shape == "optional_join":
+        want_maps = _cj_join(_cj_leftjoin(s1, s2), s3)
+    elif shape == "union_join":
+        want_maps = _cj_join(s1 + s2, s3)
+    else:
+        want_maps = _cj_minus(_cj_leftjoin(s1, s2), s3)
+    want = sorted(
+        tuple(m.get(v, "") for v in sel) for m in want_maps
+    )
+    df = spark.createDataFrame(quads or [("x", "x", "x", "x")], SCHEMA)
+    if not quads:
+        df = df.limit(0)
+    got = sorted(
+        tuple(v if v is not None else "" for v in r)
+        for r in sparql_select(df, q).collect()
+    )
+    assert got == want
