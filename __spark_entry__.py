@@ -567,6 +567,12 @@ def _q_sparql_agg_sum(spark, sf_dir):
     return sparql_agg_sum_gate(spark, sf_dir)
 
 
+def _q_sparql_bind(spark, sf_dir):
+    from rify_spark.sparql import sparql_bind_gate
+
+    return sparql_bind_gate(spark, sf_dir)
+
+
 def _q_rdf_parse(spark, sf_dir):
     from rify_spark.rdf import rdf_nquads_parse
 
@@ -680,6 +686,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # compatible-mappings join on a possibly-unbound (partial-UNION)
         # variable — null-split decomposition keeps the bound mass equi
         "sparql_compat_join": _q_sparql_compat_join,
+        # BIND + expression algebra: CONCAT / integer arithmetic over
+        # lexemes / STRLEN SELECT item, numeric FILTER on the BIND target
+        "sparql_bind": _q_sparql_bind,
         # KG construction
         "kg_extract_mentions": _q_kg_mentions,
         "kg_pipeline_derived": _q_kg_pipeline,
@@ -844,6 +853,7 @@ def oracle_sql() -> dict[str, str]:
         "sparql_subquery": _sparql_sql("sparql_subquery_sql"),
         "sparql_entailed": _sparql_sql("sparql_entailed_sql"),
         "sparql_compat_join": _sparql_sql("sparql_compat_join_sql"),
+        "sparql_bind": _sparql_sql("sparql_bind_sql"),
         "kg_pipeline_derived": KG_PIPELINE_SQL,
         "kg_extract_mentions": """
             SELECT DISTINCT doc_id, tok AS mention FROM (

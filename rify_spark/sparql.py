@@ -83,6 +83,17 @@ Supported subset (documented contract, errors otherwise):
     aliases become ordinary bound variables in the outer scope
     (SUM/MIN/MAX aliases are possibly-unbound — an all-null group —
     and follow the OPTIONAL-var subset restriction);
+  * ``BIND(expr AS ?v)`` group elements and expression SELECT items
+    ``(expr AS ?v)`` (the latter in non-aggregate queries): expressions
+    over the opaque string term space — ``CONCAT``, ``COALESCE``,
+    ``STR``, ``UCASE``, ``LCASE``, ``STRLEN``, ``SUBSTR(s, start,
+    len)``, and integer ``+``/``-`` arithmetic (operands try_cast to
+    BIGINT, result rendered back as its decimal lexeme; a non-integer
+    lexeme makes the result unbound — error-semantics). An errored or
+    unbound input propagates: the BIND target is unbound (null) and
+    rides the possibly-unbound tracking like an OPTIONAL variable;
+    ``COALESCE`` is the recovery function. The BIND target must be a
+    fresh variable in its group (spec §10.1);
   * ``ORDER BY [ASC|DESC](?v)``, ``LIMIT n``, ``OFFSET n``.
 
 Possibly-unbound variables (introduced under OPTIONAL, or missing from
@@ -127,7 +138,7 @@ _TOKEN_RE = re.compile(
     | (?P<pname>(?:[A-Za-z_][A-Za-z0-9_-]*)?:[A-Za-z0-9_.-]*)
     | (?P<kw>[A-Za-z_][A-Za-z0-9_]*)
     | (?P<num>[0-9]+)
-    | (?P<op><=|>=|!=|&&|\|\||[{}.;,()=<>*:!+^/|?])
+    | (?P<op><=|>=|!=|&&|\|\||[{}.;,()=<>*:!+^/|?-])
     """,
     re.VERBOSE,
 )
@@ -188,6 +199,28 @@ class Agg:
         """Identity of the computed aggregate, ignoring the alias — a
         HAVING aggregate that matches a selected one reuses its column."""
         return (self.func, self.var, self.distinct, self.sep)
+
+
+@dataclass(frozen=True)
+class EFunc:
+    """A scalar function call in a BIND / SELECT expression: CONCAT,
+    COALESCE, STR, UCASE, LCASE, STRLEN, SUBSTR."""
+
+    name: str
+    args: tuple
+
+
+@dataclass(frozen=True)
+class EArith:
+    """Integer ``+``/``-`` over term lexemes: operands try_cast to
+    BIGINT (a non-integer lexeme nulls the result — SPARQL's
+    error-semantics, the same contract as numeric FILTERs) and the
+    result renders back to its decimal lexeme (the term space stays
+    opaque strings)."""
+
+    op: str  # "+" | "-"
+    lhs: object
+    rhs: object
 
 
 @dataclass(frozen=True)
@@ -269,6 +302,15 @@ class Minus:
 
 
 @dataclass
+class BindNode:
+    """``BIND(expr AS ?v)`` — evaluated in group order: the expression
+    sees the bindings accumulated so far, the target must be fresh."""
+
+    name: str
+    expr: object
+
+
+@dataclass
 class ValuesBlock:
     names: list  # variable names
     rows: list  # list[tuple[str | None, ...]] — None == UNDEF
@@ -303,8 +345,8 @@ def _walk_patterns(node) -> list:
         elif isinstance(e, UnionNode):
             for b in e.branches:
                 out.extend(_walk_patterns(b))
-        elif isinstance(e, ValuesBlock):
-            pass  # no quad patterns; _var_order handles its names
+        elif isinstance(e, (ValuesBlock, BindNode)):
+            pass  # no quad patterns; _var_order handles the names
         elif isinstance(e, SubSelect):
             out.extend(_walk_patterns(e.q.root))
         else:
@@ -456,18 +498,27 @@ class _Parser:
                     self.projection.append(("var", name))
                 elif kind == "op" and tok == "(":
                     self.next()
-                    agg = self.agg_expr()
+                    k2, t2 = self.peek()
+                    is_agg = k2 == "kw" and t2.upper() in self._AGG_FUNCS
+                    item = (
+                        self.agg_expr() if is_agg else self.scalar_expr()
+                    )
                     self.expect("AS")
                     k2, t2 = self.next()
                     if k2 != "var":
                         raise SparqlParseError(
-                            "aggregate needs 'AS ?alias'"
+                            "SELECT expression needs 'AS ?alias'"
                         )
                     self.expect(")")
                     alias = t2[1:]
                     self.select.append(alias)
                     self.projection.append(
-                        Agg(agg.func, agg.var, agg.distinct, alias, agg.sep)
+                        Agg(
+                            item.func, item.var, item.distinct,
+                            alias, item.sep,
+                        )
+                        if is_agg
+                        else ("expr", alias, item)
                     )
                 else:
                     break
@@ -532,6 +583,19 @@ class _Parser:
             elif kind == "kw" and tok.upper() == "VALUES":
                 self.next()
                 node.elems.append(self.values_block())
+            elif kind == "kw" and tok.upper() == "BIND":
+                self.next()
+                self.expect("(")
+                expr = self.scalar_expr()
+                self.expect("AS")
+                k2, t2 = self.next()
+                if k2 != "var":
+                    raise SparqlParseError("BIND needs 'AS ?var'")
+                self.expect(")")
+                node.elems.append(BindNode(t2[1:], expr))
+                k2, t2 = self.peek()
+                if k2 == "op" and t2 == ".":
+                    self.next()
             elif kind == "kw" and tok.upper() == "FILTER":
                 if not allow_filter:
                     raise SparqlParseError(
@@ -781,6 +845,61 @@ class _Parser:
             return NumConst(int(tok))
         return self.term()
 
+    _EXPR_FUNCS = {
+        "CONCAT", "COALESCE", "STR", "UCASE", "LCASE", "STRLEN", "SUBSTR",
+    }
+    _EXPR_UNARY = {"STR", "UCASE", "LCASE", "STRLEN"}
+
+    def scalar_expr(self):
+        """A BIND / SELECT-item scalar expression: additive chain of
+        atoms (``+``/``-`` are integer arithmetic over lexemes — see
+        :class:`EArith`); atoms are variables, constants, parenthesised
+        expressions, or the supported function calls."""
+        lhs = self.scalar_atom()
+        while True:
+            kind, tok = self.peek()
+            if kind == "op" and tok in ("+", "-"):
+                self.next()
+                lhs = EArith(tok, lhs, self.scalar_atom())
+            else:
+                return lhs
+
+    def scalar_atom(self):
+        kind, tok = self.peek()
+        if kind == "op" and tok == "(":
+            self.next()
+            e = self.scalar_expr()
+            self.expect(")")
+            return e
+        if kind == "num":
+            self.next()
+            return NumConst(int(tok))
+        if kind == "kw" and tok.upper() in self._EXPR_FUNCS:
+            self.next()
+            name = tok.upper()
+            self.expect("(")
+            args = [self.scalar_expr()]
+            while self.peek() == ("op", ","):
+                self.next()
+                args.append(self.scalar_expr())
+            self.expect(")")
+            if name in self._EXPR_UNARY and len(args) != 1:
+                raise SparqlParseError(f"{name}() takes one argument")
+            if name == "SUBSTR":
+                if len(args) != 3 or not all(
+                    isinstance(a, NumConst) for a in args[1:]
+                ):
+                    raise SparqlParseError(
+                        "SUBSTR takes (expr, start, length) with integer "
+                        "start/length (1-based, the SQL convention)"
+                    )
+                if args[1].value < 1 or args[2].value < 0:
+                    raise SparqlParseError(
+                        "SUBSTR start is 1-based and length non-negative"
+                    )
+            return EFunc(name, tuple(args))
+        return self.term()
+
     _AGG_FUNCS = {"COUNT", "SUM", "MIN", "MAX", "SAMPLE", "GROUP_CONCAT"}
 
     def agg_expr(self) -> Agg:
@@ -927,6 +1046,86 @@ def _compile_bgp(patterns: list) -> tuple[LoweredRule, list]:
         index=0, body=body, head=[], n_vars=len(slots), canon_vars=names
     )
     return lrule, names
+
+
+def _scalar_column(expr, bound: set, maybe: set):
+    """Compile a BIND / SELECT scalar expression to a string-typed Spark
+    Column over a solution relation whose columns are ``bound``.
+
+    Returns ``(column, can_be_null)``. The engine's term space is opaque
+    strings (reference src/translator.rs generic Bound), so every
+    expression value is a string lexeme: arithmetic try_casts operands to
+    BIGINT (a non-integer lexeme nulls the result — SPARQL error-
+    semantics, the numeric-FILTER contract) and renders back as the
+    decimal lexeme; CONCAT/UCASE/LCASE/STRLEN/SUBSTR propagate NULL
+    (an errored or unbound input leaves the target unbound, spec §10.1);
+    COALESCE is SPARQL's own unbound-recovery function. A variable not
+    in scope raises (vs silently-unbound: a never-bound expression
+    variable is a query bug, matching the FILTER-variable check)."""
+
+    def num(e):
+        if isinstance(e, NumConst):
+            return F.lit(e.value).cast("long")
+        if isinstance(e, EArith):
+            lo, ro = num(e.lhs), num(e.rhs)
+            return lo + ro if e.op == "+" else lo - ro
+        return s(e).try_cast("long")
+
+    def num_can_null(e):
+        if isinstance(e, NumConst):
+            return False
+        if isinstance(e, EArith):
+            return num_can_null(e.lhs) or num_can_null(e.rhs)
+        return True  # an opaque lexeme may fail the BIGINT cast
+
+    def s(e):
+        if isinstance(e, Var):
+            if e.name not in bound:
+                raise SparqlParseError(
+                    f"?{e.name} is not in scope in this expression"
+                )
+            return F.col(e.name)
+        if isinstance(e, Const):
+            return F.lit(e.value)
+        if isinstance(e, NumConst):
+            return F.lit(str(e.value))
+        if isinstance(e, EArith):
+            return num(e).cast("string")
+        assert isinstance(e, EFunc), e
+        if e.name == "CONCAT":
+            return F.concat(*[s(a) for a in e.args])
+        if e.name == "COALESCE":
+            return F.coalesce(*[s(a) for a in e.args])
+        if e.name == "STR":
+            return s(e.args[0])
+        if e.name == "UCASE":
+            return F.upper(s(e.args[0]))
+        if e.name == "LCASE":
+            return F.lower(s(e.args[0]))
+        if e.name == "STRLEN":
+            # character count rendered as a lexeme (the term space has no
+            # integer type); SQL twin CAST(LENGTH(x) AS VARCHAR)
+            return F.length(s(e.args[0])).cast("string")
+        if e.name == "SUBSTR":
+            return F.substring(
+                s(e.args[0]), e.args[1].value, e.args[2].value
+            )
+        raise AssertionError(e.name)
+
+    def can_null(e):
+        if isinstance(e, (Const, NumConst)):
+            return False
+        if isinstance(e, Var):
+            return e.name in maybe
+        if isinstance(e, EArith):
+            return num_can_null(e)
+        if e.name == "COALESCE":
+            return all(can_null(a) for a in e.args)
+        if e.name == "SUBSTR":
+            return can_null(e.args[0])
+        return any(can_null(a) for a in e.args)
+
+    return s(expr), can_null(expr)
 
 
 @dataclass
@@ -1293,6 +1492,31 @@ class _Eval:
                     acc, self.group(e.node), anti=True, minus=True
                 )
                 continue
+            if isinstance(e, BindNode):
+                if acc is not None and e.name in acc.bound:
+                    raise SparqlParseError(
+                        f"BIND target ?{e.name} is already bound in its "
+                        "group (the target must be a fresh variable)"
+                    )
+                if acc is None:
+                    # BIND over the empty solution: one row; the
+                    # expression can reference no variables
+                    col, nullable = _scalar_column(e.expr, set(), set())
+                    acc = _Sol(
+                        self.spark.range(1).select(col.alias(e.name)),
+                        {e.name},
+                        {e.name} if nullable else set(),
+                    )
+                else:
+                    col, nullable = _scalar_column(
+                        e.expr, acc.bound, acc.maybe
+                    )
+                    acc = _Sol(
+                        acc.df.withColumn(e.name, col),
+                        acc.bound | {e.name},
+                        acc.maybe | ({e.name} if nullable else set()),
+                    )
+                continue
             if isinstance(e, Bgp):
                 s = self.bgp(e.patterns)
             elif isinstance(e, UnionNode):
@@ -1380,6 +1604,9 @@ def _var_order(q: _Parser) -> list:
                 for n in e.names:
                     if n not in seen:
                         seen.append(n)
+            elif isinstance(e, BindNode):
+                if e.name not in seen:
+                    seen.append(e.name)
             elif isinstance(e, SubSelect):
                 sub = (
                     e.q.select
@@ -1462,6 +1689,12 @@ def _aggregate(sol: _Sol, q: _Parser) -> DataFrame:
     for it in q.projection:
         if isinstance(it, Agg):
             continue
+        if it[0] == "expr":
+            raise SparqlParseError(
+                "expression SELECT items cannot be combined with "
+                "aggregates / GROUP BY (use BIND in the pattern, then "
+                "GROUP BY the bound variable)"
+            )
         _, n = it
         if n not in sol.bound:
             raise SparqlParseError(
@@ -1540,14 +1773,28 @@ def _select_solution(ev: _Eval, q: _Parser) -> _Sol:
             if isinstance(it, Agg) and it.func != "COUNT"
         } | (set(q.group_by) & sol.maybe)
     elif q.select is not None:
-        missing = [v for v in q.select if v not in sol.bound]
+        df, bound, sol_maybe = sol.df, set(sol.bound), set(sol.maybe)
+        for it in q.projection:
+            if isinstance(it, tuple) and it[0] == "expr":
+                _, alias, expr = it
+                if alias in bound:
+                    raise SparqlParseError(
+                        f"SELECT expression alias ?{alias} collides with "
+                        "a pattern variable"
+                    )
+                col, nullable = _scalar_column(expr, bound, sol_maybe)
+                df = df.withColumn(alias, col)
+                bound.add(alias)
+                if nullable:
+                    sol_maybe.add(alias)
+        missing = [v for v in q.select if v not in bound]
         if missing:
             raise SparqlParseError(
                 f"selected variables not in pattern: {missing}"
             )
-        df = sol.df.select(*q.select)
+        df = df.select(*q.select)
         out_names = list(q.select)
-        maybe = set(q.select) & sol.maybe
+        maybe = set(q.select) & sol_maybe
     else:
         df = sol.df.select(*names) if names else sol.df
         out_names = names
@@ -2146,6 +2393,39 @@ def sparql_agg_sum_sql() -> str:
       HAVING MIN(CAST(CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS VARCHAR))
                <> '0'
          AND SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) > 0
+    """
+
+
+# BIND + expression algebra: CONCAT over two pattern variables, integer
+# arithmetic over the total_cents lexeme (try_cast BIGINT, rendered back
+# as a — possibly negative — decimal lexeme) consumed by a numeric FILTER,
+# and an expression SELECT item (STRLEN)
+GATE_BIND = """
+  SELECT ?order ?pair (STRLEN(?nation) AS ?len) WHERE {
+    GRAPH <graph://tpch> {
+      ?order <placed_by> ?cust .
+      ?cust <in_nation> ?nation .
+      ?order <total_cents> ?t
+    }
+    BIND(CONCAT(?nation, "|", ?cust) AS ?pair)
+    BIND(?t - 10000000 AS ?net)
+    FILTER (?net > 0)
+  }
+"""
+
+
+def sparql_bind_gate(spark, sf_dir: str) -> DataFrame:
+    return sparql_select(_order_total_quads(spark, sf_dir), GATE_BIND)
+
+
+def sparql_bind_sql() -> str:
+    return """
+      SELECT 'order:' || o.o_orderkey AS "order",
+             'nation:' || c.c_nationkey || '|' || 'cust:' || c.c_custkey
+               AS pair,
+             CAST(LENGTH('nation:' || c.c_nationkey) AS VARCHAR) AS len
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      WHERE CAST(FLOOR(o.o_totalprice * 100) AS BIGINT) - 10000000 > 0
     """
 
 

@@ -874,3 +874,123 @@ def test_sparql_query_entailed_runs_rules_under_the_query(quads):
     )
     # reach is derived-only: g1's chain closes to 3 pairs; g2 untouched
     assert got == [("a", "b"), ("a", "c"), ("b", "c")]
+
+
+# --- BIND + scalar expressions ------------------------------------------
+
+
+def test_bind_concat(quads):
+    q = """
+      SELECT ?x ?pair WHERE {
+        GRAPH <g1> { ?x <knows> ?y }
+        BIND(CONCAT(?x, "->", ?y) AS ?pair)
+      }
+    """
+    assert _run(quads, q) == [("a", "a->b"), ("b", "b->c")]
+
+
+def test_bind_arithmetic_and_numeric_filter(quads):
+    # age "3" + 4 -> lexeme "7"; the numeric FILTER consumes the target
+    q = """
+      SELECT ?x ?n WHERE {
+        ?x <age> ?a
+        BIND(?a + 4 AS ?n)
+        FILTER (?n > 5)
+      }
+    """
+    assert _run(quads, q) == [("a", "7")]
+
+
+def test_bind_arithmetic_negative_lexeme(quads):
+    q = """
+      SELECT ?n WHERE { ?x <age> ?a BIND(?a - 10 AS ?n) }
+    """
+    assert _run(quads, q) == [("-7",)]
+
+
+def test_bind_non_integer_lexeme_is_unbound(quads):
+    # "Person" fails the BIGINT cast -> ?n unbound (null); bound() sees it
+    q = """
+      SELECT ?x WHERE {
+        ?x a ?t
+        BIND(?t + 1 AS ?n)
+        FILTER (!bound(?n))
+      }
+    """
+    assert _run(quads, q) == [("a",), ("b",)]
+
+
+def test_bind_unbound_optional_propagates_and_coalesce_recovers(quads):
+    q = """
+      SELECT ?x ?lab ?safe WHERE {
+        GRAPH <g1> { ?x <knows> ?y }
+        OPTIONAL { ?x <age> ?a }
+        BIND(CONCAT("age=", ?a) AS ?lab)
+        BIND(COALESCE(?lab, "unknown") AS ?safe)
+      }
+    """
+    assert _run(quads, q) == [
+        ("a", "age=3", "age=3"),
+        ("b", None, "unknown"),
+    ]
+
+
+def test_bind_first_element_and_string_functions(quads):
+    q = """
+      SELECT ?u ?l ?n ?sub WHERE {
+        BIND(UCASE("ab") AS ?u)
+        BIND(LCASE(?u) AS ?l)
+        BIND(STRLEN(CONCAT(?u, ?l)) AS ?n)
+        BIND(SUBSTR("abcdef", 2, 3) AS ?sub)
+        ?x a "Person"
+      }
+    """
+    assert _run(quads, q) == [("AB", "ab", "4", "bcd")] * 2
+
+
+def test_select_expression_item(quads):
+    q = """
+      SELECT ?x (STRLEN(?x) AS ?n) (STR(?y) AS ?copy) WHERE {
+        GRAPH <g1> { ?x <knows> ?y }
+      }
+    """
+    assert _run(quads, q) == [("a", "1", "b"), ("b", "1", "c")]
+
+
+def test_bind_target_usable_as_join_key(quads):
+    # the BIND target joins a later pattern (definitely-bound: equi key)
+    q = """
+      SELECT ?x ?z WHERE {
+        ?x <age> "3"
+        BIND("b" AS ?z)
+        GRAPH <g1> { ?z <knows> ?w }
+      }
+    """
+    assert _run(quads, q) == [("a", "b")]
+
+
+def test_bind_var_included_in_select_star(quads):
+    q = """
+      SELECT * WHERE { ?x <age> ?a BIND(?a + 1 AS ?n) }
+    """
+    df = sparql_select(quads, q)
+    assert df.columns == ["x", "a", "n"]
+    assert [tuple(r) for r in df.collect()] == [("a", "3", "4")]
+
+
+def test_bind_errors(quads):
+    with pytest.raises(SparqlParseError, match="already bound"):
+        _run(quads, 'SELECT ?x WHERE { ?x <age> ?a BIND("1" AS ?a) }')
+    with pytest.raises(SparqlParseError, match="not in scope"):
+        _run(quads, "SELECT ?n WHERE { BIND(?ghost AS ?n) ?x <age> ?a }")
+    with pytest.raises(SparqlParseError, match="one argument"):
+        _run(quads, 'SELECT ?n WHERE { ?x <age> ?a BIND(STRLEN(?a, ?a) AS ?n) }')
+    with pytest.raises(SparqlParseError, match="SUBSTR"):
+        _run(quads, 'SELECT ?n WHERE { ?x <age> ?a BIND(SUBSTR(?a, ?a, 1) AS ?n) }')
+    with pytest.raises(SparqlParseError, match="aggregates"):
+        _run(
+            quads,
+            "SELECT (STRLEN(?x) AS ?n) WHERE { ?x <age> ?a } GROUP BY ?x",
+        )
+    with pytest.raises(SparqlParseError, match="collides"):
+        _run(quads, "SELECT (STR(?x) AS ?a) WHERE { ?x <age> ?a }")
