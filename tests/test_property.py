@@ -744,3 +744,160 @@ def test_sparql_compat_joins_match_python_algebra(
         for r in sparql_select(df, q).collect()
     )
     assert got == want
+
+
+# --- SPARQL BIND expressions vs a pure-Python evaluator -----------------------
+
+# values chosen so numeric casts exercise success, sign, leading zeros,
+# empty string and non-numeric lexemes — all ASCII so Java and Python
+# upper/lower/length agree exactly
+_expr_vals = ("1", "-2", "030", "x", "t0", "")
+
+
+def _expr_ast_st():
+    leaf = st.one_of(
+        st.just(("var", "va")),
+        st.just(("var", "vb")),
+        st.sampled_from(_expr_vals).map(lambda v: ("const", v)),
+        st.integers(0, 40).map(lambda n: ("num", n)),
+    )
+
+    def extend(ch):
+        return st.one_of(
+            st.tuples(st.just("arith"), st.sampled_from("+-"), ch, ch),
+            st.tuples(
+                st.just("fn1"),
+                st.sampled_from(["STR", "UCASE", "LCASE", "STRLEN"]),
+                ch,
+            ),
+            st.tuples(st.just("concat"), st.lists(ch, min_size=1, max_size=3)),
+            st.tuples(
+                st.just("coalesce"), st.lists(ch, min_size=1, max_size=3)
+            ),
+            st.tuples(
+                st.just("substr"), ch, st.integers(1, 4), st.integers(0, 4)
+            ),
+        )
+
+    return st.recursive(leaf, extend, max_leaves=6)
+
+
+def _expr_text(n):
+    k = n[0]
+    if k == "var":
+        return "?" + n[1]
+    if k == "const":
+        return f'"{n[1]}"'
+    if k == "num":
+        return str(n[1])
+    if k == "arith":
+        return f"({_expr_text(n[2])} {n[1]} {_expr_text(n[3])})"
+    if k == "fn1":
+        return f"{n[1]}({_expr_text(n[2])})"
+    if k == "concat":
+        return "CONCAT(%s)" % ", ".join(_expr_text(c) for c in n[1])
+    if k == "coalesce":
+        return "COALESCE(%s)" % ", ".join(_expr_text(c) for c in n[1])
+    return f"SUBSTR({_expr_text(n[1])}, {n[2]}, {n[3]})"
+
+
+def _expr_py(n, env):
+    """Independent evaluator: SPARQL error-semantics as None propagation,
+    numeric context as strict base-10 int parse (try_cast BIGINT)."""
+    k = n[0]
+    if k == "var":
+        return env.get(n[1])
+    if k == "const":
+        return n[1]
+    if k == "num":
+        return str(n[1])
+    if k == "arith":
+        lo, ro = _num_py(n[2], env), _num_py(n[3], env)
+        if lo is None or ro is None:
+            return None
+        return str(lo + ro if n[1] == "+" else lo - ro)
+    if k == "fn1":
+        v = _expr_py(n[2], env)
+        if v is None:
+            return None
+        return {
+            "STR": v, "UCASE": v.upper(), "LCASE": v.lower(),
+            "STRLEN": str(len(v)),
+        }[n[1]]
+    if k == "concat":
+        parts = [_expr_py(c, env) for c in n[1]]
+        if any(p is None for p in parts):
+            return None
+        return "".join(parts)
+    if k == "coalesce":
+        for c in n[1]:
+            v = _expr_py(c, env)
+            if v is not None:
+                return v
+        return None
+    v = _expr_py(n[1], env)  # substr
+    if v is None:
+        return None
+    return v[n[2] - 1 : n[2] - 1 + n[3]]
+
+
+def _num_py(n, env):
+    if n[0] == "num":
+        return n[1]
+    if n[0] == "arith":
+        lo, ro = _num_py(n[2], env), _num_py(n[3], env)
+        if lo is None or ro is None:
+            return None
+        return lo + ro if n[1] == "+" else lo - ro
+    v = _expr_py(n, env)
+    if v is None:
+        return None
+    try:
+        return int(v, 10)
+    except ValueError:
+        return None
+
+
+_expr_data_st = st.tuples(
+    st.dictionaries(
+        st.sampled_from(["k0", "k1", "k2"]),
+        st.sampled_from(_expr_vals),
+        max_size=3,
+    ),
+    st.dictionaries(
+        st.sampled_from(["k0", "k1", "k2"]),
+        st.sampled_from(_expr_vals),
+        max_size=3,
+    ),
+)
+
+
+@settings(max_examples=10 * _SCALE, **_SETTINGS)
+@given(data=_expr_data_st, ast=_expr_ast_st())
+def test_sparql_bind_expressions_match_python(spark, data, ast):
+    """Random BIND expression over a solution with a possibly-unbound
+    variable (OPTIONAL): the engine's string-typed Column compilation
+    must agree exactly — including null propagation, try_cast numeric
+    semantics and negative/odd lexemes — with the independent
+    evaluator above."""
+    from rify_spark.sparql import sparql_select
+
+    va, vb = data
+    quads = [(k, "p0", v, "default_graph") for k, v in va.items()] + [
+        (k, "p1", v, "default_graph") for k, v in vb.items()
+    ]
+    q = (
+        "SELECT ?k ?out WHERE { ?k <p0> ?va OPTIONAL { ?k <p1> ?vb } "
+        f"BIND({_expr_text(ast)} AS ?out) }}"
+    )
+    df = spark.createDataFrame(quads or [("x", "x", "x", "x")], SCHEMA)
+    if not quads:
+        df = df.limit(0)
+    got = sorted(
+        (r["k"], r["out"]) for r in sparql_select(df, q).collect()
+    )
+    want = sorted(
+        (k, _expr_py(ast, {"va": v, "vb": vb.get(k)}))
+        for k, v in va.items()
+    )
+    assert got == want
