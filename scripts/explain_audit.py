@@ -566,6 +566,33 @@ def main() -> None:
         )
     )
 
+    from rify_spark.sparql import sparql_bind_gate
+
+    bd_exec = (
+        sparql_bind_gate(spark, SF_DIR)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    sections.append(("sparql_bind", bd_exec[:4000]))
+    checks.append(
+        (
+            "sparql_bind",
+            "BIND expressions are JVM projections (no Python eval, no "
+            "cartesian product)",
+            not re.search(
+                r"(BatchEvalPython|ArrowEvalPython|CartesianProduct)",
+                bd_exec,
+            ),
+        )
+    )
+    checks.append(
+        (
+            "sparql_bind",
+            "constant predicates prune the unused quad-union branch "
+            "(no nation scan: the BGP never touches in_region)",
+            not re.search(r"nation\.parquet", bd_exec),
+        )
+    )
+
     lines = ["# PLANS — physical-plan audit", ""]
     lines.append("| query | property | status |")
     lines.append("|---|---|---|")
