@@ -573,6 +573,12 @@ def _q_sparql_bind(spark, sf_dir):
     return sparql_bind_gate(spark, sf_dir)
 
 
+def _q_sparql_describe(spark, sf_dir):
+    from rify_spark.sparql import sparql_describe_gate
+
+    return sparql_describe_gate(spark, sf_dir)
+
+
 def _q_rdf_parse(spark, sf_dir):
     from rify_spark.rdf import rdf_nquads_parse
 
@@ -689,6 +695,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # BIND + expression algebra: CONCAT / integer arithmetic over
         # lexemes / STRLEN SELECT item, numeric FILTER on the BIND target
         "sparql_bind": _q_sparql_bind,
+        # DESCRIBE: one-hop forward description (distinct resource set
+        # left_semi-joined against the store on the subject slot)
+        "sparql_describe": _q_sparql_describe,
         # KG construction
         "kg_extract_mentions": _q_kg_mentions,
         "kg_pipeline_derived": _q_kg_pipeline,
@@ -854,6 +863,7 @@ def oracle_sql() -> dict[str, str]:
         "sparql_entailed": _sparql_sql("sparql_entailed_sql"),
         "sparql_compat_join": _sparql_sql("sparql_compat_join_sql"),
         "sparql_bind": _sparql_sql("sparql_bind_sql"),
+        "sparql_describe": _sparql_sql("sparql_describe_sql"),
         "kg_pipeline_derived": KG_PIPELINE_SQL,
         "kg_extract_mentions": """
             SELECT DISTINCT doc_id, tok AS mention FROM (

@@ -19,7 +19,10 @@ Supported subset (documented contract, errors otherwise):
     engine uses (``matcher.project_heads``), so a CONSTRUCT is literally a
     one-shot rule application; ``GRAPH`` blocks are allowed in the
     template (an extension — the engine's quads are graph-scoped,
-    src/common.rs), defaulting to the default graph;
+    src/common.rs), defaulting to the default graph; ``DESCRIBE <r> ...
+    ?v ... [WHERE { ... }]`` — the one-hop forward description (every
+    quad whose subject is a described resource, all graphs; the spec
+    leaves the description form implementation-defined, §16.4);
   * triple blocks with ``;`` (shared subject) and ``,`` (shared object
     list) separators; terms: ``<iri>``, ``prefix:local``, ``"literal"``
     (with ``\\ \" \n \r \t`` escapes), ``?var`` / ``$var``;
@@ -359,9 +362,10 @@ class _Parser:
         self.toks = _tokenize(text)
         self.i = 0
         self.prefixes: dict = {}
-        self.form = "SELECT"  # SELECT | ASK | CONSTRUCT
+        self.form = "SELECT"  # SELECT | ASK | CONSTRUCT | DESCRIBE
         self.root: Group | None = None  # the WHERE group
         self.template: list = []  # CONSTRUCT head quads
+        self.described: list = []  # DESCRIBE resources (Var | Const)
         self.select: list | None = None  # None == SELECT *
         self.projection: list = []  # ("var", name) | Agg — SELECT order
         self.group_by: list = []  # variable names
@@ -468,9 +472,34 @@ class _Parser:
             if not self.kw("WHERE"):
                 raise SparqlParseError("CONSTRUCT needs a WHERE pattern")
             self.root = self.group_node(Const(DEFAULT_GRAPH))
+        elif self.kw("DESCRIBE"):
+            self.form = "DESCRIBE"
+            while True:
+                kind, tok = self.peek()
+                if kind in ("var", "iri", "pname") or (
+                    kind == "string"
+                ):
+                    self.described.append(self.term())
+                else:
+                    break
+            if not self.described:
+                raise SparqlParseError(
+                    "DESCRIBE needs ?vars or constant terms"
+                )
+            kind, tok = self.peek()
+            if (kind == "kw" and tok.upper() == "WHERE") or (
+                kind == "op" and tok == "{"
+            ):
+                self.kw("WHERE")
+                self.root = self.group_node(Const(DEFAULT_GRAPH))
+            elif any(isinstance(t, Var) for t in self.described):
+                raise SparqlParseError(
+                    "DESCRIBE ?var needs a WHERE pattern binding it"
+                )
         else:
             raise SparqlParseError(
-                "only SELECT / ASK / CONSTRUCT queries are supported"
+                "only SELECT / ASK / CONSTRUCT / DESCRIBE queries are "
+                "supported"
             )
         if self.peek()[0] != "eof":
             raise SparqlParseError(
@@ -1891,13 +1920,60 @@ def sparql_construct(quads: DataFrame, query: str) -> DataFrame:
     return project_heads(b, lrule, dtype).dropDuplicates(["s", "p", "o", "g"])
 
 
+def sparql_describe(quads: DataFrame, query: str) -> DataFrame:
+    """DESCRIBE -> a deduplicated ``(s, p, o, g)`` quad DataFrame.
+
+    The description form is implementation-defined by the spec (§16.4);
+    this engine returns the ONE-HOP FORWARD description: every quad whose
+    subject is a described resource, across all graphs. Resources are the
+    DESCRIBE constants plus, for ``DESCRIBE ?v WHERE {...}``, the
+    distinct non-null bindings of each described variable (an unbound —
+    OPTIONAL-miss — binding describes nothing). Plan shape: the resource
+    set is distinct-reduced first, then a ``left_semi`` join against the
+    store on ``s`` — at scale a small described set broadcasts and the
+    store is never shuffled."""
+    q = parse_select(query)
+    if q.form != "DESCRIBE":
+        raise SparqlParseError("sparql_describe needs a DESCRIBE query")
+    spark = quads.sparkSession
+    parts = []
+    consts = [t.value for t in q.described if isinstance(t, Const)]
+    if consts:
+        parts.append(
+            spark.createDataFrame([(c,) for c in consts], "r string")
+        )
+    dvars = [t.name for t in q.described if isinstance(t, Var)]
+    if dvars:
+        sol = _Eval(quads).group(q.root)
+        for name in dvars:
+            if name not in sol.bound:
+                raise SparqlParseError(
+                    f"DESCRIBE variable ?{name} not bound in WHERE"
+                )
+            parts.append(
+                sol.df.select(F.col(name).alias("r")).filter(
+                    F.col("r").isNotNull()
+                )
+            )
+    resources = parts[0]
+    for p in parts[1:]:
+        resources = resources.unionByName(p)
+    resources = resources.distinct()
+    return (
+        quads.select("s", "p", "o", "g")
+        .join(resources, F.col("s") == F.col("r"), "left_semi")
+        .dropDuplicates(["s", "p", "o", "g"])
+    )
+
+
 def sparql_query(quads: DataFrame, query: str) -> DataFrame:
-    """Dispatch on the query form: SELECT / ASK / CONSTRUCT."""
+    """Dispatch on the query form: SELECT / ASK / CONSTRUCT / DESCRIBE."""
     q = parse_select(query)
     fn = {
         "SELECT": sparql_select,
         "ASK": sparql_ask,
         "CONSTRUCT": sparql_construct,
+        "DESCRIBE": sparql_describe,
     }[q.form]
     return fn(quads, query)
 
@@ -2426,6 +2502,36 @@ def sparql_bind_sql() -> str:
              CAST(LENGTH('nation:' || c.c_nationkey) AS VARCHAR) AS len
       FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
       WHERE CAST(FLOOR(o.o_totalprice * 100) AS BIGINT) - 10000000 > 0
+    """
+
+
+# DESCRIBE: constants + WHERE-bound variables; one-hop forward description
+# via a distinct resource set left_semi-joined against the store on s
+GATE_DESCRIBE = """
+  DESCRIBE <cust:1> ?n WHERE {
+    GRAPH <graph://tpch> { ?c <in_nation> ?n }
+    FILTER (?n < "nation:2")
+  }
+"""
+
+
+def sparql_describe_gate(spark, sf_dir: str) -> DataFrame:
+    from .ops.quads import tpch_quads
+
+    return sparql_describe(tpch_quads(spark, sf_dir), GATE_DESCRIBE)
+
+
+def sparql_describe_sql() -> str:
+    return """
+      SELECT 'nation:' || n_nationkey AS s, 'in_region' AS p,
+             'region:' || n_regionkey AS o, 'graph://tpch' AS g
+      FROM nation
+      WHERE 'nation:' || n_nationkey < 'nation:2'
+        AND n_nationkey IN (SELECT c_nationkey FROM customer)
+      UNION ALL
+      SELECT 'cust:' || c_custkey, 'in_nation',
+             'nation:' || c_nationkey, 'graph://tpch'
+      FROM customer WHERE c_custkey = 1
     """
 
 

@@ -994,3 +994,69 @@ def test_bind_errors(quads):
         )
     with pytest.raises(SparqlParseError, match="collides"):
         _run(quads, "SELECT (STR(?x) AS ?a) WHERE { ?x <age> ?a }")
+
+
+# --- DESCRIBE ------------------------------------------------------------
+
+
+def test_describe_constant_only(quads):
+    from rify_spark.sparql import sparql_query
+
+    got = sorted(
+        tuple(r) for r in sparql_query(quads, "DESCRIBE <a>").collect()
+    )
+    assert got == sorted(
+        [
+            ("a", RDF_TYPE, "Person", "default_graph"),
+            ("a", "age", "3", "default_graph"),
+            ("a", "knows", "b", "g1"),
+        ]
+    )
+
+
+def test_describe_variable_with_where(quads):
+    from rify_spark.sparql import sparql_query
+
+    # describe everything 'a' knows in g1 -> b's forward description
+    q = "DESCRIBE ?y WHERE { GRAPH <g1> { <a> <knows> ?y } }"
+    got = sorted(tuple(r) for r in sparql_query(quads, q).collect())
+    assert got == [
+        ("b", RDF_TYPE, "Person", "default_graph"),
+        ("b", "knows", "c", "g1"),
+    ]
+
+
+def test_describe_mixed_and_unbound_dropped(quads):
+    from rify_spark.sparql import sparql_query
+
+    # ?z is OPTIONAL-missing for c (nothing c-known has an age): the
+    # unbound binding describes nothing; the constant still describes
+    q = """
+      DESCRIBE <a> ?z WHERE {
+        GRAPH <g2> { ?x <knows> ?y }
+        OPTIONAL { ?y <age> ?z }
+      }
+    """
+    got = sorted(tuple(r) for r in sparql_query(quads, q).collect())
+    assert got == sorted(
+        [
+            ("a", RDF_TYPE, "Person", "default_graph"),
+            ("a", "age", "3", "default_graph"),
+            ("a", "knows", "b", "g1"),
+        ]
+    )
+
+
+def test_describe_errors(quads):
+    from rify_spark.sparql import sparql_describe, sparql_query
+
+    with pytest.raises(SparqlParseError, match="WHERE"):
+        sparql_query(quads, "DESCRIBE ?x")
+    with pytest.raises(SparqlParseError, match="needs"):
+        sparql_query(quads, "DESCRIBE WHERE { ?x <knows> ?y }")
+    with pytest.raises(SparqlParseError, match="not bound"):
+        sparql_query(
+            quads, "DESCRIBE ?ghost WHERE { ?x a ?t }"
+        )
+    with pytest.raises(SparqlParseError, match="DESCRIBE"):
+        sparql_describe(quads, "SELECT ?x WHERE { ?x a ?t }")
