@@ -29,8 +29,12 @@ Supported subset (documented contract, errors otherwise):
   * ``GRAPH ?g { ... }`` / ``GRAPH <iri> { ... }`` — the 4th quad slot;
     patterns outside GRAPH match the engine's default graph
     (``rdf.DEFAULT_GRAPH``);
-  * ``FILTER`` with comparisons ``= != < <= > >=`` between variables and
-    constants, plus ``bound(?v)`` / ``!bound(?v)`` and
+  * ``FILTER`` with comparisons ``= != < <= > >=`` whose operands are
+    any scalar expression (the BIND grammar below: variables, constants,
+    CONCAT/COALESCE/STR/UCASE/LCASE/STRLEN/SUBSTR, ``+``/``-``
+    arithmetic — an unquoted integer or arithmetic on either side
+    switches the comparison to numeric try_cast semantics), plus
+    ``bound(?v)`` / ``!bound(?v)`` and
     ``regex(?v, "pat")`` / ``!regex(...)`` (Java regex flavor — Spark
     ``rlike`` — a documented divergence from SPARQL's XPath flavor),
     combined with ``&&`` (string comparison semantics — the engine's term
@@ -528,7 +532,17 @@ class _Parser:
                 elif kind == "op" and tok == "(":
                     self.next()
                     k2, t2 = self.peek()
-                    is_agg = k2 == "kw" and t2.upper() in self._AGG_FUNCS
+                    # an unknown keyword applied to an argument list is
+                    # an unsupported aggregate/function: route it to
+                    # agg_expr for the informative error (e.g. AVG)
+                    is_agg = k2 == "kw" and (
+                        t2.upper() in self._AGG_FUNCS
+                        or (
+                            t2.upper() not in self._EXPR_FUNCS
+                            and t2 != "a"
+                            and self.toks[self.i + 1] == ("op", "(")
+                        )
+                    )
                     item = (
                         self.agg_expr() if is_agg else self.scalar_expr()
                     )
@@ -868,11 +882,10 @@ class _Parser:
         return (op, lhs, self._filter_operand())
 
     def _filter_operand(self):
-        kind, tok = self.peek()
-        if kind == "num":
-            self.next()
-            return NumConst(int(tok))
-        return self.term()
+        """A FILTER comparison operand: any scalar expression (the same
+        grammar BIND takes — variables, constants, unquoted integers,
+        functions, ``+``/``-`` arithmetic)."""
+        return self.scalar_expr()
 
     _EXPR_FUNCS = {
         "CONCAT", "COALESCE", "STR", "UCASE", "LCASE", "STRLEN", "SUBSTR",
@@ -1338,8 +1351,31 @@ class _Eval:
             )
         return _Sol(cl.select(*cols), bound, set())
 
+    @staticmethod
+    def _lexeme_cast(sol: _Sol, cols) -> _Sol:
+        """Re-enter the opaque string term space for ``cols``: aggregate
+        aliases from a subquery (COUNT/SUM are BIGINT columns) become
+        their decimal lexemes before being compared/merged with pattern
+        variables — an ANSI-mode long-vs-string comparison would
+        otherwise try to cast the pattern lexeme to BIGINT and throw on
+        non-numeric terms. Non-shared aliases keep their dtype (the
+        top-level output schema is unaffected)."""
+        casts = {c for c, t in sol.df.dtypes if c in cols and t != "string"}
+        if not casts:
+            return sol
+        df = sol.df.select(
+            *[
+                F.col(c).cast("string").alias(c) if c in casts else F.col(c)
+                for c in sol.df.columns
+            ]
+        )
+        return _Sol(df, sol.bound, sol.maybe)
+
     def join(self, a: _Sol, b: _Sol, how: str) -> _Sol:
         shared = sorted(a.bound & b.bound)
+        if shared:
+            a = self._lexeme_cast(a, set(shared))
+            b = self._lexeme_cast(b, set(shared))
         maybe_shared = [v for v in shared if v in a.maybe or v in b.maybe]
         sure = [v for v in shared if v not in maybe_shared]
         if shared and not maybe_shared:
@@ -1463,6 +1499,9 @@ class _Eval:
         (spec §18.5 Minus). Definitely-bound shared vars remain plain
         equi keys, so the join stays hash-planned whenever one exists."""
         shared = sorted(acc.bound & s.bound)
+        if shared:
+            acc = self._lexeme_cast(acc, set(shared))
+            s = self._lexeme_cast(s, set(shared))
         maybe_shared = [
             v for v in shared if v in acc.maybe or v in s.maybe
         ]
@@ -1585,17 +1624,25 @@ class _Eval:
                         f"FILTER variable ?{t.name} not bound in its group"
                     )
 
-            numeric = isinstance(a, NumConst) or isinstance(b, NumConst)
+            # an unquoted integer or arithmetic on either side switches
+            # the comparison to numeric semantics (both sides try_cast
+            # to BIGINT; null -> excluded, SPARQL error-semantics)
+            numeric = isinstance(a, (NumConst, EArith)) or isinstance(
+                b, (NumConst, EArith)
+            )
 
             def _fcol(t):
                 if isinstance(t, NumConst):
                     return F.lit(t.value)
                 if isinstance(t, Var):
                     c = F.col(t.name)
-                    # numeric comparison: the term lexeme try_casts to
-                    # BIGINT (null -> excluded, SPARQL error-semantics)
                     return c.try_cast("long") if numeric else c
-                return F.lit(t.value)
+                if isinstance(t, Const):
+                    c = F.lit(t.value)
+                    return c.try_cast("long") if numeric else c
+                # a composite scalar expression (EFunc / EArith)
+                c, _ = _scalar_column(t, acc.bound, acc.maybe)
+                return c.try_cast("long") if numeric else c
 
             if op in ("bound", "!bound"):
                 # the OPTIONAL companion: null == unbound in this algebra

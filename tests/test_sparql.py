@@ -517,9 +517,10 @@ def test_values_multi_var_and_undef(quads):
         VALUES (?x ?t) { (<a> "first") (UNDEF "wild") }
       }
     """
-    # UNDEF ?x joins nothing (possibly-unbound join key is rejected)
-    with pytest.raises(SparqlParseError, match="possibly-unbound"):
-        sparql_select(quads, q)
+    # UNDEF ?x is compatible with ANY ?x from the BGP (spec §18.5): the
+    # bound row equi-joins, the UNDEF row fans out to every subject and
+    # the merged ?x takes the bound side
+    assert _run(quads, q) == [("a", "first"), ("a", "wild"), ("b", "wild")]
     q = """
       SELECT ?x ?t WHERE {
         GRAPH <g1> { ?x <knows> ?y }
@@ -777,7 +778,10 @@ def test_subquery_limit_is_scoped(quads):
 
 
 def test_subquery_sum_alias_is_possibly_unbound(quads):
-    # SUM alias can be null -> rejected as a later join key
+    # SUM alias can be null (all-null group): as a later join key it uses
+    # compatible-mappings semantics — here every ?y lexeme is non-numeric
+    # so ?s is null everywhere, compatible with any subject; ?x stays the
+    # sure equi key and the merged ?s takes the pattern's bound value
     q = """
       SELECT ?x ?s WHERE {
         { SELECT ?x (SUM(?y) AS ?s) WHERE { GRAPH <g1> { ?x <knows> ?y } }
@@ -785,8 +789,7 @@ def test_subquery_sum_alias_is_possibly_unbound(quads):
         GRAPH <g1> { ?s <knows> ?x }
       }
     """
-    with pytest.raises(SparqlParseError, match="possibly-unbound"):
-        sparql_select(quads, q)
+    assert _run(quads, q) == [("b", "a")]
 
 
 # --- numeric FILTER comparisons, GROUP_CONCAT, SAMPLE ------------------------
@@ -1060,3 +1063,35 @@ def test_describe_errors(quads):
         )
     with pytest.raises(SparqlParseError, match="DESCRIBE"):
         sparql_describe(quads, "SELECT ?x WHERE { ?x a ?t }")
+
+
+# --- FILTER over scalar expressions ---------------------------------------
+
+
+def test_filter_expression_operands(quads):
+    # STRLEN comparison is numeric only when an integer constant appears
+    q = """
+      SELECT ?x WHERE {
+        ?x a ?t
+        FILTER (STRLEN(CONCAT(?x, ?t)) = 7 && UCASE(?x) = "A")
+      }
+    """
+    assert _run(quads, q) == [("a",)]
+
+
+def test_filter_arithmetic_both_sides(quads):
+    # age "3": 3 + 1 > 5 - 2 -> numeric on both sides
+    q = "SELECT ?x WHERE { ?x <age> ?a FILTER (?a + 1 > 5 - 2) }"
+    assert _run(quads, q) == [("a",)]
+
+
+def test_filter_expression_error_semantics(quads):
+    # CONCAT over an unbound OPTIONAL var -> null operand -> row excluded
+    q = """
+      SELECT ?x WHERE {
+        GRAPH <g1> { ?x <knows> ?y }
+        OPTIONAL { ?x <age> ?a }
+        FILTER (CONCAT(?x, ?a) != "zzz")
+      }
+    """
+    assert _run(quads, q) == [("a",)]
