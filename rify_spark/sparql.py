@@ -37,7 +37,10 @@ Supported subset (documented contract, errors otherwise):
     ``bound(?v)`` / ``!bound(?v)`` and
     ``regex(?v, "pat")`` / ``!regex(...)`` (Java regex flavor — Spark
     ``rlike`` — a documented divergence from SPARQL's XPath flavor),
-    combined with ``&&`` (string comparison semantics — the engine's term
+    combined with ``&&`` and ``||`` (``||`` binds loosest; boolean
+    parentheses are not supported; Spark's null logic reproduces
+    SPARQL's three-valued error tables, §17.2) (string comparison
+    semantics — the engine's term
     space is opaque strings, reference src/common.rs); a FILTER scopes to
     the group it appears in, and a comparison on an unbound
     (OPTIONAL-missing) value excludes the row — SPARQL's error-semantics,
@@ -841,15 +844,27 @@ class _Parser:
     _OPS = {"=", "!=", "<", "<=", ">", ">="}
 
     def filter_expr(self, node: Group):
+        """``FILTER ( boolean-expression )``: ``||`` (lowest precedence)
+        over ``&&`` over comparison/bound/regex atoms. Boolean
+        parentheses are not supported (a stated subset limit — operand
+        parentheses like ``(?a + 1) > 2`` are scalar-expression syntax
+        and fine); negation stays on bound()/regex() only."""
         self.expect("(")
-        while True:
-            node.filters.append(self._filter_atom())
-            kind, tok = self.peek()
-            if kind == "op" and tok == "&&":
-                self.next()
-                continue
-            break
+        parts = [self._filter_and()]
+        while self.peek() == ("op", "||"):
+            self.next()
+            parts.append(self._filter_and())
+        node.filters.append(
+            parts[0] if len(parts) == 1 else ("or", parts, None)
+        )
         self.expect(")")
+
+    def _filter_and(self):
+        parts = [self._filter_atom()]
+        while self.peek() == ("op", "&&"):
+            self.next()
+            parts.append(self._filter_atom())
+        return parts[0] if len(parts) == 1 else ("and", parts, None)
 
     def _filter_atom(self):
         kind, tok = self.peek()
@@ -1611,58 +1626,73 @@ class _Eval:
             raise SparqlParseError("empty graph pattern")
         # group-scoped filters; a comparison on a null (unbound) value is
         # three-valued-false in Spark, i.e. the row is excluded — matching
-        # SPARQL's error-semantics for FILTER over unbound variables
-        for op, a, b in node.filters:
-            if op in ("exists", "not_exists"):
+        # SPARQL's error-semantics for FILTER over unbound variables.
+        # Spark's null logic IS SPARQL's three-valued error table (§17.2):
+        # error||true = true, error&&false = false, error elsewhere
+        # propagates and the FILTER drops the row.
+        for entry in node.filters:
+            if entry[0] in ("exists", "not_exists"):
                 acc = self.semi(
-                    acc, self.group(a), anti=op == "not_exists", minus=False
+                    acc,
+                    self.group(entry[1]),
+                    anti=entry[0] == "not_exists",
+                    minus=False,
                 )
                 continue
-            for t in (a, b):
-                if isinstance(t, Var) and t.name not in acc.bound:
-                    raise SparqlParseError(
-                        f"FILTER variable ?{t.name} not bound in its group"
-                    )
-
-            # an unquoted integer or arithmetic on either side switches
-            # the comparison to numeric semantics (both sides try_cast
-            # to BIGINT; null -> excluded, SPARQL error-semantics)
-            numeric = isinstance(a, (NumConst, EArith)) or isinstance(
-                b, (NumConst, EArith)
-            )
-
-            def _fcol(t):
-                if isinstance(t, NumConst):
-                    return F.lit(t.value)
-                if isinstance(t, Var):
-                    c = F.col(t.name)
-                    return c.try_cast("long") if numeric else c
-                if isinstance(t, Const):
-                    c = F.lit(t.value)
-                    return c.try_cast("long") if numeric else c
-                # a composite scalar expression (EFunc / EArith)
-                c, _ = _scalar_column(t, acc.bound, acc.maybe)
-                return c.try_cast("long") if numeric else c
-
-            if op in ("bound", "!bound"):
-                # the OPTIONAL companion: null == unbound in this algebra
-                c = F.col(a.name)
-                cond = c.isNotNull() if op == "bound" else c.isNull()
-            elif op in ("regex", "!regex"):
-                # Java regex flavor (Spark rlike), documented divergence
-                # from SPARQL's XPath flavor; null input excludes the row
-                # under negation too (error-semantics, like comparisons)
-                cond = F.col(a.name).rlike(b.value)
-                if op == "!regex":
-                    cond = ~cond
-            else:
-                la, lb = _fcol(a), _fcol(b)
-                cond = {
-                    "=": la == lb, "!=": la != lb, "<": la < lb,
-                    "<=": la <= lb, ">": la > lb, ">=": la >= lb,
-                }[op]
+            cond = self._filter_condition(entry, acc)
             acc = _Sol(acc.df.filter(cond), acc.bound, acc.maybe)
         return acc
+
+    def _filter_condition(self, entry, acc: _Sol):
+        """One FILTER tree node -> a boolean Column over ``acc``."""
+        op, a, b = entry
+        if op in ("and", "or"):
+            conds = [self._filter_condition(c, acc) for c in a]
+            out = conds[0]
+            for c in conds[1:]:
+                out = (out & c) if op == "and" else (out | c)
+            return out
+        for t in (a, b):
+            if isinstance(t, Var) and t.name not in acc.bound:
+                raise SparqlParseError(
+                    f"FILTER variable ?{t.name} not bound in its group"
+                )
+
+        # an unquoted integer or arithmetic on either side switches
+        # the comparison to numeric semantics (both sides try_cast
+        # to BIGINT; null -> excluded, SPARQL error-semantics)
+        numeric = isinstance(a, (NumConst, EArith)) or isinstance(
+            b, (NumConst, EArith)
+        )
+
+        def _fcol(t):
+            if isinstance(t, NumConst):
+                return F.lit(t.value)
+            if isinstance(t, Var):
+                c = F.col(t.name)
+                return c.try_cast("long") if numeric else c
+            if isinstance(t, Const):
+                c = F.lit(t.value)
+                return c.try_cast("long") if numeric else c
+            # a composite scalar expression (EFunc / EArith)
+            c, _ = _scalar_column(t, acc.bound, acc.maybe)
+            return c.try_cast("long") if numeric else c
+
+        if op in ("bound", "!bound"):
+            # the OPTIONAL companion: null == unbound in this algebra
+            c = F.col(a.name)
+            return c.isNotNull() if op == "bound" else c.isNull()
+        if op in ("regex", "!regex"):
+            # Java regex flavor (Spark rlike), documented divergence
+            # from SPARQL's XPath flavor; null input excludes the row
+            # under negation too (error-semantics, like comparisons)
+            cond = F.col(a.name).rlike(b.value)
+            return ~cond if op == "!regex" else cond
+        la, lb = _fcol(a), _fcol(b)
+        return {
+            "=": la == lb, "!=": la != lb, "<": la < lb,
+            "<=": la <= lb, ">": la > lb, ">=": la >= lb,
+        }[op]
 
 
 def _var_order(q: _Parser) -> list:

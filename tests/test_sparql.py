@@ -1095,3 +1095,48 @@ def test_filter_expression_error_semantics(quads):
       }
     """
     assert _run(quads, q) == [("a",)]
+
+
+def test_filter_disjunction(quads):
+    q = """
+      SELECT ?x ?t WHERE {
+        ?x a ?t
+        FILTER (?x = "a" || ?x = "b")
+      }
+    """
+    assert _run(quads, q) == [("a", "Person"), ("b", "Person")]
+
+
+def test_filter_or_over_and_precedence(quads):
+    # (?x = "a" && ?t = "zzz") || ?x = "b"  -> only b survives
+    q = """
+      SELECT ?x WHERE {
+        ?x a ?t
+        FILTER (?x = "a" && ?t = "zzz" || ?x = "b")
+      }
+    """
+    assert _run(quads, q) == [("b",)]
+
+
+def test_filter_or_error_semantics(quads):
+    # unbound ?age: (error || true) = true keeps the row; a row where
+    # both arms error/false is dropped (three-valued logic == Spark null)
+    q = """
+      SELECT ?x WHERE {
+        GRAPH <g1> { ?x <knows> ?y }
+        OPTIONAL { ?x <age> ?age }
+        FILTER (?age = "3" || STRLEN(?x) = 1)
+      }
+    """
+    assert _run(quads, q) == [("a",), ("b",)]
+
+
+def test_filter_bound_in_disjunction(quads):
+    q = """
+      SELECT ?x WHERE {
+        GRAPH <g1> { ?x <knows> ?y }
+        OPTIONAL { ?x <age> ?age }
+        FILTER (bound(?age) || ?x = "b")
+      }
+    """
+    assert _run(quads, q) == [("a",), ("b",)]
