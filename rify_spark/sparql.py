@@ -33,8 +33,10 @@ Supported subset (documented contract, errors otherwise):
     any scalar expression (the BIND grammar below: variables, constants,
     CONCAT/COALESCE/STR/UCASE/LCASE/STRLEN/SUBSTR, ``+``/``-``
     arithmetic — an unquoted integer or arithmetic on either side
-    switches the comparison to numeric try_cast semantics), plus
-    ``bound(?v)`` / ``!bound(?v)`` and
+    switches the comparison to numeric try_cast semantics), string
+    tests ``STRSTARTS(e1, e2)`` / ``STRENDS(e1, e2)`` /
+    ``CONTAINS(e1, e2)`` over scalar expressions (negatable with
+    ``!``), plus ``bound(?v)`` / ``!bound(?v)`` and
     ``regex(?v, "pat")`` / ``!regex(...)`` (Java regex flavor — Spark
     ``rlike`` — a documented divergence from SPARQL's XPath flavor),
     combined with ``&&`` and ``||`` (``||`` binds loosest; boolean
@@ -871,8 +873,15 @@ class _Parser:
         if kind == "op" and tok == "!":
             self.next()
             k2, t2 = self.peek()
-            if not (k2 == "kw" and t2.lower() in ("bound", "regex")):
-                raise SparqlParseError("'!' only negates bound()/regex()")
+            if not (
+                k2 == "kw"
+                and t2.lower()
+                in ("bound", "regex", "strstarts", "strends", "contains")
+            ):
+                raise SparqlParseError(
+                    "'!' only negates bound()/regex()/strstarts()/"
+                    "strends()/contains()"
+                )
             op, *args = self._filter_atom()
             return ("!" + op, *args)
         if kind == "kw" and tok.lower() in ("bound", "regex"):
@@ -890,6 +899,16 @@ class _Parser:
                 return ("regex", v, Const(pat[1:-1]))
             self.expect(")")
             return ("bound", v, None)
+        if kind == "kw" and tok.lower() in (
+            "strstarts", "strends", "contains",
+        ):
+            fn = self.next()[1].lower()
+            self.expect("(")
+            a = self.scalar_expr()
+            self.expect(",")
+            b = self.scalar_expr()
+            self.expect(")")
+            return (fn, a, b)
         lhs = self._filter_operand()
         kind, op = self.next()
         if op not in self._OPS:
@@ -1688,6 +1707,18 @@ class _Eval:
             # under negation too (error-semantics, like comparisons)
             cond = F.col(a.name).rlike(b.value)
             return ~cond if op == "!regex" else cond
+        base = op.lstrip("!")
+        if base in ("strstarts", "strends", "contains"):
+            # string tests over scalar expressions; a null (unbound or
+            # errored) argument excludes the row under negation too
+            la = _scalar_column(a, acc.bound, acc.maybe)[0]
+            lb = _scalar_column(b, acc.bound, acc.maybe)[0]
+            cond = {
+                "strstarts": la.startswith(lb),
+                "strends": la.endswith(lb),
+                "contains": la.contains(lb),
+            }[base]
+            return ~cond if op.startswith("!") else cond
         la, lb = _fcol(a), _fcol(b)
         return {
             "=": la == lb, "!=": la != lb, "<": la < lb,

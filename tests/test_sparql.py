@@ -1140,3 +1140,28 @@ def test_filter_bound_in_disjunction(quads):
       }
     """
     assert _run(quads, q) == [("a",), ("b",)]
+
+
+def test_filter_string_tests(quads):
+    q = """
+      SELECT ?x ?t WHERE {
+        ?x a ?t
+        FILTER (STRSTARTS(?t, "Per") && STRENDS(?t, "son")
+                && CONTAINS(CONCAT(?x, ?t), "aP"))
+      }
+    """
+    assert _run(quads, q) == [("a", "Person")]
+
+
+def test_filter_string_tests_negation_and_unbound(quads):
+    # !CONTAINS over an unbound OPTIONAL var: error-semantics excludes
+    q = """
+      SELECT ?x WHERE {
+        GRAPH <g1> { ?x <knows> ?y }
+        OPTIONAL { ?x <age> ?a }
+        FILTER (!CONTAINS(?a, "9"))
+      }
+    """
+    assert _run(quads, q) == [("a",)]
+    with pytest.raises(SparqlParseError, match="negates"):
+        _run(quads, 'SELECT ?x WHERE { ?x a ?t FILTER (!(?t = "x")) }')
