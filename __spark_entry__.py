@@ -579,6 +579,12 @@ def _q_sparql_describe(spark, sf_dir):
     return sparql_describe_gate(spark, sf_dir)
 
 
+def _q_sparql_filter_compound(spark, sf_dir):
+    from rify_spark.sparql import sparql_filter_compound_gate
+
+    return sparql_filter_compound_gate(spark, sf_dir)
+
+
 def _q_rdf_parse(spark, sf_dir):
     from rify_spark.rdf import rdf_nquads_parse
 
@@ -698,6 +704,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # DESCRIBE: one-hop forward description (distinct resource set
         # left_semi-joined against the store on the subject slot)
         "sparql_describe": _q_sparql_describe,
+        # compound FILTER: IN/NOT IN, boolean parens, !() negation,
+        # blank-node joins ([] and _:r as nondistinguished variables)
+        "sparql_filter_compound": _q_sparql_filter_compound,
         # KG construction
         "kg_extract_mentions": _q_kg_mentions,
         "kg_pipeline_derived": _q_kg_pipeline,
@@ -864,6 +873,7 @@ def oracle_sql() -> dict[str, str]:
         "sparql_compat_join": _sparql_sql("sparql_compat_join_sql"),
         "sparql_bind": _sparql_sql("sparql_bind_sql"),
         "sparql_describe": _sparql_sql("sparql_describe_sql"),
+        "sparql_filter_compound": _sparql_sql("sparql_filter_compound_sql"),
         "kg_pipeline_derived": KG_PIPELINE_SQL,
         "kg_extract_mentions": """
             SELECT DISTINCT doc_id, tok AS mention FROM (

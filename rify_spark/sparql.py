@@ -25,7 +25,13 @@ Supported subset (documented contract, errors otherwise):
     leaves the description form implementation-defined, §16.4);
   * triple blocks with ``;`` (shared subject) and ``,`` (shared object
     list) separators; terms: ``<iri>``, ``prefix:local``, ``"literal"``
-    (with ``\\ \" \n \r \t`` escapes), ``?var`` / ``$var``;
+    (with ``\\ \" \n \r \t`` escapes), ``?var`` / ``$var``, and blank
+    nodes ``_:label`` / bare ``[]`` in subject/object position —
+    nondistinguished variables (spec §4.1.4): they join like variables
+    (one query-wide scope for a label; each ``[]`` is fresh) but are
+    never projected by ``SELECT *`` and cannot be selected, filtered,
+    or used outside triple patterns (``[ p o ]`` property lists and
+    CONSTRUCT-template bnodes stay out of subset);
   * ``GRAPH ?g { ... }`` / ``GRAPH <iri> { ... }`` — the 4th quad slot;
     patterns outside GRAPH match the engine's default graph
     (``rdf.DEFAULT_GRAPH``);
@@ -39,9 +45,13 @@ Supported subset (documented contract, errors otherwise):
     ``!``), plus ``bound(?v)`` / ``!bound(?v)`` and
     ``regex(?v, "pat")`` / ``!regex(...)`` (Java regex flavor — Spark
     ``rlike`` — a documented divergence from SPARQL's XPath flavor),
-    combined with ``&&`` and ``||`` (``||`` binds loosest; boolean
-    parentheses are not supported; Spark's null logic reproduces
-    SPARQL's three-valued error tables, §17.2) (string comparison
+    ``e IN (e1, ...)`` / ``e NOT IN (...)`` membership lists (the
+    ||-chain of ``=`` per spec §17.4.1.9, so the numeric switch and
+    error-semantics apply per element; an empty list is FALSE / TRUE),
+    combined with ``&&`` and ``||`` (``||`` binds loosest), boolean
+    parentheses and ``!( ... )`` group negation (Spark's null logic
+    reproduces SPARQL's three-valued error tables, §17.2 —
+    ``!error`` stays error and the row is dropped) (string comparison
     semantics — the engine's term
     space is opaque strings, reference src/common.rs); a FILTER scopes to
     the group it appears in, and a comparison on an unbound
@@ -116,9 +126,8 @@ compatible with any value; the merged solution takes the bound one) —
 see ``_Eval._compat_join`` for the plan shapes. The one remaining
 restriction (raises rather than silently approximating): a
 possibly-unbound variable cannot instantiate a CONSTRUCT template.
-Also not supported: blank-node syntax, AVG (the term space has no
-exact decimal type), aggregate expressions over anything but a single
-variable.
+Also not supported: AVG (the term space has no exact decimal type),
+aggregate expressions over anything but a single variable.
 """
 
 from __future__ import annotations
@@ -150,7 +159,7 @@ _TOKEN_RE = re.compile(
     | (?P<pname>(?:[A-Za-z_][A-Za-z0-9_-]*)?:[A-Za-z0-9_.-]*)
     | (?P<kw>[A-Za-z_][A-Za-z0-9_]*)
     | (?P<num>[0-9]+)
-    | (?P<op><=|>=|!=|&&|\|\||[{}.;,()=<>*:!+^/|?-])
+    | (?P<op><=|>=|!=|&&|\|\||[{}.;,()=<>*:!+^/|?\[\]-])
     """,
     re.VERBOSE,
 )
@@ -170,9 +179,20 @@ def _tokenize(text: str) -> list:
         kind = m.lastgroup
         if kind == "ws":
             continue
+        if kind == "var" and m.group()[1:].startswith(BNODE_PREFIX):
+            # the internal blank-node namespace must stay collision-free
+            raise SparqlParseError(
+                f"variable names starting with {BNODE_PREFIX!r} are "
+                "reserved (blank-node internals)"
+            )
         out.append((kind, m.group()))
     out.append(("eof", ""))
     return out
+
+
+#: internal variable-name prefix for blank nodes (``_:label`` compiles to
+#: ``Var(BNODE_PREFIX + label)``); excluded from SELECT * projection
+BNODE_PREFIX = "__bn_"
 
 
 @dataclass(frozen=True)
@@ -375,6 +395,7 @@ class _Parser:
         self.root: Group | None = None  # the WHERE group
         self.template: list = []  # CONSTRUCT head quads
         self.described: list = []  # DESCRIBE resources (Var | Const)
+        self._bn_anon = 0  # anonymous blank-node counter ([])
         self.select: list | None = None  # None == SELECT *
         self.projection: list = []  # ("var", name) | Agg — SELECT order
         self.group_by: list = []  # variable names
@@ -424,7 +445,7 @@ class _Parser:
         return False
 
     # --- terms ---
-    def term(self, *, as_pred=False):
+    def term(self, *, as_pred=False, allow_bnode=False):
         kind, tok = self.next()
         if kind == "var":
             return Var(tok[1:])
@@ -440,9 +461,30 @@ class _Parser:
             return Const(val)
         if kind == "pname":
             pfx, local = tok.split(":", 1)
+            if pfx == "_":
+                # blank node _:label — an internal, never-projected
+                # variable (spec §4.1.4: bnodes in queries are
+                # nondistinguished variables); one query-wide scope
+                if not allow_bnode:
+                    raise SparqlParseError(
+                        "blank nodes are only allowed in triple "
+                        "subject/object positions"
+                    )
+                return Var(BNODE_PREFIX + local)
             if pfx not in self.prefixes:
                 raise SparqlParseError(f"undeclared prefix {pfx!r}")
             return Const(self.prefixes[pfx] + local)
+        if kind == "op" and tok == "[":
+            # anonymous blank node [] (the bare form only; [ p o ]
+            # property lists stay out of subset)
+            if not allow_bnode:
+                raise SparqlParseError(
+                    "blank nodes are only allowed in triple "
+                    "subject/object positions"
+                )
+            self.expect("]")
+            self._bn_anon += 1
+            return Var(f"{BNODE_PREFIX}anon{self._bn_anon}")
         if kind == "kw" and tok == "a":
             return Const(RDF_TYPE)
         raise SparqlParseError(f"expected term, got {tok!r}")
@@ -770,11 +812,11 @@ class _Parser:
         return PPred(t.value)
 
     def triples_block(self, graph, into):
-        s = self.term()
+        s = self.term(allow_bnode=True)
         while True:
             p = self.path_or_pred()
             while True:
-                o = self.term()
+                o = self.term(allow_bnode=True)
                 into.append((s, p, o, graph))
                 kind, tok = self.peek()
                 if kind == "op" and tok == ",":
@@ -847,19 +889,22 @@ class _Parser:
 
     def filter_expr(self, node: Group):
         """``FILTER ( boolean-expression )``: ``||`` (lowest precedence)
-        over ``&&`` over comparison/bound/regex atoms. Boolean
-        parentheses are not supported (a stated subset limit — operand
-        parentheses like ``(?a + 1) > 2`` are scalar-expression syntax
-        and fine); negation stays on bound()/regex() only."""
+        over ``&&`` over atoms — comparisons, bound()/regex(), string
+        tests, ``IN``/``NOT IN`` lists, and parenthesised boolean
+        sub-expressions (negatable with ``!``, three-valued: ``!error``
+        stays error, spec §17.2). An opening ``(`` is ambiguous between
+        a boolean group and a scalar operand (``(?a + 1) > 2``); the
+        parser tries the boolean reading first and backtracks."""
         self.expect("(")
+        node.filters.append(self._filter_or())
+        self.expect(")")
+
+    def _filter_or(self):
         parts = [self._filter_and()]
         while self.peek() == ("op", "||"):
             self.next()
             parts.append(self._filter_and())
-        node.filters.append(
-            parts[0] if len(parts) == 1 else ("or", parts, None)
-        )
-        self.expect(")")
+        return parts[0] if len(parts) == 1 else ("or", parts, None)
 
     def _filter_and(self):
         parts = [self._filter_atom()]
@@ -873,6 +918,13 @@ class _Parser:
         if kind == "op" and tok == "!":
             self.next()
             k2, t2 = self.peek()
+            if k2 == "op" and t2 == "(":
+                # !( boolean-group ): three-valued negation (~null stays
+                # null in Spark == SPARQL's !error = error, row dropped)
+                self.next()
+                e = self._filter_or()
+                self.expect(")")
+                return ("not", e, None)
             if not (
                 k2 == "kw"
                 and t2.lower()
@@ -880,10 +932,21 @@ class _Parser:
             ):
                 raise SparqlParseError(
                     "'!' only negates bound()/regex()/strstarts()/"
-                    "strends()/contains()"
+                    "strends()/contains() or a parenthesised boolean"
                 )
             op, *args = self._filter_atom()
             return ("!" + op, *args)
+        if kind == "op" and tok == "(":
+            # ambiguous: boolean group vs scalar operand parens — try the
+            # boolean reading, backtrack to the comparison path on failure
+            save = self.i
+            try:
+                self.next()
+                e = self._filter_or()
+                self.expect(")")
+                return e
+            except SparqlParseError:
+                self.i = save
         if kind == "kw" and tok.lower() in ("bound", "regex"):
             fn = self.next()[1].lower()
             self.expect("(")
@@ -910,6 +973,23 @@ class _Parser:
             self.expect(")")
             return (fn, a, b)
         lhs = self._filter_operand()
+        kind, op = self.peek()
+        if kind == "kw" and op.upper() in ("IN", "NOT"):
+            neg = op.upper() == "NOT"
+            self.next()
+            if neg:
+                k2, t2 = self.next()
+                if not (k2 == "kw" and t2.upper() == "IN"):
+                    raise SparqlParseError("expected IN after NOT")
+            self.expect("(")
+            items = []
+            if self.peek() != ("op", ")"):
+                items.append(self.scalar_expr())
+                while self.peek() == ("op", ","):
+                    self.next()
+                    items.append(self.scalar_expr())
+            self.expect(")")
+            return ("!in" if neg else "in", lhs, tuple(items))
         kind, op = self.next()
         if op not in self._OPS:
             raise SparqlParseError(f"unsupported FILTER operator {op!r}")
@@ -1671,6 +1751,28 @@ class _Eval:
             for c in conds[1:]:
                 out = (out & c) if op == "and" else (out | c)
             return out
+        if op == "not":
+            # three-valued: ~null is null in Spark == !error = error
+            # (spec §17.2), so the FILTER still drops the errored row
+            return ~self._filter_condition(a, acc)
+        if op in ("in", "!in"):
+            # spec §17.4.1.9: IN is the ||-chain of = comparisons, so it
+            # inherits the per-comparison numeric switch and null logic
+            # (unbound lhs -> null -> excluded, under NOT IN too)
+            if not b:
+                return F.lit(op == "!in")
+            cond = None
+            for item in b:
+                numeric = isinstance(
+                    a, (NumConst, EArith)
+                ) or isinstance(item, (NumConst, EArith))
+                ca = _scalar_column(a, acc.bound, acc.maybe)[0]
+                ci = _scalar_column(item, acc.bound, acc.maybe)[0]
+                if numeric:
+                    ca, ci = ca.try_cast("long"), ci.try_cast("long")
+                c = ca == ci
+                cond = c if cond is None else (cond | c)
+            return ~cond if op == "!in" else cond
         for t in (a, b):
             if isinstance(t, Var) and t.name not in acc.bound:
                 raise SparqlParseError(
@@ -1727,7 +1829,8 @@ class _Eval:
 
 
 def _var_order(q: _Parser) -> list:
-    """Variable names in first syntactic appearance order (SELECT *)."""
+    """Variable names in first syntactic appearance order (SELECT *).
+    Blank-node internals are nondistinguished — never projected."""
     seen: list = []
 
     def walk(node):
@@ -1735,7 +1838,11 @@ def _var_order(q: _Parser) -> list:
             if isinstance(e, Bgp):
                 for quad in e.patterns:
                     for t in quad:
-                        if isinstance(t, Var) and t.name not in seen:
+                        if (
+                            isinstance(t, Var)
+                            and t.name not in seen
+                            and not t.name.startswith(BNODE_PREFIX)
+                        ):
                             seen.append(t.name)
             elif isinstance(e, ValuesBlock):
                 for n in e.names:
@@ -2002,6 +2109,14 @@ def sparql_construct(quads: DataFrame, query: str) -> DataFrame:
                     "property path not allowed in a CONSTRUCT template"
                 )
             if isinstance(t, Var):
+                if t.name.startswith(BNODE_PREFIX):
+                    # a template bnode means fresh-per-solution labels
+                    # (spec §16.2.1) — not variable semantics; refuse
+                    # rather than silently instantiate the WHERE binding
+                    raise SparqlParseError(
+                        "blank nodes in a CONSTRUCT template are outside "
+                        "the supported subset"
+                    )
                 if t.name not in slots:
                     # range restriction, the analog of UnboundImplied
                     # (rules.py / reference src/rule.rs:118-131)
@@ -2610,6 +2725,45 @@ def sparql_bind_sql() -> str:
              CAST(LENGTH('nation:' || c.c_nationkey) AS VARCHAR) AS len
       FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
       WHERE CAST(FLOOR(o.o_totalprice * 100) AS BIGINT) - 10000000 > 0
+    """
+
+
+# compound FILTER surface: IN / NOT IN lists, boolean parentheses, !( )
+# group negation, plus blank nodes as nondistinguished join variables
+# (the anonymous [] requires an order to exist; _:r requires the nation
+# to be in some region — both joins never reach the projection)
+GATE_FILTER_COMPOUND = """
+  SELECT ?c ?n WHERE {
+    GRAPH <graph://tpch> {
+      [] <placed_by> ?c .
+      ?c <in_nation> ?n .
+      ?n <in_region> _:r
+    }
+    FILTER ((?n IN ("nation:1", "nation:3", "nation:7") || ?n = "nation:5")
+            && ?c NOT IN ("cust:10", "cust:11") && !(?c = "cust:12"))
+  }
+"""
+
+
+def sparql_filter_compound_gate(spark, sf_dir: str) -> DataFrame:
+    from .ops.quads import tpch_quads
+
+    return sparql_select(tpch_quads(spark, sf_dir), GATE_FILTER_COMPOUND)
+
+
+def sparql_filter_compound_sql() -> str:
+    # one row per matching order (bag semantics: the anonymous [] join
+    # multiplies by the customer's order count, like the Spark plan)
+    return """
+      SELECT 'cust:' || c.c_custkey AS c, 'nation:' || c.c_nationkey AS n
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation nt ON nt.n_nationkey = c.c_nationkey
+      WHERE ('nation:' || c.c_nationkey
+               IN ('nation:1', 'nation:3', 'nation:7')
+             OR 'nation:' || c.c_nationkey = 'nation:5')
+        AND 'cust:' || c.c_custkey NOT IN ('cust:10', 'cust:11')
+        AND NOT ('cust:' || c.c_custkey = 'cust:12')
     """
 
 

@@ -1,0 +1,111 @@
+"""Full driver-gate self-check: run EVERY __spark_entry__ query against its
+DuckDB oracle at sf0.01 with the driver's comparison semantics (columns
+sorted by name, rows sorted, value equality, floats rounded).
+
+Writes SELFCHECK_GATE.json at the repo root.  Use before round close to
+catch any gate regression the unit tests missed."""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+SF = os.environ.get("RIFY_SELFCHECK_SF", "/root/testdata/sf0.01")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "16"))
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _normalize(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for r in rows:
+        vals = []
+        for i in order:
+            v = r[i]
+            if isinstance(v, float):
+                v = round(v, 9) if not math.isnan(v) else "nan"
+            vals.append(v)
+        out.append(tuple(vals))
+    out.sort(key=repr)
+    return out
+
+
+def main() -> None:
+    import duckdb
+
+    import __spark_entry__ as entrymod
+    from rify_spark.session import get_spark
+
+    spark = get_spark(
+        master=f"local[{CPUS}]",
+        app_name="selfcheck-gate",
+        shuffle_partitions=2 * CPUS,
+    )
+    entrymod._ship(spark)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+        )
+    queries = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    only = sys.argv[1:]  # optional subset on the command line
+    results: dict = {}
+    for name, fn in queries.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, SF)
+            srows = _normalize(sdf.columns, [tuple(r) for r in sdf.collect()])
+            if name in oracles:
+                res = con.execute(oracles[name])
+                dcols = [d[0] for d in res.description]
+                drows = _normalize(dcols, res.fetchall())
+                results[name] = {
+                    "rows_spark": len(srows),
+                    "rows_oracle": len(drows),
+                    "rows_match": len(srows) == len(drows),
+                    "cols_match": sorted(sdf.columns) == sorted(dcols),
+                    "values_match": srows == drows,
+                    "wall_s": round(time.time() - t0, 2),
+                }
+            else:
+                results[name] = {
+                    "rows_spark": len(srows), "rows_only": True,
+                    "wall_s": round(time.time() - t0, 2),
+                }
+        except Exception as e:  # noqa: BLE001 — gate must report, not die
+            results[name] = {"err": f"{type(e).__name__}: {e}"[:300]}
+        print(name, results[name], flush=True)
+    bad = [
+        n for n, r in results.items()
+        if "err" in r or (
+            not r.get("rows_only")
+            and not (r.get("rows_match") and r.get("cols_match")
+                     and r.get("values_match"))
+        )
+    ]
+    out = {
+        "sf_dir": SF,
+        "n_queries": len(results),
+        "queries": results,
+        "failing": bad,
+        "all_green": not bad,
+    }
+    with open(os.path.join(REPO, "SELFCHECK_GATE.json"), "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps({"all_green": out["all_green"], "failing": bad}))
+
+
+if __name__ == "__main__":
+    main()

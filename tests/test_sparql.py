@@ -396,7 +396,7 @@ def test_filter_fn_errors(quads):
     with pytest.raises(SparqlParseError, match="string pattern"):
         sparql_select(quads, "SELECT ?x WHERE { ?x <p> ?y FILTER (regex(?y, ?x)) }")
     with pytest.raises(SparqlParseError, match="negates"):
-        sparql_select(quads, 'SELECT ?x WHERE { ?x <p> ?y FILTER (!(?x = "a")) }')
+        sparql_select(quads, "SELECT ?x WHERE { ?x <p> ?y FILTER (!42) }")
 
 
 def test_filter_not_exists_negation(quads):
@@ -1163,5 +1163,93 @@ def test_filter_string_tests_negation_and_unbound(quads):
       }
     """
     assert _run(quads, q) == [("a",)]
-    with pytest.raises(SparqlParseError, match="negates"):
-        _run(quads, 'SELECT ?x WHERE { ?x a ?t FILTER (!(?t = "x")) }')
+
+
+def test_filter_boolean_parens_and_group_negation(quads):
+    # (A || B) && C needs the parens: without them && binds tighter
+    q = """
+      SELECT ?x WHERE {
+        GRAPH <g1> { ?x <knows> ?y }
+        FILTER ((?x = "a" || ?x = "b") && ?y != "c")
+      }
+    """
+    assert _run(quads, q) == [("a",)]
+    # group negation: !(...) — and scalar operand parens still parse
+    q2 = """
+      SELECT ?x ?a WHERE {
+        ?x <age> ?a
+        FILTER (!(?x = "b" || ?a = "4") && (?a + 1) > 3)
+      }
+    """
+    assert _run(quads, q2) == [("a", "3")]
+    # !(error) stays error: unbound OPTIONAL var inside the group
+    q3 = """
+      SELECT ?x WHERE {
+        GRAPH <g1> { ?x <knows> ?y }
+        OPTIONAL { ?x <age> ?a }
+        FILTER (!(?a = "99"))
+      }
+    """
+    assert _run(quads, q3) == [("a",)]
+
+
+def test_filter_in_and_not_in(quads):
+    got = _run(
+        quads,
+        'SELECT ?x WHERE { GRAPH <g1> { ?x <knows> ?y } '
+        'FILTER (?y IN ("b", "z", CONCAT("", ?x))) }',
+    )
+    assert got == [("a",)]
+    # numeric element switches that comparison to numeric semantics
+    got = _run(
+        quads,
+        "SELECT ?x WHERE { ?x <age> ?a FILTER (?a IN (2+1, 99)) }",
+    )
+    assert got == [("a",)]
+    # NOT IN over an unbound lhs: error-semantics excludes the row
+    got = _run(
+        quads,
+        "SELECT ?x WHERE { GRAPH <g1> { ?x <knows> ?y } "
+        'OPTIONAL { ?x <age> ?a } FILTER (?a NOT IN ("99")) }',
+    )
+    assert got == [("a",)]
+    # empty lists: IN () is FALSE, NOT IN () is TRUE (spec §17.4.1.9)
+    assert _run(quads, "SELECT ?x WHERE { ?x <age> ?a FILTER (?a IN ()) }") == []
+    got = _run(
+        quads, "SELECT ?x WHERE { ?x <age> ?a FILTER (?a NOT IN ()) }"
+    )
+    assert got == [("a",)]
+
+
+def test_blank_nodes_as_nondistinguished_vars(quads):
+    # _:m joins like a variable (two-hop) but is never projected
+    q = """
+      SELECT ?x ?z WHERE {
+        GRAPH <g1> { ?x <knows> _:m . _:m <knows> ?z }
+      }
+    """
+    assert _run(quads, q) == [("a", "c")]
+    # SELECT * excludes blank-node internals
+    q2 = "SELECT * WHERE { GRAPH <g1> { ?x <knows> _:m } }"
+    df = sparql_select(quads, q2)
+    assert df.columns == ["x"]
+    # bare [] is fresh per occurrence: two []s do NOT join each other
+    # (x must appear as both subject and object of knows in g1 -> only b)
+    q3 = "SELECT ?x WHERE { GRAPH <g1> { ?x <knows> [] . [] <knows> ?x } }"
+    assert _run(quads, q3) == [("b",)]
+
+
+def test_blank_nodes_rejected_outside_triple_positions(quads):
+    with pytest.raises(SparqlParseError, match="subject/object"):
+        _run(quads, "SELECT ?x WHERE { GRAPH _:g { ?x <knows> ?y } }")
+    with pytest.raises(SparqlParseError, match="subject/object"):
+        _run(quads, 'SELECT ?x WHERE { ?x <knows> ?y FILTER (?y = _:m) }')
+    with pytest.raises(SparqlParseError, match="reserved"):
+        _run(quads, "SELECT ?__bn_m WHERE { ?x <knows> ?__bn_m }")
+    from rify_spark.sparql import sparql_construct
+
+    with pytest.raises(SparqlParseError, match="blank nodes"):
+        sparql_construct(
+            quads,
+            "CONSTRUCT { ?x <p> _:n } WHERE { GRAPH <g1> { ?x <knows> _:n } }",
+        )
