@@ -585,6 +585,12 @@ def _q_sparql_filter_compound(spark, sf_dir):
     return sparql_filter_compound_gate(spark, sf_dir)
 
 
+def _q_sparql_scalar_funcs(spark, sf_dir):
+    from rify_spark.sparql import sparql_scalar_funcs_gate
+
+    return sparql_scalar_funcs_gate(spark, sf_dir)
+
+
 def _q_rdf_parse(spark, sf_dir):
     from rify_spark.rdf import rdf_nquads_parse
 
@@ -707,6 +713,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # compound FILTER: IN/NOT IN, boolean parens, !() negation,
         # blank-node joins ([] and _:r as nondistinguished variables)
         "sparql_filter_compound": _q_sparql_filter_compound,
+        # scalar built-ins: STRBEFORE/STRAFTER/REPLACE/MD5/IF
+        "sparql_scalar_funcs": _q_sparql_scalar_funcs,
         # KG construction
         "kg_extract_mentions": _q_kg_mentions,
         "kg_pipeline_derived": _q_kg_pipeline,
@@ -874,6 +882,7 @@ def oracle_sql() -> dict[str, str]:
         "sparql_bind": _sparql_sql("sparql_bind_sql"),
         "sparql_describe": _sparql_sql("sparql_describe_sql"),
         "sparql_filter_compound": _sparql_sql("sparql_filter_compound_sql"),
+        "sparql_scalar_funcs": _sparql_sql("sparql_scalar_funcs_sql"),
         "kg_pipeline_derived": KG_PIPELINE_SQL,
         "kg_extract_mentions": """
             SELECT DISTINCT doc_id, tok AS mention FROM (

@@ -109,13 +109,20 @@ Supported subset (documented contract, errors otherwise):
     ``(expr AS ?v)`` (the latter in non-aggregate queries): expressions
     over the opaque string term space — ``CONCAT``, ``COALESCE``,
     ``STR``, ``UCASE``, ``LCASE``, ``STRLEN``, ``SUBSTR(s, start,
-    len)``, and integer ``+``/``-`` arithmetic (operands try_cast to
-    BIGINT, result rendered back as its decimal lexeme; a non-integer
-    lexeme makes the result unbound — error-semantics). An errored or
-    unbound input propagates: the BIND target is unbound (null) and
-    rides the possibly-unbound tracking like an OPTIONAL variable;
-    ``COALESCE`` is the recovery function. The BIND target must be a
-    fresh variable in its group (spec §10.1);
+    len)``, ``STRBEFORE``/``STRAFTER`` (spec edge cases: empty needle
+    -> ""/the whole string, missing needle -> ""), ``REPLACE(s, "pat",
+    "rep")`` (GLOBAL regex replace, Java flavor — the regex()
+    divergence; pattern/replacement must be string literals), ``MD5`` /
+    ``SHA256`` (lowercase hex over the UTF-8 bytes), ``IF(cond, then,
+    else)`` (cond is a FILTER boolean tree; an errored condition makes
+    the IF an error per §17.4.1.2 — bare-variable EBV coercion stays
+    out of subset), and integer ``+``/``-`` arithmetic (operands
+    try_cast to BIGINT, result rendered back as its decimal lexeme; a
+    non-integer lexeme makes the result unbound — error-semantics). An
+    errored or unbound input propagates: the BIND target is unbound
+    (null) and rides the possibly-unbound tracking like an OPTIONAL
+    variable; ``COALESCE`` is the recovery function. The BIND target
+    must be a fresh variable in its group (spec §10.1);
   * ``ORDER BY [ASC|DESC](?v)``, ``LIMIT n``, ``OFFSET n``.
 
 Possibly-unbound variables (introduced under OPTIONAL, or missing from
@@ -253,6 +260,23 @@ class EArith:
     op: str  # "+" | "-"
     lhs: object
     rhs: object
+
+
+@dataclass(frozen=True)
+class EIf:
+    """``IF(cond, then, else)`` — ``cond`` is a FILTER boolean tree
+    (comparisons / string tests / bound / regex / IN combined with
+    ``&&``/``||``/``!``), the branches are scalar expressions. SPARQL
+    §17.4.1.2 error semantics: an errored condition makes the whole IF
+    an error (the target stays unbound) — which is exactly Spark's
+    ``when(c, a).when(~c, b)`` with no ``otherwise`` (a NULL condition
+    falls through to NULL). A bare variable as the condition (effective
+    boolean value coercion) stays out of subset — the term space is
+    opaque strings, so EBV would be a guess."""
+
+    cond: object  # a _filter_or tree
+    then: object
+    other: object
 
 
 @dataclass(frozen=True)
@@ -1003,8 +1027,10 @@ class _Parser:
 
     _EXPR_FUNCS = {
         "CONCAT", "COALESCE", "STR", "UCASE", "LCASE", "STRLEN", "SUBSTR",
+        "STRBEFORE", "STRAFTER", "REPLACE", "MD5", "SHA256",
     }
-    _EXPR_UNARY = {"STR", "UCASE", "LCASE", "STRLEN"}
+    _EXPR_UNARY = {"STR", "UCASE", "LCASE", "STRLEN", "MD5", "SHA256"}
+    _EXPR_BINARY = {"STRBEFORE", "STRAFTER"}
 
     def scalar_expr(self):
         """A BIND / SELECT-item scalar expression: additive chain of
@@ -1030,6 +1056,18 @@ class _Parser:
         if kind == "num":
             self.next()
             return NumConst(int(tok))
+        if kind == "kw" and tok.upper() == "IF":
+            # IF(boolean, then, else): the condition uses the FILTER
+            # boolean grammar, the branches the scalar grammar
+            self.next()
+            self.expect("(")
+            cond = self._filter_or()
+            self.expect(",")
+            then = self.scalar_expr()
+            self.expect(",")
+            other = self.scalar_expr()
+            self.expect(")")
+            return EIf(cond, then, other)
         if kind == "kw" and tok.upper() in self._EXPR_FUNCS:
             self.next()
             name = tok.upper()
@@ -1041,6 +1079,17 @@ class _Parser:
             self.expect(")")
             if name in self._EXPR_UNARY and len(args) != 1:
                 raise SparqlParseError(f"{name}() takes one argument")
+            if name in self._EXPR_BINARY and len(args) != 2:
+                raise SparqlParseError(f"{name}() takes two arguments")
+            if name == "REPLACE":
+                if len(args) != 3 or not all(
+                    isinstance(a, Const) for a in args[1:]
+                ):
+                    raise SparqlParseError(
+                        "REPLACE takes (expr, \"pattern\", \"replacement\")"
+                        " with string-literal pattern/replacement (Java "
+                        "regex flavor, the regex() contract)"
+                    )
             if name == "SUBSTR":
                 if len(args) != 3 or not all(
                     isinstance(a, NumConst) for a in args[1:]
@@ -1247,6 +1296,11 @@ def _scalar_column(expr, bound: set, maybe: set):
             return F.lit(str(e.value))
         if isinstance(e, EArith):
             return num(e).cast("string")
+        if isinstance(e, EIf):
+            c = _condition_column(e.cond, bound, maybe)
+            # no otherwise: a NULL (errored) condition -> NULL result,
+            # SPARQL's IF error semantics (§17.4.1.2)
+            return F.when(c, s(e.then)).when(~c, s(e.other))
         assert isinstance(e, EFunc), e
         if e.name == "CONCAT":
             return F.concat(*[s(a) for a in e.args])
@@ -1266,6 +1320,42 @@ def _scalar_column(expr, bound: set, maybe: set):
             return F.substring(
                 s(e.args[0]), e.args[1].value, e.args[2].value
             )
+        if e.name in ("STRBEFORE", "STRAFTER"):
+            # spec §17.4.3.4/.5: empty-needle cases are "" / the whole
+            # string, a missing needle is ""; a NULL (unbound/errored)
+            # argument propagates. SQL twin: the same CASE over
+            # strpos()/substr().
+            ss, tt = s(e.args[0]), s(e.args[1])
+            pos = F.position(tt, ss)
+            head = F.when(
+                ss.isNull() | tt.isNull(), F.lit(None).cast("string")
+            )
+            if e.name == "STRBEFORE":
+                return (
+                    head.when(F.length(tt) == 0, F.lit(""))
+                    .when(pos > 0, F.substr(ss, F.lit(1), pos - F.lit(1)))
+                    .otherwise(F.lit(""))
+                )
+            return (
+                head.when(F.length(tt) == 0, ss)
+                .when(
+                    pos > 0,
+                    F.substr(ss, pos + F.length(tt), F.length(ss)),
+                )
+                .otherwise(F.lit(""))
+            )
+        if e.name == "REPLACE":
+            # global regex replace, Java flavor (Spark regexp_replace) —
+            # the documented regex() divergence from SPARQL's XPath
+            # flavor; SQL twin regexp_replace(..., 'g')
+            return F.regexp_replace(
+                s(e.args[0]), e.args[1].value, e.args[2].value
+            )
+        if e.name == "MD5":
+            # lowercase hex over the UTF-8 bytes — DuckDB md5() agrees
+            return F.md5(s(e.args[0]).cast("binary"))
+        if e.name == "SHA256":
+            return F.sha2(s(e.args[0]).cast("binary"), 256)
         raise AssertionError(e.name)
 
     def can_null(e):
@@ -1275,6 +1365,12 @@ def _scalar_column(expr, bound: set, maybe: set):
             return e.name in maybe
         if isinstance(e, EArith):
             return num_can_null(e)
+        if isinstance(e, EIf):
+            # the condition may error (NULL) even over sure-bound
+            # inputs (e.g. a numeric cast), so IF is always
+            # possibly-unbound — conservative but safe: downstream
+            # joins just use the compatible-mappings machinery
+            return True
         if e.name == "COALESCE":
             return all(can_null(a) for a in e.args)
         if e.name == "SUBSTR":
@@ -1744,88 +1840,95 @@ class _Eval:
 
     def _filter_condition(self, entry, acc: _Sol):
         """One FILTER tree node -> a boolean Column over ``acc``."""
-        op, a, b = entry
-        if op in ("and", "or"):
-            conds = [self._filter_condition(c, acc) for c in a]
-            out = conds[0]
-            for c in conds[1:]:
-                out = (out & c) if op == "and" else (out | c)
-            return out
-        if op == "not":
-            # three-valued: ~null is null in Spark == !error = error
-            # (spec §17.2), so the FILTER still drops the errored row
-            return ~self._filter_condition(a, acc)
-        if op in ("in", "!in"):
-            # spec §17.4.1.9: IN is the ||-chain of = comparisons, so it
-            # inherits the per-comparison numeric switch and null logic
-            # (unbound lhs -> null -> excluded, under NOT IN too)
-            if not b:
-                return F.lit(op == "!in")
-            cond = None
-            for item in b:
-                numeric = isinstance(
-                    a, (NumConst, EArith)
-                ) or isinstance(item, (NumConst, EArith))
-                ca = _scalar_column(a, acc.bound, acc.maybe)[0]
-                ci = _scalar_column(item, acc.bound, acc.maybe)[0]
-                if numeric:
-                    ca, ci = ca.try_cast("long"), ci.try_cast("long")
-                c = ca == ci
-                cond = c if cond is None else (cond | c)
-            return ~cond if op == "!in" else cond
-        for t in (a, b):
-            if isinstance(t, Var) and t.name not in acc.bound:
-                raise SparqlParseError(
-                    f"FILTER variable ?{t.name} not bound in its group"
-                )
+        return _condition_column(entry, acc.bound, acc.maybe)
 
-        # an unquoted integer or arithmetic on either side switches
-        # the comparison to numeric semantics (both sides try_cast
-        # to BIGINT; null -> excluded, SPARQL error-semantics)
-        numeric = isinstance(a, (NumConst, EArith)) or isinstance(
-            b, (NumConst, EArith)
-        )
 
-        def _fcol(t):
-            if isinstance(t, NumConst):
-                return F.lit(t.value)
-            if isinstance(t, Var):
-                c = F.col(t.name)
-                return c.try_cast("long") if numeric else c
-            if isinstance(t, Const):
-                c = F.lit(t.value)
-                return c.try_cast("long") if numeric else c
-            # a composite scalar expression (EFunc / EArith)
-            c, _ = _scalar_column(t, acc.bound, acc.maybe)
+def _condition_column(entry, bound: set, maybe: set):
+    """One FILTER boolean tree node -> a boolean Column over a
+    solution relation with the given bound / possibly-unbound variable
+    sets (shared by FILTER evaluation and the scalar IF() condition)."""
+    op, a, b = entry
+    if op in ("and", "or"):
+        conds = [_condition_column(c, bound, maybe) for c in a]
+        out = conds[0]
+        for c in conds[1:]:
+            out = (out & c) if op == "and" else (out | c)
+        return out
+    if op == "not":
+        # three-valued: ~null is null in Spark == !error = error
+        # (spec §17.2), so the FILTER still drops the errored row
+        return ~_condition_column(a, bound, maybe)
+    if op in ("in", "!in"):
+        # spec §17.4.1.9: IN is the ||-chain of = comparisons, so it
+        # inherits the per-comparison numeric switch and null logic
+        # (unbound lhs -> null -> excluded, under NOT IN too)
+        if not b:
+            return F.lit(op == "!in")
+        cond = None
+        for item in b:
+            numeric = isinstance(
+                a, (NumConst, EArith)
+            ) or isinstance(item, (NumConst, EArith))
+            ca = _scalar_column(a, bound, maybe)[0]
+            ci = _scalar_column(item, bound, maybe)[0]
+            if numeric:
+                ca, ci = ca.try_cast("long"), ci.try_cast("long")
+            c = ca == ci
+            cond = c if cond is None else (cond | c)
+        return ~cond if op == "!in" else cond
+    for t in (a, b):
+        if isinstance(t, Var) and t.name not in bound:
+            raise SparqlParseError(
+                f"FILTER variable ?{t.name} not bound in its group"
+            )
+
+    # an unquoted integer or arithmetic on either side switches
+    # the comparison to numeric semantics (both sides try_cast
+    # to BIGINT; null -> excluded, SPARQL error-semantics)
+    numeric = isinstance(a, (NumConst, EArith)) or isinstance(
+        b, (NumConst, EArith)
+    )
+
+    def _fcol(t):
+        if isinstance(t, NumConst):
+            return F.lit(t.value)
+        if isinstance(t, Var):
+            c = F.col(t.name)
             return c.try_cast("long") if numeric else c
+        if isinstance(t, Const):
+            c = F.lit(t.value)
+            return c.try_cast("long") if numeric else c
+        # a composite scalar expression (EFunc / EArith)
+        c, _ = _scalar_column(t, bound, maybe)
+        return c.try_cast("long") if numeric else c
 
-        if op in ("bound", "!bound"):
-            # the OPTIONAL companion: null == unbound in this algebra
-            c = F.col(a.name)
-            return c.isNotNull() if op == "bound" else c.isNull()
-        if op in ("regex", "!regex"):
-            # Java regex flavor (Spark rlike), documented divergence
-            # from SPARQL's XPath flavor; null input excludes the row
-            # under negation too (error-semantics, like comparisons)
-            cond = F.col(a.name).rlike(b.value)
-            return ~cond if op == "!regex" else cond
-        base = op.lstrip("!")
-        if base in ("strstarts", "strends", "contains"):
-            # string tests over scalar expressions; a null (unbound or
-            # errored) argument excludes the row under negation too
-            la = _scalar_column(a, acc.bound, acc.maybe)[0]
-            lb = _scalar_column(b, acc.bound, acc.maybe)[0]
-            cond = {
-                "strstarts": la.startswith(lb),
-                "strends": la.endswith(lb),
-                "contains": la.contains(lb),
-            }[base]
-            return ~cond if op.startswith("!") else cond
-        la, lb = _fcol(a), _fcol(b)
-        return {
-            "=": la == lb, "!=": la != lb, "<": la < lb,
-            "<=": la <= lb, ">": la > lb, ">=": la >= lb,
-        }[op]
+    if op in ("bound", "!bound"):
+        # the OPTIONAL companion: null == unbound in this algebra
+        c = F.col(a.name)
+        return c.isNotNull() if op == "bound" else c.isNull()
+    if op in ("regex", "!regex"):
+        # Java regex flavor (Spark rlike), documented divergence
+        # from SPARQL's XPath flavor; null input excludes the row
+        # under negation too (error-semantics, like comparisons)
+        cond = F.col(a.name).rlike(b.value)
+        return ~cond if op == "!regex" else cond
+    base = op.lstrip("!")
+    if base in ("strstarts", "strends", "contains"):
+        # string tests over scalar expressions; a null (unbound or
+        # errored) argument excludes the row under negation too
+        la = _scalar_column(a, bound, maybe)[0]
+        lb = _scalar_column(b, bound, maybe)[0]
+        cond = {
+            "strstarts": la.startswith(lb),
+            "strends": la.endswith(lb),
+            "contains": la.contains(lb),
+        }[base]
+        return ~cond if op.startswith("!") else cond
+    la, lb = _fcol(a), _fcol(b)
+    return {
+        "=": la == lb, "!=": la != lb, "<": la < lb,
+        "<=": la <= lb, ">": la > lb, ">=": la >= lb,
+    }[op]
 
 
 def _var_order(q: _Parser) -> list:
@@ -2764,6 +2867,39 @@ def sparql_filter_compound_sql() -> str:
              OR 'nation:' || c.c_nationkey = 'nation:5')
         AND 'cust:' || c.c_custkey NOT IN ('cust:10', 'cust:11')
         AND NOT ('cust:' || c.c_custkey = 'cust:12')
+    """
+
+
+# scalar built-in functions: STRBEFORE / STRAFTER / REPLACE / MD5+SUBSTR /
+# IF over a numeric condition — every value derivable by the DuckDB twin
+GATE_SCALAR_FUNCS = """
+  SELECT ?cust ?nkey ?tier ?h ?cid WHERE {
+    GRAPH <graph://tpch> { ?cust <in_nation> ?nation }
+    BIND(STRAFTER(?nation, ":") AS ?nkey)
+    BIND(IF(?nkey > 11, "high", CONCAT("low-", ?nkey)) AS ?tier)
+    BIND(SUBSTR(MD5(?cust), 1, 12) AS ?h)
+    BIND(REPLACE(?cust, "cust:", "c-") AS ?cid)
+    FILTER (STRBEFORE(?nation, ":") = "nation")
+  }
+"""
+
+
+def sparql_scalar_funcs_gate(spark, sf_dir: str) -> DataFrame:
+    from .ops.quads import tpch_quads
+
+    return sparql_select(tpch_quads(spark, sf_dir), GATE_SCALAR_FUNCS)
+
+
+def sparql_scalar_funcs_sql() -> str:
+    return """
+      SELECT 'cust:' || c_custkey AS cust,
+             CAST(c_nationkey AS VARCHAR) AS nkey,
+             CASE WHEN c_nationkey > 11 THEN 'high'
+                  ELSE 'low-' || c_nationkey END AS tier,
+             substr(md5('cust:' || c_custkey), 1, 12) AS h,
+             regexp_replace('cust:' || c_custkey, 'cust:', 'c-', 'g')
+               AS cid
+      FROM customer
     """
 
 

@@ -1253,3 +1253,98 @@ def test_blank_nodes_rejected_outside_triple_positions(quads):
             quads,
             "CONSTRUCT { ?x <p> _:n } WHERE { GRAPH <g1> { ?x <knows> _:n } }",
         )
+
+
+# --- scalar built-ins: STRBEFORE / STRAFTER / REPLACE / hashes / IF --------
+
+
+def test_strbefore_strafter(quads):
+    q = """
+      SELECT ?x ?b ?a WHERE {
+        GRAPH <g1> { ?x <knows> ?y }
+        BIND(CONCAT(?x, ":", ?y) AS ?pair)
+        BIND(STRBEFORE(?pair, ":") AS ?b)
+        BIND(STRAFTER(?pair, ":") AS ?a)
+      }
+    """
+    assert _run(quads, q) == [("a", "a", "b"), ("b", "b", "c")]
+    # spec edge cases: empty needle -> "" / the whole string; missing
+    # needle -> ""; an unbound input propagates (stays unbound)
+    q2 = """
+      SELECT ?e ?w ?m ?u WHERE {
+        GRAPH <g1> { ?x <knows> ?y }
+        OPTIONAL { ?x <age> ?n }
+        BIND(STRBEFORE(?x, "") AS ?e)
+        BIND(STRAFTER(?x, "") AS ?w)
+        BIND(STRBEFORE(?x, "zzz") AS ?m)
+        BIND(STRAFTER(?n, "x") AS ?u)
+      }
+    """
+    got = _run(quads, q2)
+    # x=a has an age ("3": needle missing -> ""); x=b has none (unbound
+    # input propagates -> unbound)
+    assert got == [("", "a", "", ""), ("", "b", "", None)]
+
+
+def test_replace_global_java_regex(quads):
+    q = """
+      SELECT ?x ?r WHERE {
+        GRAPH <g1> { ?x <knows> ?y }
+        BIND(REPLACE(CONCAT(?x, "1", ?y, "2"), "[0-9]", "#") AS ?r)
+      }
+    """
+    # REPLACE is a GLOBAL regex replace (both digits substituted)
+    assert _run(quads, q) == [("a", "a#b#"), ("b", "b#c#")]
+    with pytest.raises(SparqlParseError, match="REPLACE"):
+        _run(quads, "SELECT ?r WHERE { ?x <age> ?a BIND(REPLACE(?x, ?a, \"y\") AS ?r) }")
+
+
+def test_md5_sha256_match_reference_digests(quads):
+    import hashlib
+
+    q = """
+      SELECT ?x ?h5 ?h256 WHERE {
+        GRAPH <g1> { ?x <knows> ?y }
+        BIND(MD5(?x) AS ?h5) BIND(SHA256(?x) AS ?h256)
+      }
+    """
+    got = _run(quads, q)
+    exp = [
+        (
+            x,
+            hashlib.md5(x.encode()).hexdigest(),
+            hashlib.sha256(x.encode()).hexdigest(),
+        )
+        for x in ("a", "b")
+    ]
+    assert got == exp
+
+
+def test_if_condition_branches_and_error_semantics(quads):
+    # numeric condition over an integer lexeme takes the then-branch
+    q = """
+      SELECT ?x ?v WHERE {
+        ?x <age> ?n
+        BIND(IF(?n > 2, UCASE(?x), "young") AS ?v)
+      }
+    """
+    assert _run(quads, q) == [("a", "A")]
+    # errored condition (non-integer lexeme vs number) -> unbound target
+    q2 = """
+      SELECT ?x ?v WHERE {
+        GRAPH <g1> { ?x <knows> ?y }
+        BIND(IF(?y > 2, "t", "f") AS ?v)
+      }
+    """
+    assert _run(quads, q2) == [("a", None), ("b", None)]
+    # compound boolean condition (the FILTER grammar) works inside IF
+    q3 = """
+      SELECT ?x ?v WHERE {
+        GRAPH <g1> { ?x <knows> ?y }
+        BIND(IF(STRSTARTS(?y, "b") || ?y = "c", "hit", "miss") AS ?v)
+      }
+    """
+    assert _run(quads, q3) == [("a", "hit"), ("b", "hit")]
+    # a bare variable condition (EBV) stays out of subset
+    with pytest.raises(SparqlParseError):
+        _run(quads, 'SELECT ?v WHERE { ?x <age> ?n BIND(IF(?n, "t", "f") AS ?v) }')
