@@ -591,6 +591,12 @@ def _q_sparql_scalar_funcs(spark, sf_dir):
     return sparql_scalar_funcs_gate(spark, sf_dir)
 
 
+def _q_sparql_nps(spark, sf_dir):
+    from rify_spark.sparql import sparql_nps_gate
+
+    return sparql_nps_gate(spark, sf_dir)
+
+
 def _q_rdf_parse(spark, sf_dir):
     from rify_spark.rdf import rdf_nquads_parse
 
@@ -715,6 +721,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_filter_compound": _q_sparql_filter_compound,
         # scalar built-ins: STRBEFORE/STRAFTER/REPLACE/MD5/IF
         "sparql_scalar_funcs": _q_sparql_scalar_funcs,
+        # negated property sets !(p | ^q)
+        "sparql_nps": _q_sparql_nps,
         # KG construction
         "kg_extract_mentions": _q_kg_mentions,
         "kg_pipeline_derived": _q_kg_pipeline,
@@ -883,6 +891,7 @@ def oracle_sql() -> dict[str, str]:
         "sparql_describe": _sparql_sql("sparql_describe_sql"),
         "sparql_filter_compound": _sparql_sql("sparql_filter_compound_sql"),
         "sparql_scalar_funcs": _sparql_sql("sparql_scalar_funcs_sql"),
+        "sparql_nps": _sparql_sql("sparql_nps_sql"),
         "kg_pipeline_derived": KG_PIPELINE_SQL,
         "kg_extract_mentions": """
             SELECT DISTINCT doc_id, tok AS mention FROM (

@@ -74,7 +74,10 @@ Supported subset (documented contract, errors otherwise):
     ``p+`` / ``p*`` (transitive closure, executed by the inference
     engine's fixpoint — the pure-TC shape auto-delegates to the
     O(log depth) smart-TC strategy), ``p?`` (zero-or-one), and
-    parenthesised combinations. Set semantics throughout (SPARQL's
+    parenthesised combinations, and negated property sets ``!p`` /
+    ``!(p1 | ^p2 | ...)`` (anti-membership scan predicates; a
+    pure-inverse set has no forward leg and vice versa, spec
+    §18.2.2.1). Set semantics throughout (SPARQL's
     closures are distinct-node too; its ``/`` and ``|`` are
     bag-semantics — a documented divergence, matching the engine's
     set-based store). The zero-length path relates each term occurring
@@ -329,9 +332,24 @@ class POpt01:
 
 
 @dataclass(frozen=True)
+class PNps:
+    """``!iri`` / ``!(iri1 | ^iri2 | ...)`` — a negated property set
+    (spec §18.2.2.1): the forward members match any triple whose
+    predicate is NOT in ``fwd``; the ``^``-members match any REVERSED
+    triple whose predicate is not in ``inv``. A set with only inverse
+    members has no forward leg (and vice versa), per the spec's
+    NPS / inv(NPS) / alt(...) translation. Compiles to an anti-membership
+    filter on the predicate column — a pushed-down scan predicate, no
+    join."""
+
+    fwd: tuple  # predicate IRIs negated in the forward direction
+    inv: tuple  # predicate IRIs negated in the reverse direction
+
+
+@dataclass(frozen=True)
 class Path:
     """A property-path expression in predicate position; ``expr`` is a
-    tree of PPred/PInv/PSeq/PAlt/PClos/POpt01 nodes."""
+    tree of PPred/PInv/PSeq/PAlt/PClos/POpt01/PNps nodes."""
 
     expr: object
 
@@ -823,6 +841,24 @@ class _Parser:
 
     def path_primary(self):
         kind, tok = self.peek()
+        if kind == "op" and tok == "!":
+            # negated property set: !iri, !^iri, or !(iri | ^iri | ...)
+            self.next()
+            members = []
+            k2, t2 = self.peek()
+            if k2 == "op" and t2 == "(":
+                self.next()
+                members.append(self._nps_member())
+                while self.peek() == ("op", "|"):
+                    self.next()
+                    members.append(self._nps_member())
+                self.expect(")")
+            else:
+                members.append(self._nps_member())
+            return PNps(
+                fwd=tuple(p for is_inv, p in members if not is_inv),
+                inv=tuple(p for is_inv, p in members if is_inv),
+            )
         if kind == "op" and tok == "(":
             self.next()
             node = self.path_alt()
@@ -834,6 +870,21 @@ class _Parser:
                 "property path needs a constant predicate"
             )
         return PPred(t.value)
+
+    def _nps_member(self):
+        """One negated-property-set member: ``iri`` or ``^iri`` ->
+        ``(is_inverse, predicate)``. Only constant predicates are legal
+        in an NPS (spec grammar PathOneInPropertySet)."""
+        is_inv = False
+        if self.peek() == ("op", "^"):
+            self.next()
+            is_inv = True
+        t = self.term(as_pred=True)
+        if not isinstance(t, Const):
+            raise SparqlParseError(
+                "a negated property set takes constant predicates"
+            )
+        return (is_inv, t.value)
 
     def triples_block(self, graph, into):
         s = self.term(allow_bnode=True)
@@ -1482,6 +1533,29 @@ class _Eval:
         if isinstance(node, POpt01):
             e = self._path_edges(node.child, g_t)
             return e.unionByName(self._path_identity(g_t)).distinct()
+        if isinstance(node, PNps):
+            # anti-membership scan predicates (pushed down like the
+            # constant-predicate leaves); a pure-inverse set has no
+            # forward leg and vice versa (spec §18.2.2.1). Distinct
+            # because several surviving predicates can relate the same
+            # (s, o) — the path algebra here is set-semantics.
+            q = self._graph_scoped(g_t)
+            legs = []
+            if node.fwd:
+                legs.append(
+                    q.filter(~F.col("p").isin(*node.fwd))
+                    .select("s", "o", "g")
+                )
+            if node.inv:
+                legs.append(
+                    q.filter(~F.col("p").isin(*node.inv)).select(
+                        F.col("o").alias("s"), F.col("s").alias("o"), "g"
+                    )
+                )
+            acc = legs[0]
+            for leg in legs[1:]:
+                acc = acc.unionByName(leg)
+            return acc.distinct()
         raise AssertionError(f"unknown path node {node!r}")
 
     def _path_identity(self, g_t) -> DataFrame:
@@ -2900,6 +2974,38 @@ def sparql_scalar_funcs_sql() -> str:
              regexp_replace('cust:' || c_custkey, 'cust:', 'c-', 'g')
                AS cid
       FROM customer
+    """
+
+
+# negated property set: a mixed forward/inverse NPS — the forward leg is
+# every non-placed_by edge, the inverse leg every flipped non-in_region edge
+GATE_NPS = """
+  SELECT ?s ?o WHERE {
+    GRAPH <graph://tpch> { ?s !(<placed_by> | ^<in_region>) ?o }
+  }
+"""
+
+
+def sparql_nps_gate(spark, sf_dir: str) -> DataFrame:
+    from .ops.quads import tpch_quads
+
+    return sparql_select(tpch_quads(spark, sf_dir), GATE_NPS)
+
+
+def sparql_nps_sql() -> str:
+    return """
+      SELECT DISTINCT s, o FROM (
+        SELECT 'cust:' || c_custkey AS s, 'nation:' || c_nationkey AS o
+        FROM customer
+        UNION ALL
+        SELECT 'nation:' || n_nationkey, 'region:' || n_regionkey
+        FROM nation
+        UNION ALL
+        SELECT 'cust:' || o_custkey, 'order:' || o_orderkey FROM orders
+        UNION ALL
+        SELECT 'nation:' || c_nationkey, 'cust:' || c_custkey
+        FROM customer
+      )
     """
 
 

@@ -1348,3 +1348,47 @@ def test_if_condition_branches_and_error_semantics(quads):
     # a bare variable condition (EBV) stays out of subset
     with pytest.raises(SparqlParseError):
         _run(quads, 'SELECT ?v WHERE { ?x <age> ?n BIND(IF(?n, "t", "f") AS ?v) }')
+
+
+# --- negated property sets -------------------------------------------------
+
+
+def test_nps_forward_only(quads):
+    # !<knows> in g1: no edges (g1 only has knows) -> empty;
+    # over the default graph: type + age edges survive
+    got = _run(quads, "SELECT ?x ?y WHERE { GRAPH <g1> { ?x !<knows> ?y } }")
+    assert got == []
+    got = _run(quads, "SELECT ?x ?y WHERE { ?x !<age> ?y }")
+    assert got == [("a", "Person"), ("b", "Person")]
+
+
+def test_nps_inverse_only_and_mixed(quads):
+    # pure-inverse set: only reversed non-age edges (no forward leg)
+    got = _run(quads, "SELECT ?x ?y WHERE { ?x !(^<age>) ?y }")
+    assert got == [("Person", "a"), ("Person", "b")]
+    # mixed: forward non-type edges union reversed non-age edges
+    q = (
+        "SELECT ?x ?y WHERE { ?x !(<http://www.w3.org/1999/02/"
+        "22-rdf-syntax-ns#type> | ^<age>) ?y }"
+    )
+    got = _run(quads, q)
+    assert got == [("Person", "a"), ("Person", "b"), ("a", "3")]
+
+
+def test_nps_in_sequence_and_with_postfix(quads):
+    # NPS composes with / and postfix modifiers like any path primary
+    got = _run(
+        quads,
+        "SELECT ?x ?z WHERE { GRAPH <g1> { ?x <knows>/!<age> ?z } }",
+    )
+    assert got == [("a", "c")]
+    got = _run(
+        quads, "SELECT ?x ?y WHERE { GRAPH <g2> { ?x !<age>? ?y } }"
+    )
+    # zero-or-one over the NPS: identity over g2's nodes + the c->a edge
+    assert got == [("a", "a"), ("c", "a"), ("c", "c")]
+
+
+def test_nps_rejects_variables(quads):
+    with pytest.raises(SparqlParseError, match="constant"):
+        _run(quads, "SELECT ?x WHERE { ?x !(?p) ?y }")
