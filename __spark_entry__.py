@@ -597,6 +597,12 @@ def _q_sparql_nps(spark, sf_dir):
     return sparql_nps_gate(spark, sf_dir)
 
 
+def _q_sparql_avg(spark, sf_dir):
+    from rify_spark.sparql import sparql_avg_gate
+
+    return sparql_avg_gate(spark, sf_dir)
+
+
 def _q_rdf_parse(spark, sf_dir):
     from rify_spark.rdf import rdf_nquads_parse
 
@@ -723,6 +729,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_scalar_funcs": _q_sparql_scalar_funcs,
         # negated property sets !(p | ^q)
         "sparql_nps": _q_sparql_nps,
+        # AVG aggregate (double output, cross-engine deterministic)
+        "sparql_avg": _q_sparql_avg,
         # KG construction
         "kg_extract_mentions": _q_kg_mentions,
         "kg_pipeline_derived": _q_kg_pipeline,
@@ -892,6 +900,7 @@ def oracle_sql() -> dict[str, str]:
         "sparql_filter_compound": _sparql_sql("sparql_filter_compound_sql"),
         "sparql_scalar_funcs": _sparql_sql("sparql_scalar_funcs_sql"),
         "sparql_nps": _sparql_sql("sparql_nps_sql"),
+        "sparql_avg": _sparql_sql("sparql_avg_sql"),
         "kg_pipeline_derived": KG_PIPELINE_SQL,
         "kg_extract_mentions": """
             SELECT DISTINCT doc_id, tok AS mention FROM (

@@ -136,8 +136,10 @@ compatible with any value; the merged solution takes the bound one) —
 see ``_Eval._compat_join`` for the plan shapes. The one remaining
 restriction (raises rather than silently approximating): a
 possibly-unbound variable cannot instantiate a CONSTRUCT template.
-Also not supported: AVG (the term space has no exact decimal type),
-aggregate expressions over anything but a single variable.
+Also not supported: aggregate expressions over anything but a single
+variable. ``AVG`` casts lexemes to BIGINT and yields a DOUBLE column
+(exact integral sum, one IEEE division — deterministic and equal to the
+SQL twin's ``AVG(TRY_CAST(v AS BIGINT))``).
 """
 
 from __future__ import annotations
@@ -623,7 +625,7 @@ class _Parser:
                     k2, t2 = self.peek()
                     # an unknown keyword applied to an argument list is
                     # an unsupported aggregate/function: route it to
-                    # agg_expr for the informative error (e.g. AVG)
+                    # agg_expr for the informative error (e.g. VARIANCE)
                     is_agg = k2 == "kw" and (
                         t2.upper() in self._AGG_FUNCS
                         or (
@@ -1079,6 +1081,8 @@ class _Parser:
     _EXPR_FUNCS = {
         "CONCAT", "COALESCE", "STR", "UCASE", "LCASE", "STRLEN", "SUBSTR",
         "STRBEFORE", "STRAFTER", "REPLACE", "MD5", "SHA256",
+        "IF",  # parsed by its own scalar_atom branch (boolean first arg);
+        # listed here so SELECT items route (IF(...) AS ?v) to scalar_expr
     }
     _EXPR_UNARY = {"STR", "UCASE", "LCASE", "STRLEN", "MD5", "SHA256"}
     _EXPR_BINARY = {"STRBEFORE", "STRAFTER"}
@@ -1156,7 +1160,9 @@ class _Parser:
             return EFunc(name, tuple(args))
         return self.term()
 
-    _AGG_FUNCS = {"COUNT", "SUM", "MIN", "MAX", "SAMPLE", "GROUP_CONCAT"}
+    _AGG_FUNCS = {
+        "COUNT", "SUM", "AVG", "MIN", "MAX", "SAMPLE", "GROUP_CONCAT",
+    }
 
     def agg_expr(self) -> Agg:
         """``FUNC([DISTINCT] ?v)`` or ``COUNT([DISTINCT] *)`` — the
@@ -1167,7 +1173,7 @@ class _Parser:
         func = tok.upper()
         if kind != "kw" or func not in self._AGG_FUNCS:
             raise SparqlParseError(
-                "expected aggregate COUNT/SUM/MIN/MAX/SAMPLE/"
+                "expected aggregate COUNT/SUM/AVG/MIN/MAX/SAMPLE/"
                 f"GROUP_CONCAT, got {tok!r}"
             )
         self.expect("(")
@@ -1225,14 +1231,14 @@ class _Parser:
                 kind, tok = self.next()
                 if kind == "num":
                     val = int(tok)
-                    if agg.func not in ("COUNT", "SUM"):
+                    if agg.func not in ("COUNT", "SUM", "AVG"):
                         raise SparqlParseError(
                             f"HAVING {agg.func} compares string terms — "
                             "use a quoted constant"
                         )
                 elif kind == "string":
                     val = tok[1:-1]
-                    if agg.func in ("COUNT", "SUM"):
+                    if agg.func in ("COUNT", "SUM", "AVG"):
                         raise SparqlParseError(
                             f"HAVING {agg.func} compares integers — "
                             "use a numeric constant"
@@ -2077,6 +2083,20 @@ def _agg_column(agg: Agg, sol: _Sol, name: str):
         c = F.col(agg.var).try_cast("long")
         e = F.sum_distinct(c) if agg.distinct else F.sum(c)
         return e.alias(name)
+    if agg.func == "AVG":
+        # the one non-string, non-integer aggregate output: a DOUBLE
+        # column. Spark's Average sums integral input in a DOUBLE
+        # accumulator; every partial sum of integers below 2^53 is
+        # exactly representable, so the sum is order-independent and the
+        # single IEEE division matches DuckDB's HUGEINT-sum AVG
+        # bit-for-bit (verified at sf0.01/sf1 scales; beyond |sum| ~ 9e15
+        # the two could diverge in the last ulp). SQL twin:
+        # AVG([DISTINCT] TRY_CAST(v AS BIGINT)).
+        if agg.distinct:
+            return F.expr(
+                f"avg(DISTINCT try_cast(`{agg.var}` AS BIGINT))"
+            ).alias(name)
+        return F.avg(F.col(agg.var).try_cast("long")).alias(name)
     if agg.func == "GROUP_CONCAT":
         # deterministic: values sorted before joining (SPARQL leaves the
         # order unspecified; the SQL twin is string_agg(.. ORDER BY ..));
@@ -2834,6 +2854,38 @@ def _order_total_quads(spark, sf_dir: str) -> DataFrame:
         F.lit("graph://tpch").alias("g"),
     )
     return tpch_quads(spark, sf_dir).unionByName(totals)
+
+
+# AVG over integer lexemes grouped by nation: a DOUBLE output column,
+# deterministic (exact integral sum / count in one IEEE division — both
+# engines agree bit-for-bit); HAVING on the average
+GATE_AVG = """
+  SELECT ?nation (AVG(?t) AS ?avg_cents) (COUNT(?o) AS ?n) WHERE {
+    GRAPH <graph://tpch> {
+      ?o <placed_by> ?cust .
+      ?cust <in_nation> ?nation .
+      ?o <total_cents> ?t
+    }
+  }
+  GROUP BY ?nation
+  HAVING (AVG(?t) > 1000000)
+"""
+
+
+def sparql_avg_gate(spark, sf_dir: str) -> DataFrame:
+    return sparql_select(_order_total_quads(spark, sf_dir), GATE_AVG)
+
+
+def sparql_avg_sql() -> str:
+    return """
+      SELECT 'nation:' || c.c_nationkey AS nation,
+             AVG(CAST(FLOOR(o.o_totalprice * 100) AS BIGINT))
+               AS avg_cents,
+             CAST(COUNT(o.o_orderkey) AS BIGINT) AS n
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_nationkey
+      HAVING AVG(CAST(FLOOR(o.o_totalprice * 100) AS BIGINT)) > 1000000
+    """
 
 
 def sparql_agg_count_gate(spark, sf_dir: str) -> DataFrame:

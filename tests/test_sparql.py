@@ -1392,3 +1392,40 @@ def test_nps_in_sequence_and_with_postfix(quads):
 def test_nps_rejects_variables(quads):
     with pytest.raises(SparqlParseError, match="constant"):
         _run(quads, "SELECT ?x WHERE { ?x !(?p) ?y }")
+
+
+# --- AVG aggregate -----------------------------------------------------------
+
+
+def test_avg_aggregate(quads):
+    from pyspark.sql import functions as F
+
+    df = quads.sparkSession.createDataFrame(
+        [("a", "v", "1", "default_graph"), ("a", "v", "2", "default_graph"),
+         ("b", "v", "2", "default_graph"), ("b", "v", "x", "default_graph"),
+         ("c", "v", "nope", "default_graph")],
+        "s string, p string, o string, g string",
+    )
+    q = """
+      SELECT ?s (AVG(?o) AS ?m) WHERE { ?s <v> ?o } GROUP BY ?s
+    """
+    got = _run(df, q)
+    # non-integer lexemes are skipped (NULL); an all-error group is NULL
+    assert got == [("a", 1.5), ("b", 2.0), ("c", None)]
+    # AVG DISTINCT; HAVING over AVG with a numeric constant
+    q2 = """
+      SELECT ?s (AVG(DISTINCT ?o) AS ?m) WHERE { ?s <v> ?o }
+      GROUP BY ?s HAVING (AVG(?o) > 1)
+    """
+    assert _run(df, q2) == [("a", 1.5), ("b", 2.0)]
+    # string constant vs AVG in HAVING is rejected
+    with pytest.raises(SparqlParseError, match="integers"):
+        _run(df, 'SELECT ?s (AVG(?o) AS ?m) WHERE { ?s <v> ?o } GROUP BY ?s HAVING (AVG(?o) > "x")')
+
+
+def test_if_as_select_expression_item(quads):
+    q = """
+      SELECT ?x (IF(?t = "Person", "P", "other") AS ?k)
+      WHERE { ?x a ?t }
+    """
+    assert _run(quads, q) == [("a", "P"), ("b", "P")]
