@@ -603,6 +603,12 @@ def _q_sparql_avg(spark, sf_dir):
     return sparql_avg_gate(spark, sf_dir)
 
 
+def _q_sparql_update(spark, sf_dir):
+    from rify_spark.update import sparql_update_gate
+
+    return sparql_update_gate(spark, sf_dir)
+
+
 def _q_rdf_parse(spark, sf_dir):
     from rify_spark.rdf import rdf_nquads_parse
 
@@ -731,6 +737,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_nps": _q_sparql_nps,
         # AVG aggregate (double output, cross-engine deterministic)
         "sparql_avg": _q_sparql_avg,
+        # SPARQL UPDATE: modify + INSERT DATA + DELETE WHERE sequence
+        "sparql_update": _q_sparql_update,
         # KG construction
         "kg_extract_mentions": _q_kg_mentions,
         "kg_pipeline_derived": _q_kg_pipeline,
@@ -831,6 +839,12 @@ def _sparql_sql(fn_name: str) -> str:
     return getattr(sparql_mod, fn_name)()
 
 
+def _update_sql() -> str:
+    from rify_spark.update import sparql_update_sql
+
+    return sparql_update_sql()
+
+
 def _rdf_parse_fixture_sql() -> str:
     from rify_spark.rdf import PARSE_FIXTURE_SQL
 
@@ -901,6 +915,7 @@ def oracle_sql() -> dict[str, str]:
         "sparql_scalar_funcs": _sparql_sql("sparql_scalar_funcs_sql"),
         "sparql_nps": _sparql_sql("sparql_nps_sql"),
         "sparql_avg": _sparql_sql("sparql_avg_sql"),
+        "sparql_update": _update_sql(),
         "kg_pipeline_derived": KG_PIPELINE_SQL,
         "kg_extract_mentions": """
             SELECT DISTINCT doc_id, tok AS mention FROM (

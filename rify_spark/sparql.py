@@ -534,7 +534,8 @@ class _Parser:
         raise SparqlParseError(f"expected term, got {tok!r}")
 
     # --- grammar ---
-    def parse(self):
+    def parse_prologue(self):
+        """The PREFIX declaration block (shared by queries and updates)."""
         while self.kw("PREFIX"):
             kind, tok = self.next()
             if kind == "pname" and tok.endswith(":"):
@@ -547,6 +548,9 @@ class _Parser:
             if kind != "iri":
                 raise SparqlParseError("PREFIX needs an <iri>")
             self.prefixes[name] = iri[1:-1]
+
+    def parse(self):
+        self.parse_prologue()
         if self.kw("SELECT"):
             self.select_query()
         elif self.kw("ASK"):
@@ -2287,23 +2291,33 @@ def sparql_construct(quads: DataFrame, query: str) -> DataFrame:
     analog) and must not be possibly-unbound (OPTIONAL/partial-UNION) —
     SPARQL's skip-incomplete-triple semantics is not implemented.
     """
-    from .matcher import project_heads
-
     q = parse_select(query)
     if q.form != "CONSTRUCT":
         raise SparqlParseError("sparql_construct needs a CONSTRUCT query")
     if not q.template:
         raise SparqlParseError("empty CONSTRUCT template")
     sol = _Eval(quads).group(q.root)
+    dtype = quads.schema["s"].dataType
+    return _template_quads(sol, q.template, dtype, what="CONSTRUCT")
+
+
+def _template_quads(sol: _Sol, template: list, dtype, *, what: str):
+    """Instantiate a quad template over a solution relation through
+    :func:`matcher.project_heads` — the same code path that materializes
+    rule heads in the fixpoint (shared by CONSTRUCT and the UPDATE
+    DELETE/INSERT templates). Returns a deduplicated ``(s, p, o, g)``
+    DataFrame. Template variables must be sure-bound by the pattern."""
+    from .matcher import project_heads
+
     slot_names = sorted(sol.bound)
     slots = {n: i for i, n in enumerate(slot_names)}
     head = []
-    for quad in q.template:
+    for quad in template:
         atom = []
         for t in quad:
             if isinstance(t, Path):
                 raise SparqlParseError(
-                    "property path not allowed in a CONSTRUCT template"
+                    f"property path not allowed in a {what} template"
                 )
             if isinstance(t, Var):
                 if t.name.startswith(BNODE_PREFIX):
@@ -2311,7 +2325,7 @@ def sparql_construct(quads: DataFrame, query: str) -> DataFrame:
                     # (spec §16.2.1) — not variable semantics; refuse
                     # rather than silently instantiate the WHERE binding
                     raise SparqlParseError(
-                        "blank nodes in a CONSTRUCT template are outside "
+                        f"blank nodes in a {what} template are outside "
                         "the supported subset"
                     )
                 if t.name not in slots:
@@ -2336,7 +2350,6 @@ def sparql_construct(quads: DataFrame, query: str) -> DataFrame:
     b = sol.df.select(
         *[F.col(n).alias(f"v{i}") for n, i in slots.items()]
     )
-    dtype = quads.schema["s"].dataType
     return project_heads(b, lrule, dtype).dropDuplicates(["s", "p", "o", "g"])
 
 

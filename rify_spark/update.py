@@ -1,0 +1,323 @@
+"""SPARQL 1.1 Update subset, executed functionally over a quad DataFrame.
+
+The reference engine has no mutation API beyond ``Reasoner::insert``
+(src/reasoner.rs) — its store is an insert-only set of quads. SPARQL
+Update is the standard write surface for that data model, so this module
+completes the query front-end (sparql.py) with the update forms, mapped
+onto Spark's immutable DataFrames: ``sparql_update(store, text)`` returns
+the NEW store (``s, p, o, g``), leaving the input untouched — callers
+chain updates exactly like any other DataFrame transformation, and the
+result feeds ``infer_df`` / ``sparql_query`` / the incremental reasoner
+unchanged.
+
+Supported operations (spec §3), separated by ``;``:
+
+  * ``INSERT DATA { quads }`` / ``DELETE DATA { quads }`` — constant
+    quads, ``GRAPH <iri> { ... }`` blocks allowed (unscoped triples go
+    to the engine default graph). Plan shape: the constants broadcast;
+    DELETE DATA is a broadcast anti-join (a scan predicate — the store
+    is never shuffled) and INSERT DATA probes novelty with a broadcast
+    left-semi scan, then unions only the novel rows — zero store
+    shuffles for both.
+  * ``DELETE WHERE { pattern }`` — the pattern is matched and doubles
+    as its own delete template (spec §3.1.3.3). Triples-only pattern
+    (QuadPattern), like the spec grammar.
+  * ``[DELETE { template }] [INSERT { template }] WHERE { pattern }`` —
+    the full modify form, at least one clause. The WHERE group takes
+    the whole query-group grammar (OPTIONAL/UNION/FILTER/paths/...);
+    it is evaluated ONCE against the pre-operation store, then deletes
+    apply before inserts (spec §3.1.3) — both templates instantiate
+    through the rule engine's head projection
+    (``sparql._template_quads`` -> ``matcher.project_heads``), so an
+    UPDATE template is exactly a one-shot rule head. Template variables
+    must be sure-bound (the CONSTRUCT restriction); template blank
+    nodes stay out of subset.
+  * Graph management: ``CLEAR GRAPH <g> | DEFAULT | ALL`` (``DROP`` is
+    an alias — without empty-graph bookkeeping the two coincide, a
+    documented divergence), ``ADD | COPY | MOVE (GRAPH <g> | DEFAULT)
+    TO (GRAPH <g> | DEFAULT)`` — all pure column filters/unions, no
+    shuffle.
+
+Out of subset (raise): ``WITH``, ``USING``, ``LOAD``, ``CREATE``,
+``SILENT``, ``CLEAR NAMED``, blank nodes in DATA blocks or templates.
+
+Set semantics throughout: the store is a set of quads (the engine's
+``Reasoner::insert`` contract, reference src/reasoner.rs:33-41), so
+inserting an existing quad is a no-op and the result carries no
+duplicates (inputs are assumed deduplicated, as everywhere else in this
+package).
+
+Scale notes: each modify operation costs the pattern match (the same
+join plans as the equivalent SELECT) plus one anti-join exchange for
+the delete set and one for insert novelty; DATA and graph-management
+operations never shuffle the store. A ``;``-sequence composes lazily —
+one Catalyst plan end to end; checkpoint between operations yourself if
+you chain very many.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .rdf import DEFAULT_GRAPH
+from .sparql import (
+    Bgp,
+    Const,
+    SparqlParseError,
+    Var,
+    _Eval,
+    _Parser,
+    _template_quads,
+    _walk_patterns,
+)
+
+_COLS = ["s", "p", "o", "g"]
+
+
+# --- parsing ----------------------------------------------------------------
+
+
+def _quad_data(p: _Parser) -> list:
+    """A constant-only quad block (INSERT/DELETE DATA): every term must
+    be a constant — the spec's QuadData production (no variables; blank
+    nodes stay out of subset, matching the template rule)."""
+    grp = p.group_node(Const(DEFAULT_GRAPH), allow_filter=False)
+    if grp.filters or any(not isinstance(e, Bgp) for e in grp.elems):
+        raise SparqlParseError("DATA blocks take plain quads")
+    quads = [q for e in grp.elems for q in e.patterns]
+    for quad in quads:
+        for t in quad:
+            if not isinstance(t, Const):
+                raise SparqlParseError(
+                    "INSERT/DELETE DATA takes constant quads "
+                    "(no variables or blank nodes)"
+                )
+    return [tuple(t.value for t in q) for q in quads]
+
+
+def _template(p: _Parser) -> list:
+    """A DELETE/INSERT template block: plain (possibly GRAPH-scoped)
+    triples; variable binding is checked at instantiation time."""
+    grp = p.group_node(Const(DEFAULT_GRAPH), allow_filter=False)
+    if grp.filters or any(not isinstance(e, Bgp) for e in grp.elems):
+        raise SparqlParseError("UPDATE templates take plain triples")
+    return [q for e in grp.elems for q in e.patterns]
+
+
+def _graph_ref(p: _Parser) -> str | None:
+    """``GRAPH <iri>`` or ``DEFAULT`` -> graph name (DEFAULT -> the
+    engine default graph); ``ALL`` -> None (every graph)."""
+    if p.kw("DEFAULT"):
+        return DEFAULT_GRAPH
+    if p.kw("ALL"):
+        return None
+    p.expect("GRAPH")
+    t = p.term()
+    if not isinstance(t, Const):
+        raise SparqlParseError("graph management needs a constant graph")
+    return t.value
+
+
+def parse_update(text: str) -> list:
+    """Parse an update string into a list of operation tuples."""
+    p = _Parser(text)
+    p.parse_prologue()
+    ops: list = []
+    while True:
+        kind, tok = p.peek()
+        if kind != "kw":
+            raise SparqlParseError(f"expected an update operation, got {tok!r}")
+        word = tok.upper()
+        if word in ("WITH", "USING", "LOAD", "CREATE", "SILENT"):
+            raise SparqlParseError(f"{word} is outside the UPDATE subset")
+        if word == "INSERT":
+            p.next()
+            if p.kw("DATA"):
+                ops.append(("insert_data", _quad_data(p)))
+            else:
+                tmpl = _template(p)
+                p.expect("WHERE")
+                ops.append(
+                    ("modify", None, tmpl, p.group_node(Const(DEFAULT_GRAPH)))
+                )
+        elif word == "DELETE":
+            p.next()
+            if p.kw("DATA"):
+                ops.append(("delete_data", _quad_data(p)))
+            elif p.kw("WHERE"):
+                # the pattern doubles as its own delete template
+                grp = p.group_node(
+                    Const(DEFAULT_GRAPH), allow_filter=False
+                )
+                if grp.filters or any(
+                    not isinstance(e, Bgp) for e in grp.elems
+                ):
+                    raise SparqlParseError(
+                        "DELETE WHERE takes a plain quad pattern"
+                    )
+                tmpl = _walk_patterns(grp)
+                ops.append(("modify", tmpl, None, grp))
+            else:
+                dtmpl = _template(p)
+                itmpl = None
+                if p.kw("INSERT"):
+                    itmpl = _template(p)
+                p.expect("WHERE")
+                ops.append(
+                    (
+                        "modify",
+                        dtmpl,
+                        itmpl,
+                        p.group_node(Const(DEFAULT_GRAPH)),
+                    )
+                )
+        elif word in ("CLEAR", "DROP"):
+            p.next()
+            ops.append(("clear", _graph_ref(p)))
+        elif word in ("ADD", "COPY", "MOVE"):
+            p.next()
+            src = _graph_ref(p)
+            p.expect("TO")
+            dst = _graph_ref(p)
+            if src is None or dst is None:
+                raise SparqlParseError(f"{word} needs two specific graphs")
+            ops.append((word.lower(), src, dst))
+        else:
+            raise SparqlParseError(f"unknown update operation {tok!r}")
+        if p.peek() == ("op", ";"):
+            p.next()
+            if p.peek()[0] == "eof":
+                break
+            continue
+        break
+    if p.peek()[0] != "eof":
+        raise SparqlParseError(f"trailing input at {p.peek()[1]!r}")
+    return ops
+
+
+# --- execution --------------------------------------------------------------
+
+
+def _const_df(store: DataFrame, rows: list) -> DataFrame:
+    # constants dedupe driver-side: the DATA plans stay exchange-free
+    return store.sparkSession.createDataFrame(
+        list(dict.fromkeys(rows)), "s string, p string, o string, g string"
+    )
+
+
+def _union_novel(store: DataFrame, ins: DataFrame, *, tiny: bool) -> DataFrame:
+    """store ∪ ins under set semantics. ``tiny`` inserts (DATA constants)
+    broadcast: novelty is a broadcast left-semi probe of the store (scan,
+    no shuffle) and the union appends only novel rows. Derived inserts
+    use a plain anti-join (AQE picks the strategy from runtime sizes)."""
+    if tiny:
+        hits = {
+            tuple(r)
+            for r in store.join(
+                F.broadcast(ins), _COLS, "left_semi"
+            ).collect()
+        }
+        novel = [tuple(r) for r in ins.collect() if tuple(r) not in hits]
+        if not novel:
+            return store
+        return store.unionByName(_const_df(store, novel))
+    return store.unionByName(ins.join(store, _COLS, "left_anti"))
+
+
+def sparql_update(store: DataFrame, update: str) -> DataFrame:
+    """Apply a SPARQL Update string to a quad store; returns the NEW
+    store DataFrame (the input is untouched — Spark-functional update).
+    Operations in a ``;``-sequence apply left to right, each seeing the
+    previous result (spec §3.1: a sequence of operations on the graph
+    store)."""
+    dtype = store.schema["s"].dataType
+    cur = store.select(*_COLS)
+    for op in parse_update(update):
+        if op[0] == "insert_data":
+            ins = _const_df(cur, op[1])
+            cur = _union_novel(cur, ins, tiny=True)
+        elif op[0] == "delete_data":
+            dels = _const_df(cur, op[1])
+            cur = cur.join(F.broadcast(dels), _COLS, "left_anti")
+        elif op[0] == "modify":
+            _, dtmpl, itmpl, root = op
+            # the WHERE matches ONCE against the pre-operation store;
+            # deletes apply before inserts (spec §3.1.3)
+            sol = _Eval(cur).group(root)
+            if dtmpl:
+                dels = _template_quads(sol, dtmpl, dtype, what="DELETE")
+                nxt = cur.join(dels, _COLS, "left_anti")
+            else:
+                nxt = cur
+            if itmpl:
+                ins = _template_quads(sol, itmpl, dtype, what="INSERT")
+                nxt = _union_novel(nxt, ins, tiny=False)
+            cur = nxt
+        elif op[0] == "clear":
+            g = op[1]
+            cur = cur.filter(F.col("g") != g) if g is not None else cur.limit(0)
+        else:
+            verb, src, dst = op
+            if src == dst:
+                continue  # spec: same-graph ADD/COPY/MOVE is a no-op
+            moved = cur.filter(F.col("g") == src).withColumn(
+                "g", F.lit(dst)
+            )
+            if verb == "add":
+                base = cur
+            elif verb == "copy":
+                base = cur.filter(F.col("g") != dst)
+            else:  # move
+                base = cur.filter(
+                    (F.col("g") != dst) & (F.col("g") != src)
+                )
+            cur = _union_novel(base, moved, tiny=False)
+    return cur
+
+
+# --- driver-gate query -------------------------------------------------------
+
+# a three-operation sequence: a modify (predicate rename into a derived
+# graph, region-0 slice), a constant insert, and a DELETE WHERE — the
+# final store is closed-form in SQL
+GATE_UPDATE = """
+  DELETE { GRAPH <graph://tpch> { ?c <in_nation> ?n } }
+  INSERT { GRAPH <graph://derived> { ?c <member_of> ?n } }
+  WHERE { GRAPH <graph://tpch> {
+    ?c <in_nation> ?n . ?n <in_region> <region:0>
+  } } ;
+  INSERT DATA { GRAPH <graph://derived> {
+    <admin:root> <member_of> <nation:manual>
+  } } ;
+  DELETE WHERE { GRAPH <graph://tpch> { <order:1> <placed_by> ?c } }
+"""
+
+
+def sparql_update_gate(spark, sf_dir: str) -> DataFrame:
+    from .ops.quads import tpch_quads
+
+    return sparql_update(tpch_quads(spark, sf_dir), GATE_UPDATE)
+
+
+def sparql_update_sql() -> str:
+    return """
+      SELECT 'order:' || o_orderkey AS s, 'placed_by' AS p,
+             'cust:' || o_custkey AS o, 'graph://tpch' AS g
+      FROM orders WHERE o_orderkey <> 1
+      UNION ALL
+      SELECT 'cust:' || c_custkey, 'in_nation',
+             'nation:' || c_nationkey, 'graph://tpch'
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+      WHERE n_regionkey <> 0
+      UNION ALL
+      SELECT 'nation:' || n_nationkey, 'in_region',
+             'region:' || n_regionkey, 'graph://tpch' FROM nation
+      UNION ALL
+      SELECT DISTINCT 'cust:' || c_custkey, 'member_of',
+             'nation:' || c_nationkey, 'graph://derived'
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+      WHERE n_regionkey = 0
+      UNION ALL
+      SELECT 'admin:root', 'member_of', 'nation:manual', 'graph://derived'
+    """

@@ -1,0 +1,174 @@
+"""SPARQL Update subset: the functional store-in/store-out contract,
+delete-before-insert semantics, graph management, plan shapes, and the
+documented error contract."""
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from rify_spark.rdf import DEFAULT_GRAPH as G  # noqa: E402
+from rify_spark.sparql import SparqlParseError  # noqa: E402
+from rify_spark.update import parse_update, sparql_update  # noqa: E402
+
+BASE = [
+    ("a", "knows", "b", G),
+    ("b", "knows", "c", G),
+    ("a", "age", "3", G),
+    ("x", "p", "y", "g2"),
+]
+
+
+@pytest.fixture(scope="module")
+def store(spark):
+    return spark.createDataFrame(
+        BASE, "s string, p string, o string, g string"
+    )
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_insert_data_set_semantics_and_graph_blocks(store):
+    out = sparql_update(
+        store,
+        'INSERT DATA { <a> <knows> <b> . <new> <q> "v" . '
+        "GRAPH <g2> { <n> <p> <m> } }",
+    )
+    got = _rows(out)
+    # the duplicate quad is a no-op; two novel quads appended
+    assert len(got) == len(BASE) + 2
+    assert ("new", "q", "v", G) in got and ("n", "p", "m", "g2") in got
+    # functional: the input store is untouched
+    assert _rows(store) == sorted(BASE)
+
+
+def test_delete_data_exact_matches_only(store):
+    out = sparql_update(
+        store, 'DELETE DATA { <a> <age> "3" . <zz> <q> <ww> }'
+    )
+    got = _rows(out)
+    assert ("a", "age", "3", G) not in got and len(got) == len(BASE) - 1
+    # graph slot matters: same triple in another graph is not touched
+    out = sparql_update(store, "DELETE DATA { GRAPH <g9> { <a> <age> \"3\" } }")
+    assert len(_rows(out)) == len(BASE)
+
+
+def test_delete_where_pattern_is_its_own_template(store):
+    out = sparql_update(store, "DELETE WHERE { ?x <knows> ?y }")
+    assert _rows(out) == [("a", "age", "3", G), ("x", "p", "y", "g2")]
+    # variable graph sweeps all graphs
+    out = sparql_update(store, "DELETE WHERE { GRAPH ?g { ?x ?p ?y } }")
+    assert _rows(out) == []
+
+
+def test_modify_delete_before_insert_single_match(store):
+    out = sparql_update(
+        store,
+        "DELETE { ?x <knows> ?y } "
+        "INSERT { GRAPH <new> { ?x <met> ?y } } "
+        'WHERE { ?x <knows> ?y FILTER (?x != "b") }',
+    )
+    got = _rows(out)
+    assert ("a", "knows", "b", G) not in got
+    assert ("a", "met", "b", "new") in got
+    assert ("b", "knows", "c", G) in got  # filtered out of the match
+
+
+def test_modify_insert_only_and_delete_only(store):
+    out = sparql_update(
+        store, "INSERT { ?y <known_by> ?x } WHERE { ?x <knows> ?y }"
+    )
+    got = _rows(out)
+    assert ("b", "known_by", "a", G) in got and ("c", "known_by", "b", G) in got
+    out = sparql_update(
+        store, 'DELETE { ?x <age> "3" } WHERE { ?x <knows> ?y }'
+    )
+    assert ("a", "age", "3", G) not in _rows(out)
+
+
+def test_where_matches_pre_operation_store_once(store):
+    # the insert template writes quads the WHERE would match — they must
+    # NOT feed back within the same operation (single evaluation)
+    out = sparql_update(
+        store, "INSERT { ?y <knows> ?x } WHERE { ?x <knows> ?y }"
+    )
+    got = _rows(out)
+    assert ("b", "knows", "a", G) in got and ("c", "knows", "b", G) in got
+    # a->b reversed to b->a, but b->a was NOT re-reversed to a->b twice:
+    # count only the original 4 + 2 new
+    assert len(got) == len(BASE) + 2
+
+
+def test_sequence_applies_left_to_right(store):
+    out = sparql_update(
+        store,
+        'INSERT DATA { <s1> <q> "1" } ; '
+        'DELETE WHERE { ?x <q> "1" } ; '
+        'INSERT DATA { <s2> <q> "2" }',
+    )
+    got = _rows(out)
+    assert ("s1", "q", "1", G) not in got and ("s2", "q", "2", G) in got
+
+
+def test_graph_management(store):
+    out = sparql_update(store, "COPY DEFAULT TO GRAPH <bak>")
+    got = _rows(out)
+    assert ("a", "knows", "b", "bak") in got and ("a", "knows", "b", G) in got
+    # COPY clears the target first
+    out = sparql_update(store, "COPY GRAPH <g2> TO DEFAULT")
+    assert _rows(out) == [("x", "p", "y", G), ("x", "p", "y", "g2")]
+    # MOVE removes the source; ADD keeps both and dedups
+    # MOVE clears the destination graph first (spec §3.2.5), then moves
+    out = sparql_update(store, "MOVE DEFAULT TO GRAPH <g2>")
+    got = _rows(out)
+    assert all(g == "g2" for *_xs, g in got) and len(got) == 3
+    assert ("x", "p", "y", "g2") not in got
+    out = sparql_update(
+        store, "ADD GRAPH <g2> TO GRAPH <g2>"
+    )  # same graph: spec no-op
+    assert _rows(out) == sorted(BASE)
+    out = sparql_update(store, "CLEAR GRAPH <g2>")
+    assert _rows(out) == sorted(q for q in BASE if q[3] != "g2")
+    out = sparql_update(store, "DROP ALL")
+    assert _rows(out) == []
+
+
+def test_data_ops_never_shuffle_the_store(store):
+    # the 100-TB contract: INSERT/DELETE DATA are broadcast probes of the
+    # store — no Exchange over the store side of the plan
+    out = sparql_update(store, 'DELETE DATA { <a> <age> "3" }')
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "Exchange hashpartitioning" not in plan
+    out = sparql_update(store, "INSERT DATA { <n1> <p> <n2> }")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in plan
+
+
+def test_update_error_contract(store):
+    for bad in [
+        "INSERT DATA { ?x <p> <o> }",  # variable in DATA
+        "DELETE DATA { [] <p> <o> }",  # bnode in DATA
+        "INSERT { ?x <p> ?y } WHERE { ?x <q> ?z } ",  # unbound template var
+        "DELETE { ?x <p> _:b } WHERE { ?x <p> ?y }",  # bnode in template
+        "WITH <g> DELETE { ?x <p> ?y } WHERE { ?x <p> ?y }",  # WITH
+        "LOAD <file:x>",  # LOAD
+        "ADD ALL TO DEFAULT",  # ALL where a graph is needed
+        "CLEAR",  # missing graph ref
+        "SELECT ?x WHERE { ?x <p> ?y }",  # a query, not an update
+        "DELETE WHERE { ?x <p> ?y FILTER (?x = \"a\") }",  # FILTER in pattern
+    ]:
+        with pytest.raises(SparqlParseError):
+            sparql_update(store, bad)
+
+
+def test_parse_update_shapes():
+    ops = parse_update(
+        "PREFIX : <base/> INSERT DATA { :s :p :o } ; CLEAR DEFAULT"
+    )
+    assert ops[0] == ("insert_data", [("base/s", "base/p", "base/o", G)])
+    assert ops[1] == ("clear", G)
