@@ -30,8 +30,13 @@ Supported subset (documented contract, errors otherwise):
     nondistinguished variables (spec §4.1.4): they join like variables
     (one query-wide scope for a label; each ``[]`` is fresh) but are
     never projected by ``SELECT *`` and cannot be selected, filtered,
-    or used outside triple patterns (``[ p o ]`` property lists and
-    CONSTRUCT-template bnodes stay out of subset);
+    or used outside triple patterns; ``[ p o ; p2 o2, o3 ]`` property
+    lists (spec §4.2.1 sugar, nestable, standalone-subject form
+    included) expand to triples on a fresh anonymous node; blank nodes
+    in a CONSTRUCT template mint ONE FRESH NODE PER SOLUTION
+    (spec §16.2.1) as a deterministic md5 of the solution's bindings
+    (duplicate solutions coincide — consistent with the set-semantics
+    store), and a template label may not also appear in WHERE;
   * ``GRAPH ?g { ... }`` / ``GRAPH <iri> { ... }`` — the 4th quad slot;
     patterns outside GRAPH match the engine's default graph
     (``rdf.DEFAULT_GRAPH``);
@@ -440,6 +445,7 @@ class _Parser:
         self.template: list = []  # CONSTRUCT head quads
         self.described: list = []  # DESCRIBE resources (Var | Const)
         self._bn_anon = 0  # anonymous blank-node counter ([])
+        self._pending: list = []  # [ p o ] property-list inner triples
         self.select: list | None = None  # None == SELECT *
         self.projection: list = []  # ("var", name) | Agg — SELECT order
         self.group_by: list = []  # variable names
@@ -519,16 +525,37 @@ class _Parser:
                 raise SparqlParseError(f"undeclared prefix {pfx!r}")
             return Const(self.prefixes[pfx] + local)
         if kind == "op" and tok == "[":
-            # anonymous blank node [] (the bare form only; [ p o ]
-            # property lists stay out of subset)
+            # anonymous blank node: bare [] or a [ p o ; p2 o2 ] property
+            # list (spec §4.2.1 sugar) — the list's inner triples are
+            # buffered and flushed by the enclosing triples_block with
+            # its graph scope
             if not allow_bnode:
                 raise SparqlParseError(
                     "blank nodes are only allowed in triple "
                     "subject/object positions"
                 )
-            self.expect("]")
             self._bn_anon += 1
-            return Var(f"{BNODE_PREFIX}anon{self._bn_anon}")
+            node = Var(f"{BNODE_PREFIX}anon{self._bn_anon}")
+            if self.peek() == ("op", "]"):
+                self.next()
+                return node
+            while True:
+                p = self.path_or_pred()
+                while True:
+                    o = self.term(allow_bnode=True)
+                    self._pending.append((node, p, o))
+                    if self.peek() == ("op", ","):
+                        self.next()
+                        continue
+                    break
+                if self.peek() == ("op", ";"):
+                    self.next()
+                    if self.peek() == ("op", "]"):  # trailing ';'
+                        break
+                    continue
+                break
+            self.expect("]")
+            return node
         if kind == "kw" and tok == "a":
             return Const(RDF_TYPE)
         raise SparqlParseError(f"expected term, got {tok!r}")
@@ -893,7 +920,26 @@ class _Parser:
         return (is_inv, t.value)
 
     def triples_block(self, graph, into):
+        def flush():
+            # property-list triples buffered by term() join this block
+            # under its graph scope
+            into.extend((a, b, c, graph) for a, b, c in self._pending)
+            self._pending.clear()
+
         s = self.term(allow_bnode=True)
+        kind, tok = self.peek()
+        if (
+            isinstance(s, Var)
+            and s.name.startswith(BNODE_PREFIX)
+            and self._pending
+            and kind == "op"
+            and tok in "}."
+        ):
+            # standalone property-list subject: [ p o ] .
+            flush()
+            if tok == ".":
+                self.next()
+            return
         while True:
             p = self.path_or_pred()
             while True:
@@ -916,6 +962,7 @@ class _Parser:
         kind, tok = self.peek()
         if kind == "op" and tok == ".":
             self.next()
+        flush()
 
     def values_block(self) -> ValuesBlock:
         """``VALUES ?x { t... }`` or ``VALUES (?x ?y) { (t t) ... }``;
@@ -2306,9 +2353,54 @@ def _template_quads(sol: _Sol, template: list, dtype, *, what: str):
     :func:`matcher.project_heads` — the same code path that materializes
     rule heads in the fixpoint (shared by CONSTRUCT and the UPDATE
     DELETE/INSERT templates). Returns a deduplicated ``(s, p, o, g)``
-    DataFrame. Template variables must be sure-bound by the pattern."""
+    DataFrame. Template variables must be sure-bound by the pattern.
+
+    CONSTRUCT templates may contain blank nodes (``_:label`` / ``[]``):
+    each label mints one fresh node PER SOLUTION (spec §16.2.1) as
+    ``"_:" + md5(label, bindings)`` — a deterministic function of the
+    solution's bindings, so duplicate solutions coincide (consistent
+    with the engine's set-semantics store, where the duplicate quads
+    would collapse anyway) and the DuckDB twin can reproduce the exact
+    labels. A template label that also appears in the WHERE pattern is
+    rejected (the scopes are disjoint in the spec; sharing would be
+    ambiguous). UPDATE templates reject blank nodes (spec §3.1.3.2
+    forbids them in DELETE; kept symmetric for INSERT)."""
     from .matcher import project_heads
 
+    if what == "CONSTRUCT":
+        tmpl_bnodes = sorted(
+            {
+                t.name
+                for quad in template
+                for t in quad
+                if isinstance(t, Var) and t.name.startswith(BNODE_PREFIX)
+            }
+        )
+        if tmpl_bnodes:
+            clash = [n for n in tmpl_bnodes if n in sol.bound]
+            if clash:
+                raise SparqlParseError(
+                    "a CONSTRUCT-template blank-node label may not also "
+                    f"appear in WHERE: _:{clash[0][len(BNODE_PREFIX):]}"
+                )
+            basis = [
+                F.coalesce(F.col(n), F.lit("\x00"))
+                for n in sorted(sol.bound)
+            ]
+            df = sol.df
+            for n in tmpl_bnodes:
+                df = df.withColumn(
+                    n,
+                    F.concat(
+                        F.lit("_:"),
+                        F.md5(
+                            F.concat_ws("\x1f", F.lit(n), *basis).cast(
+                                "binary"
+                            )
+                        ),
+                    ),
+                )
+            sol = _Sol(df, sol.bound | set(tmpl_bnodes), set(sol.maybe))
     slot_names = sorted(sol.bound)
     slots = {n: i for i, n in enumerate(slot_names)}
     head = []
@@ -2320,10 +2412,13 @@ def _template_quads(sol: _Sol, template: list, dtype, *, what: str):
                     f"property path not allowed in a {what} template"
                 )
             if isinstance(t, Var):
-                if t.name.startswith(BNODE_PREFIX):
-                    # a template bnode means fresh-per-solution labels
-                    # (spec §16.2.1) — not variable semantics; refuse
-                    # rather than silently instantiate the WHERE binding
+                if (
+                    t.name.startswith(BNODE_PREFIX)
+                    and t.name not in slots
+                ):
+                    # UPDATE templates: fresh-per-solution labels stay
+                    # out of subset (and DELETE forbids them, spec
+                    # §3.1.3.2); CONSTRUCT labels were minted above
                     raise SparqlParseError(
                         f"blank nodes in a {what} template are outside "
                         "the supported subset"
@@ -3071,6 +3166,35 @@ def sparql_nps_sql() -> str:
         SELECT 'nation:' || c_nationkey, 'cust:' || c_custkey
         FROM customer
       )
+    """
+
+
+# CONSTRUCT-template blank nodes: _:e mints one fresh node per solution
+# (deterministic md5 of the bindings — the SQL twin reproduces it exactly)
+GATE_CONSTRUCT_BNODE = """
+  CONSTRUCT { ?c <linked_via> _:e . _:e <to> ?n }
+  WHERE { GRAPH <graph://tpch> { ?c <in_nation> ?n } }
+"""
+
+
+def sparql_construct_bnode_gate(spark, sf_dir: str) -> DataFrame:
+    from .ops.quads import tpch_quads
+
+    return sparql_construct(tpch_quads(spark, sf_dir), GATE_CONSTRUCT_BNODE)
+
+
+def sparql_construct_bnode_sql() -> str:
+    return """
+      WITH sol AS (
+        SELECT 'cust:' || c_custkey AS c, 'nation:' || c_nationkey AS n,
+               '_:' || md5('__bn_e' || chr(31) || 'cust:' || c_custkey
+                           || chr(31) || 'nation:' || c_nationkey) AS e
+        FROM customer
+      )
+      SELECT c AS s, 'linked_via' AS p, e AS o, 'default_graph' AS g
+      FROM sol
+      UNION ALL
+      SELECT DISTINCT e, 'to', n, 'default_graph' FROM sol
     """
 
 

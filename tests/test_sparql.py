@@ -1249,7 +1249,9 @@ def test_blank_nodes_rejected_outside_triple_positions(quads):
         _run(quads, "SELECT ?__bn_m WHERE { ?x <knows> ?__bn_m }")
     from rify_spark.sparql import sparql_construct
 
-    with pytest.raises(SparqlParseError, match="blank nodes"):
+    # a template bnode label may not ALSO appear in the WHERE pattern
+    # (template-only bnodes mint fresh nodes — see test below)
+    with pytest.raises(SparqlParseError, match="may not also appear"):
         sparql_construct(
             quads,
             "CONSTRUCT { ?x <p> _:n } WHERE { GRAPH <g1> { ?x <knows> _:n } }",
@@ -1430,3 +1432,72 @@ def test_if_as_select_expression_item(quads):
       WHERE { ?x a ?t }
     """
     assert _run(quads, q) == [("a", "P"), ("b", "P")]
+
+
+
+# --- property-list sugar and CONSTRUCT-template blank nodes -----------------
+
+
+def test_property_list_sugar(spark):
+    from rify_spark.rdf import DEFAULT_GRAPH as DG
+
+    df = spark.createDataFrame(
+        [("a", "knows", "b", DG), ("b", "age", "7", DG),
+         ("b", "name", "bob", DG), ("c", "age", "7", DG),
+         ("c", "name", "carl", DG), ("a", "age", "2", DG)],
+        "s string, p string, o string, g string",
+    )
+    # object position, two predicates joined on the same fresh bnode
+    q = 'SELECT ?x WHERE { ?x <knows> [ <age> "7" ; <name> "bob" ] }'
+    assert _run(df, q) == [("a",)]
+    # standalone subject form with a trailing dot
+    q2 = "SELECT ?n WHERE { [ <age> \"7\" ; <name> ?n ] . }"
+    assert _run(df, q2) == [("bob",), ("carl",)]
+    # nested: [] inside a property list is a fresh wildcard
+    q3 = "SELECT ?x WHERE { ?x <knows> [ <age> [ ] ] }"
+    assert _run(df, q3) == [("a",)]
+    # object lists inside a property list
+    q4 = 'SELECT ?x WHERE { ?x <knows> [ <age> "7" , "7" ] }'
+    assert _run(df, q4) == [("a",)]
+
+
+def test_construct_template_bnodes_fresh_per_solution(quads):
+    import hashlib
+
+    from rify_spark.sparql import sparql_construct
+
+    q = """
+      CONSTRUCT { ?x <via> _:e . _:e <to> ?z }
+      WHERE { GRAPH <g1> { ?x <knows> ?z } }
+    """
+    got = sorted(tuple(r) for r in sparql_construct(quads, q).collect())
+
+    def bn(x, z):
+        basis = "__bn_e\x1f%s\x1f%s" % (x, z)
+        return "_:" + hashlib.md5(basis.encode()).hexdigest()
+
+    exp = sorted(
+        [
+            ("a", "via", bn("a", "b"), "default_graph"),
+            (bn("a", "b"), "to", "b", "default_graph"),
+            ("b", "via", bn("b", "c"), "default_graph"),
+            (bn("b", "c"), "to", "c", "default_graph"),
+        ]
+    )
+    # one fresh node per solution, shared across the label's occurrences
+    assert got == exp
+    # anonymous [] in a template also mints per solution
+    q2 = "CONSTRUCT { ?x <has> [] } WHERE { GRAPH <g1> { ?x <knows> ?z } }"
+    rows = sparql_construct(quads, q2).collect()
+    assert len({r.o for r in rows}) == 2  # distinct solutions, distinct nodes
+
+
+def test_update_templates_still_reject_bnodes(spark):
+    from rify_spark.rdf import DEFAULT_GRAPH as DG
+    from rify_spark.update import sparql_update
+
+    df = spark.createDataFrame(
+        [("a", "p", "b", DG)], "s string, p string, o string, g string"
+    )
+    with pytest.raises(SparqlParseError, match="outside the"):
+        sparql_update(df, "INSERT { ?x <q> _:n } WHERE { ?x <p> ?y }")
