@@ -141,8 +141,13 @@ compatible with any value; the merged solution takes the bound one) —
 see ``_Eval._compat_join`` for the plan shapes. The one remaining
 restriction (raises rather than silently approximating): a
 possibly-unbound variable cannot instantiate a CONSTRUCT template.
-Also not supported: aggregate expressions over anything but a single
-variable. ``AVG`` casts lexemes to BIGINT and yields a DOUBLE column
+Aggregate arguments may be any scalar expression from the BIND
+grammar (``SUM(?a - ?b)``, ``COUNT(DISTINCT CONCAT(?x, ?y))``,
+``MIN(STRLEN(?v))`` ...) — the expression evaluates per input row
+under the same error-semantics (an errored/unbound row contributes
+NULL and is skipped, spec §18.5.1's skip-the-errors), and a HAVING
+aggregate whose expression matches a selected one reuses its column.
+``AVG`` casts lexemes to BIGINT and yields a DOUBLE column
 (exact integral sum, one IEEE division — deterministic and equal to the
 SQL twin's ``AVG(TRY_CAST(v AS BIGINT))``).
 """
@@ -238,16 +243,23 @@ class Agg:
     FUNC(...) half of a HAVING comparison (``alias`` is None there)."""
 
     func: str  # COUNT | SUM | MIN | MAX | SAMPLE | GROUP_CONCAT
-    var: str | None  # None == COUNT(*)
+    var: str | None  # None == COUNT(*) or an expression argument
     distinct: bool
     alias: str | None
     sep: str | None = None  # GROUP_CONCAT separator (default " ")
+    expr: object | None = None  # scalar-expression argument (BIND grammar)
 
     @property
     def key(self):
         """Identity of the computed aggregate, ignoring the alias — a
-        HAVING aggregate that matches a selected one reuses its column."""
-        return (self.func, self.var, self.distinct, self.sep)
+        HAVING aggregate that matches a selected one reuses its column.
+        An expression argument identifies by its AST repr (frozen
+        dataclasses — deterministic, and EIf conditions need not be
+        hashable)."""
+        return (
+            self.func, self.var, self.distinct, self.sep,
+            repr(self.expr) if self.expr is not None else None,
+        )
 
 
 @dataclass(frozen=True)
@@ -680,7 +692,7 @@ class _Parser:
                     self.projection.append(
                         Agg(
                             item.func, item.var, item.distinct,
-                            alias, item.sep,
+                            alias, item.sep, item.expr,
                         )
                         if is_agg
                         else ("expr", alias, item)
@@ -1216,10 +1228,11 @@ class _Parser:
     }
 
     def agg_expr(self) -> Agg:
-        """``FUNC([DISTINCT] ?v)`` or ``COUNT([DISTINCT] *)`` — the
-        single-variable aggregate subset (no expressions under the
-        aggregate; alias filled in by the caller). GROUP_CONCAT takes an
-        optional ``; SEPARATOR = "..."``."""
+        """``FUNC([DISTINCT] expr)`` or ``COUNT([DISTINCT] *)`` — the
+        argument is any scalar expression from the BIND grammar (a plain
+        variable keeps the var fast path; alias filled in by the
+        caller). GROUP_CONCAT takes an optional ``; SEPARATOR =
+        "..."``."""
         kind, tok = self.next()
         func = tok.upper()
         if kind != "kw" or func not in self._AGG_FUNCS:
@@ -1230,17 +1243,20 @@ class _Parser:
         self.expect("(")
         distinct = self.kw("DISTINCT")
         kind, tok = self.peek()
+        expr = None
         if kind == "op" and tok == "*":
             self.next()
             if func != "COUNT":
                 raise SparqlParseError(f"{func}(*) is not an aggregate")
             var = None
-        elif kind == "var":
-            var = self.next()[1][1:]
         else:
-            raise SparqlParseError(
-                f"aggregate argument must be ?var or *, got {tok!r}"
-            )
+            # any scalar expression (the BIND grammar); a plain variable
+            # keeps the var fast path (and the legacy HAVING-reuse key)
+            e = self.scalar_expr()
+            if isinstance(e, Var):
+                var = e.name
+            else:
+                var, expr = None, e
         sep = None
         kind, tok = self.peek()
         if kind == "op" and tok == ";":
@@ -1261,7 +1277,7 @@ class _Parser:
         self.expect(")")
         if func == "GROUP_CONCAT" and sep is None:
             sep = " "  # the SPARQL default separator
-        return Agg(func, var, distinct, None, sep)
+        return Agg(func, var, distinct, None, sep, expr)
 
     def modifiers(self):
         if self.kw("GROUP"):
@@ -2119,19 +2135,27 @@ def _agg_column(agg: Agg, sol: _Sol, name: str):
         raise SparqlParseError(
             f"aggregate variable ?{agg.var} not bound in the pattern"
         )
+    # the aggregated value: a bound variable's column, or a compiled
+    # scalar expression (the BIND grammar — an errored/unbound row
+    # contributes NULL and is skipped, SPARQL's skip-the-errors)
+    val = (
+        _scalar_column(agg.expr, sol.bound, sol.maybe)[0]
+        if agg.expr is not None
+        else (F.col(agg.var) if agg.var is not None else None)
+    )
     if agg.func == "COUNT":
-        if agg.var is None:
+        if val is None:
             if agg.distinct:
                 cols = [F.col(v) for v in sorted(sol.bound)]
                 return F.count_distinct(*cols).alias(name)
             return F.count(F.lit(1)).alias(name)
         if agg.distinct:
-            return F.count_distinct(F.col(agg.var)).alias(name)
-        return F.count(F.col(agg.var)).alias(name)
+            return F.count_distinct(val).alias(name)
+        return F.count(val).alias(name)
     if agg.func == "SUM":
         # try_cast, not cast: ANSI mode would throw on a non-numeric
         # lexeme; the contract is NULL -> skipped (TRY_CAST in the twin)
-        c = F.col(agg.var).try_cast("long")
+        c = val.try_cast("long")
         e = F.sum_distinct(c) if agg.distinct else F.sum(c)
         return e.alias(name)
     if agg.func == "AVG":
@@ -2143,24 +2167,28 @@ def _agg_column(agg: Agg, sol: _Sol, name: str):
         # bit-for-bit (verified at sf0.01/sf1 scales; beyond |sum| ~ 9e15
         # the two could diverge in the last ulp). SQL twin:
         # AVG([DISTINCT] TRY_CAST(v AS BIGINT)).
+        c = val.try_cast("long")
         if agg.distinct:
-            return F.expr(
-                f"avg(DISTINCT try_cast(`{agg.var}` AS BIGINT))"
+            # AVG(DISTINCT x) == SUM(DISTINCT x) / COUNT(DISTINCT x) —
+            # exact integral sum below 2^53, one IEEE division (the same
+            # determinism argument as the plain-AVG comment above)
+            return (
+                F.sum_distinct(c).cast("double")
+                / F.count_distinct(c)
             ).alias(name)
-        return F.avg(F.col(agg.var).try_cast("long")).alias(name)
+        return F.avg(c).alias(name)
     if agg.func == "GROUP_CONCAT":
         # deterministic: values sorted before joining (SPARQL leaves the
         # order unspecified; the SQL twin is string_agg(.. ORDER BY ..));
         # an all-null group yields NULL, matching string_agg
-        c = F.col(agg.var)
-        arr = F.collect_set(c) if agg.distinct else F.collect_list(c)
+        arr = F.collect_set(val) if agg.distinct else F.collect_list(val)
         joined = F.array_join(F.array_sort(arr), agg.sep)
-        return F.when(F.count(c) > 0, joined).alias(name)
+        return F.when(F.count(val) > 0, joined).alias(name)
     # MIN/MAX compare lexicographically; SAMPLE must pick SOME value and
     # picking the minimum keeps it deterministic (and SQL-twinnable).
     # DISTINCT is a no-op on extrema.
     fn = F.max if agg.func == "MAX" else F.min
-    return fn(F.col(agg.var)).alias(name)
+    return fn(val).alias(name)
 
 
 def _aggregate(sol: _Sol, q: _Parser) -> DataFrame:
@@ -3195,6 +3223,46 @@ def sparql_construct_bnode_sql() -> str:
       FROM sol
       UNION ALL
       SELECT DISTINCT e, 'to', n, 'default_graph' FROM sol
+    """
+
+
+# aggregate arguments as scalar expressions: SUM over arithmetic,
+# COUNT(DISTINCT CONCAT(...)), MIN(STRLEN(...)) — all per-row expression
+# evaluation under one partial-aggregating shuffle; HAVING reuses the
+# selected SUM's column (same expression key)
+GATE_AGG_EXPR = """
+  SELECT ?nation (SUM(?t - 1000000) AS ?excess)
+         (COUNT(DISTINCT CONCAT(?cust, "#", ?nation)) AS ?nc)
+         (MIN(STRLEN(?t)) AS ?minlen)
+  WHERE {
+    GRAPH <graph://tpch> {
+      ?o <placed_by> ?cust .
+      ?cust <in_nation> ?nation .
+      ?o <total_cents> ?t
+    }
+  }
+  GROUP BY ?nation
+  HAVING (SUM(?t - 1000000) > 0)
+"""
+
+
+def sparql_agg_expr_gate(spark, sf_dir: str) -> DataFrame:
+    return sparql_select(_order_total_quads(spark, sf_dir), GATE_AGG_EXPR)
+
+
+def sparql_agg_expr_sql() -> str:
+    return """
+      SELECT 'nation:' || c.c_nationkey AS nation,
+             SUM(CAST(FLOOR(o.o_totalprice * 100) AS BIGINT) - 1000000)
+               AS excess,
+             CAST(COUNT(DISTINCT 'cust:' || c.c_custkey || '#' ||
+                        'nation:' || c.c_nationkey) AS BIGINT) AS nc,
+             MIN(CAST(LENGTH(CAST(CAST(FLOOR(o.o_totalprice * 100)
+                 AS BIGINT) AS VARCHAR)) AS VARCHAR)) AS minlen
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_nationkey
+      HAVING SUM(CAST(FLOOR(o.o_totalprice * 100) AS BIGINT) - 1000000)
+             > 0
     """
 
 

@@ -1501,3 +1501,40 @@ def test_update_templates_still_reject_bnodes(spark):
     )
     with pytest.raises(SparqlParseError, match="outside the"):
         sparql_update(df, "INSERT { ?x <q> _:n } WHERE { ?x <p> ?y }")
+
+
+# --- aggregate arguments as scalar expressions ------------------------------
+
+
+def test_aggregate_over_expressions(spark):
+    from rify_spark.rdf import DEFAULT_GRAPH as DG
+
+    df = spark.createDataFrame(
+        [("a", "price", "10", DG), ("a", "price", "3", DG),
+         ("b", "price", "7", DG), ("b", "price", "7", DG)],
+        "s string, p string, o string, g string",
+    )
+    q = """
+      SELECT ?s (SUM(?v - 1) AS ?sm)
+             (COUNT(DISTINCT CONCAT(?s, "/", ?v)) AS ?c)
+             (MIN(STRLEN(?v)) AS ?ml) (AVG(DISTINCT ?v + 0) AS ?ad)
+      WHERE { ?s <price> ?v } GROUP BY ?s ORDER BY ?s
+    """
+    assert _run(df, q) == [("a", 11, 2, "1", 6.5), ("b", 12, 1, "1", 7.0)]
+    # HAVING with a matching expression reuses the selected column
+    q2 = """
+      SELECT ?s (SUM(?v - 1) AS ?sm) WHERE { ?s <price> ?v }
+      GROUP BY ?s HAVING (SUM(?v - 1) > 11)
+    """
+    assert _run(df, q2) == [("b", 12)]
+    # a non-integer lexeme under a numeric aggregate expression is an
+    # error -> NULL -> skipped (spec's skip-the-errors), like plain SUM
+    df2 = spark.createDataFrame(
+        [("a", "price", "10", DG), ("a", "price", "oops", DG)],
+        "s string, p string, o string, g string",
+    )
+    q3 = "SELECT ?s (SUM(?v + 1) AS ?sm) WHERE { ?s <price> ?v } GROUP BY ?s"
+    assert _run(df2, q3) == [("a", 11)]
+    # expression referencing an out-of-scope variable still raises
+    with pytest.raises(SparqlParseError, match="not in scope"):
+        _run(df, "SELECT (SUM(?nope + 1) AS ?x) WHERE { ?s <price> ?v }")
