@@ -131,7 +131,13 @@ Supported subset (documented contract, errors otherwise):
     (null) and rides the possibly-unbound tracking like an OPTIONAL
     variable; ``COALESCE`` is the recovery function. The BIND target
     must be a fresh variable in its group (spec §10.1);
-  * ``ORDER BY [ASC|DESC](?v)``, ``LIMIT n``, ``OFFSET n``.
+  * ``ORDER BY`` with multiple keys — ``?var``, ``[ASC|DESC](expr)``
+    or ``(expr)`` over the selected columns; an arithmetic /
+    numeric-constant expression orders NUMERICALLY (the lexeme
+    try_casts to BIGINT — ``ORDER BY DESC(?t + 0)`` is the by-value
+    idiom over the opaque term space, the same numeric switch as
+    FILTERs); ``LIMIT n``, ``OFFSET n`` (ordered LIMIT plans as one
+    global top-k — TakeOrderedAndProject, no full sort).
 
 Possibly-unbound variables (introduced under OPTIONAL, or missing from
 some UNION branch) are first-class: they may appear in FILTERs and
@@ -1323,6 +1329,11 @@ class _Parser:
             self.expect(")")
         if self.kw("ORDER"):
             self.expect("BY")
+            # keys: ?var | [ASC|DESC]( scalar-expr ) | ( scalar-expr );
+            # an arithmetic / numeric-constant expression orders
+            # NUMERICALLY (the lexeme try_casts to BIGINT — the same
+            # numeric switch as FILTERs, so ORDER BY DESC(?t + 0) is the
+            # idiom for by-value ordering over the opaque term space)
             while True:
                 kind, tok = self.peek()
                 desc = False
@@ -1330,17 +1341,19 @@ class _Parser:
                     desc = tok.upper() == "DESC"
                     self.next()
                     self.expect("(")
-                    v = self.term()
+                    v = self.scalar_expr()
                     self.expect(")")
                 elif kind == "var":
                     v = self.term()
+                elif kind == "op" and tok == "(":
+                    self.next()
+                    v = self.scalar_expr()
+                    self.expect(")")
                 else:
                     break
-                if not isinstance(v, Var):
-                    raise SparqlParseError("ORDER BY needs a variable")
                 self.order.append((v, desc))
             if not self.order:
-                raise SparqlParseError("ORDER BY needs a variable")
+                raise SparqlParseError("ORDER BY needs a sort key")
         if self.kw("LIMIT"):
             kind, tok = self.next()
             if kind != "num":
@@ -2321,15 +2334,27 @@ def _select_solution(ev: _Eval, q: _Parser) -> _Sol:
         maybe = set(names) & sol.maybe
     if q.distinct:
         df = df.distinct()
-    for v, desc in q.order:
-        if v.name not in out_names:
-            raise SparqlParseError(
-                f"ORDER BY ?{v.name} must be a selected variable"
-            )
+    def order_col(key):
+        # a plain variable orders on its column (an aggregate alias keeps
+        # its native BIGINT/DOUBLE dtype, so it already orders by value);
+        # an expression compiles over the SELECTED columns, and an
+        # arithmetic / numeric-constant key re-casts the rendered lexeme
+        # to BIGINT so the ordering is numeric (the FILTER contract)
+        if isinstance(key, Var):
+            if key.name not in out_names:
+                raise SparqlParseError(
+                    f"ORDER BY ?{key.name} must be a selected variable"
+                )
+            return F.col(key.name)
+        col, _ = _scalar_column(key, set(out_names), maybe)
+        if isinstance(key, (EArith, NumConst)):
+            col = col.try_cast("long")
+        return col
+
     if q.order:
         df = df.orderBy(
             *[
-                F.col(v.name).desc() if desc else F.col(v.name).asc()
+                order_col(v).desc() if desc else order_col(v).asc()
                 for v, desc in q.order
             ]
         )
@@ -3263,6 +3288,35 @@ def sparql_agg_expr_sql() -> str:
       GROUP BY c.c_nationkey
       HAVING SUM(CAST(FLOOR(o.o_totalprice * 100) AS BIGINT) - 1000000)
              > 0
+    """
+
+
+# ORDER BY expression keys: numeric DESC over the total lexeme (where
+# lexicographic order would be WRONG: '999...' > '10000...') with an
+# ascending tie-break — a total order, so the LIMIT cut is engine-stable;
+# plans as one global top-k (TakeOrderedAndProject), not a full sort
+GATE_ORDER_EXPR = """
+  SELECT ?o ?t WHERE {
+    GRAPH <graph://tpch> { ?o <total_cents> ?t }
+  }
+  ORDER BY DESC(?t + 0) ?o
+  LIMIT 20
+"""
+
+
+def sparql_order_expr_gate(spark, sf_dir: str) -> DataFrame:
+    return sparql_select(_order_total_quads(spark, sf_dir), GATE_ORDER_EXPR)
+
+
+def sparql_order_expr_sql() -> str:
+    return """
+      SELECT 'order:' || o_orderkey AS o,
+             CAST(CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS VARCHAR)
+               AS t
+      FROM orders
+      ORDER BY CAST(FLOOR(o_totalprice * 100) AS BIGINT) DESC,
+               'order:' || o_orderkey
+      LIMIT 20
     """
 
 

@@ -1538,3 +1538,33 @@ def test_aggregate_over_expressions(spark):
     # expression referencing an out-of-scope variable still raises
     with pytest.raises(SparqlParseError, match="not in scope"):
         _run(df, "SELECT (SUM(?nope + 1) AS ?x) WHERE { ?s <price> ?v }")
+
+
+def test_order_by_expressions(spark):
+    from rify_spark.rdf import DEFAULT_GRAPH as DG
+
+    df = spark.createDataFrame(
+        [("a", "n", "9", DG), ("b", "n", "10", DG), ("c", "n", "100", DG)],
+        "s string, p string, o string, g string",
+    )
+    def seq(q):  # ORDER BY tests need the row sequence, not _run's sort
+        return [tuple(r) for r in sparql_select(df, q).collect()]
+
+    # numeric ordering where lexicographic would be wrong ('9' > '10')
+    q = "SELECT ?s ?v WHERE { ?s <n> ?v } ORDER BY DESC(?v + 0)"
+    assert seq(q) == [("c", "100"), ("b", "10"), ("a", "9")]
+    # plain variable keys stay lexicographic ('9' > '100' > '10');
+    # LIMIT cuts the ordered sequence
+    q2 = "SELECT ?s ?v WHERE { ?s <n> ?v } ORDER BY DESC(?v) LIMIT 2"
+    assert seq(q2) == [("a", "9"), ("c", "100")]
+    # bare-parenthesised expression key, multi-key with tie-break
+    df2 = spark.createDataFrame(
+        [("a", "n", "xx", DG), ("b", "n", "yy", DG), ("c", "n", "z", DG)],
+        "s string, p string, o string, g string",
+    )
+    q3 = "SELECT ?s ?v WHERE { ?s <n> ?v } ORDER BY (STRLEN(?v)) ?s"
+    assert [tuple(r) for r in sparql_select(df2, q3).collect()] == [
+        ("c", "z"), ("a", "xx"), ("b", "yy")]
+    # expression over a non-selected variable raises
+    with pytest.raises(SparqlParseError, match="not in scope"):
+        _run(df, "SELECT ?s WHERE { ?s <n> ?v } ORDER BY (?v + 0)")
