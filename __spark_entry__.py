@@ -621,6 +621,12 @@ def _q_sparql_order_expr(spark, sf_dir):
     return sparql_order_expr_gate(spark, sf_dir)
 
 
+def _q_sparql_group_expr(spark, sf_dir):
+    from rify_spark.sparql import sparql_group_expr_gate
+
+    return sparql_group_expr_gate(spark, sf_dir)
+
+
 def _q_sparql_construct_bnode(spark, sf_dir):
     from rify_spark.sparql import sparql_construct_bnode_gate
 
@@ -763,6 +769,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_agg_expr": _q_sparql_agg_expr,
         # ORDER BY expression keys (numeric top-k with tie-break)
         "sparql_order_expr": _q_sparql_order_expr,
+        # GROUP BY (expr AS ?alias) keys
+        "sparql_group_expr": _q_sparql_group_expr,
         # KG construction
         "kg_extract_mentions": _q_kg_mentions,
         "kg_pipeline_derived": _q_kg_pipeline,
@@ -943,6 +951,7 @@ def oracle_sql() -> dict[str, str]:
         "sparql_construct_bnode": _sparql_sql("sparql_construct_bnode_sql"),
         "sparql_agg_expr": _sparql_sql("sparql_agg_expr_sql"),
         "sparql_order_expr": _sparql_sql("sparql_order_expr_sql"),
+        "sparql_group_expr": _sparql_sql("sparql_group_expr_sql"),
         "kg_pipeline_derived": KG_PIPELINE_SQL,
         "kg_extract_mentions": """
             SELECT DISTINCT doc_id, tok AS mention FROM (

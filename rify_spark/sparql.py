@@ -37,6 +37,9 @@ Supported subset (documented contract, errors otherwise):
     (spec §16.2.1) as a deterministic md5 of the solution's bindings
     (duplicate solutions coincide — consistent with the set-semantics
     store), and a template label may not also appear in WHERE;
+    RDF collections ``( t1 t2 ... )`` (spec §4.3.3 sugar, nestable)
+    expand to fresh anonymous cells chained with ``rdf:first`` /
+    ``rdf:rest`` terminated by ``rdf:nil`` (``()`` is the rdf:nil IRI);
   * ``GRAPH ?g { ... }`` / ``GRAPH <iri> { ... }`` — the 4th quad slot;
     patterns outside GRAPH match the engine's default graph
     (``rdf.DEFAULT_GRAPH``);
@@ -104,6 +107,8 @@ Supported subset (documented contract, errors otherwise):
     unbound rows in one NULL group (Spark's and SQL's shared
     convention); ``HAVING`` takes aggregate-vs-constant comparisons
     (integer constants for COUNT/SUM, string constants otherwise);
+    GROUP BY keys may be ``(expr AS ?alias)`` — materialized
+    pre-aggregation exactly like BIND-then-GROUP-BY, alias selectable;
   * numeric FILTER comparisons: an unquoted integer constant switches
     that comparison to numeric semantics — the variable side try_casts
     to BIGINT, non-integer lexemes exclude the row (error-semantics);
@@ -172,6 +177,9 @@ from .rdf import DEFAULT_GRAPH
 from .rules import LoweredRule
 
 RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+RDF_FIRST = "http://www.w3.org/1999/02/22-rdf-syntax-ns#first"
+RDF_REST = "http://www.w3.org/1999/02/22-rdf-syntax-ns#rest"
+RDF_NIL = "http://www.w3.org/1999/02/22-rdf-syntax-ns#nil"
 
 
 class SparqlParseError(RifyError):
@@ -466,7 +474,8 @@ class _Parser:
         self._pending: list = []  # [ p o ] property-list inner triples
         self.select: list | None = None  # None == SELECT *
         self.projection: list = []  # ("var", name) | Agg — SELECT order
-        self.group_by: list = []  # variable names
+        self.group_by: list = []  # variable names (incl. expr aliases)
+        self.group_exprs: list = []  # (alias, scalar AST) GROUP BY keys
         self.having: list = []  # (Agg, op, py-literal)
         self.distinct = False
         self.order: list = []  # (Var, descending)
@@ -542,6 +551,33 @@ class _Parser:
             if pfx not in self.prefixes:
                 raise SparqlParseError(f"undeclared prefix {pfx!r}")
             return Const(self.prefixes[pfx] + local)
+        if kind == "op" and tok == "(":
+            # RDF collection ( t1 t2 ... ) (spec §4.3.3 sugar): a fresh
+            # anonymous node per cell, chained with rdf:first/rdf:rest
+            # and terminated by rdf:nil; () is the rdf:nil IRI itself.
+            # Cell triples buffer in _pending like property lists (the
+            # enclosing triples_block flushes them under its graph)
+            if not allow_bnode:
+                raise SparqlParseError(
+                    "collections are only allowed in triple "
+                    "subject/object positions"
+                )
+            if self.peek() == ("op", ")"):
+                self.next()
+                return Const(RDF_NIL)
+            cells = []
+            while self.peek() != ("op", ")"):
+                self._bn_anon += 1
+                cell = Var(f"{BNODE_PREFIX}anon{self._bn_anon}")
+                cells.append(cell)
+                self._pending.append(
+                    (cell, Const(RDF_FIRST), self.term(allow_bnode=True))
+                )
+            self.next()
+            for a, b in zip(cells, cells[1:]):
+                self._pending.append((a, Const(RDF_REST), b))
+            self._pending.append((cells[-1], Const(RDF_REST), Const(RDF_NIL)))
+            return cells[0]
         if kind == "op" and tok == "[":
             # anonymous blank node: bare [] or a [ p o ; p2 o2 ] property
             # list (spec §4.2.1 sugar) — the list's inner triples are
@@ -1288,8 +1324,26 @@ class _Parser:
     def modifiers(self):
         if self.kw("GROUP"):
             self.expect("BY")
-            while self.peek()[0] == "var":
-                self.group_by.append(self.next()[1][1:])
+            # keys: ?var or (expr AS ?alias) — the alias behaves exactly
+            # like a BIND-then-GROUP-BY variable (selectable, grouped)
+            while True:
+                kind, tok = self.peek()
+                if kind == "var":
+                    self.group_by.append(self.next()[1][1:])
+                elif kind == "op" and tok == "(":
+                    self.next()
+                    e = self.scalar_expr()
+                    self.expect("AS")
+                    k2, t2 = self.next()
+                    if k2 != "var":
+                        raise SparqlParseError(
+                            "GROUP BY expression needs 'AS ?alias'"
+                        )
+                    self.expect(")")
+                    self.group_exprs.append((t2[1:], e))
+                    self.group_by.append(t2[1:])
+                else:
+                    break
             if not self.group_by:
                 raise SparqlParseError("GROUP BY needs ?variables")
         if self.kw("HAVING"):
@@ -2296,6 +2350,22 @@ def _select_solution(ev: _Eval, q: _Parser) -> _Sol:
     sol = ev.group(q.root)
     names = [v for v in _var_order(q) if v in sol.bound]
     if q.is_aggregate:
+        # (expr AS ?alias) GROUP BY keys: materialize the expression
+        # column pre-aggregation (exactly BIND-then-GROUP-BY), with the
+        # alias's nullability joining the possibly-unbound tracking so a
+        # NULL-keyed group is honest downstream
+        for alias, ast in q.group_exprs:
+            if alias in sol.bound:
+                raise SparqlParseError(
+                    f"GROUP BY expression alias ?{alias} collides with "
+                    "a pattern variable"
+                )
+            col, nullable = _scalar_column(ast, sol.bound, sol.maybe)
+            sol = _Sol(
+                sol.df.withColumn(alias, col),
+                sol.bound | {alias},
+                sol.maybe | ({alias} if nullable else set()),
+            )
         df = _aggregate(sol, q)
         out_names = list(q.select)
         # a COUNT is never null; SUM/MIN/MAX are null on all-null groups,
@@ -3317,6 +3387,33 @@ def sparql_order_expr_sql() -> str:
       ORDER BY CAST(FLOOR(o_totalprice * 100) AS BIGINT) DESC,
                'order:' || o_orderkey
       LIMIT 20
+    """
+
+
+# GROUP BY expression keys: (STRLEN(?t) AS ?k) materializes
+# pre-aggregation (BIND-then-GROUP-BY), one partial-aggregating shuffle
+GATE_GROUP_EXPR = """
+  SELECT ?k (COUNT(*) AS ?n) (SUM(?t) AS ?tot)
+  WHERE { GRAPH <graph://tpch> { ?o <total_cents> ?t } }
+  GROUP BY (STRLEN(?t) AS ?k)
+"""
+
+
+def sparql_group_expr_gate(spark, sf_dir: str) -> DataFrame:
+    return sparql_select(_order_total_quads(spark, sf_dir), GATE_GROUP_EXPR)
+
+
+def sparql_group_expr_sql() -> str:
+    return """
+      SELECT CAST(LENGTH(lex) AS VARCHAR) AS k,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(CAST(lex AS BIGINT)) AS tot
+      FROM (
+        SELECT CAST(CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS VARCHAR)
+                 AS lex
+        FROM orders
+      )
+      GROUP BY 1
     """
 
 

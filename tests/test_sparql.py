@@ -1568,3 +1568,59 @@ def test_order_by_expressions(spark):
     # expression over a non-selected variable raises
     with pytest.raises(SparqlParseError, match="not in scope"):
         _run(df, "SELECT ?s WHERE { ?s <n> ?v } ORDER BY (?v + 0)")
+
+
+def test_rdf_collections(spark):
+    from rify_spark.rdf import DEFAULT_GRAPH as DG
+    from rify_spark.sparql import RDF_FIRST as FI, RDF_NIL as NIL
+    from rify_spark.sparql import RDF_REST as RE
+
+    rows = [
+        ("menu", "items", "c1", DG), ("c1", FI, "soup", DG),
+        ("c1", RE, "c2", DG), ("c2", FI, "bread", DG),
+        ("c2", RE, NIL, DG),
+        ("empty", "items", NIL, DG),
+    ]
+    df = spark.createDataFrame(
+        rows, "s string, p string, o string, g string"
+    )
+    # a two-element collection pattern matches the first/rest chain
+    q = 'SELECT ?m WHERE { ?m <items> ( "soup" "bread" ) }'
+    assert _run(df, q) == [("menu",)]
+    # element variables bind through the chain
+    q2 = 'SELECT ?x WHERE { ?m <items> ( "soup" ?x ) }'
+    assert _run(df, q2) == [("bread",)]
+    # () is the rdf:nil IRI
+    q3 = "SELECT ?m WHERE { ?m <items> () }"
+    assert _run(df, q3) == [("empty",)]
+    # wrong order / wrong length do not match
+    assert _run(df, 'SELECT ?m WHERE { ?m <items> ( "bread" "soup" ) }') == []
+    assert _run(df, 'SELECT ?m WHERE { ?m <items> ( "soup" ) }') == []
+    # predicate position: '(' opens a path group there, and the literal
+    # inside is rejected — collections stay in subject/object positions
+    with pytest.raises(SparqlParseError, match="predicate position"):
+        _run(df, 'SELECT ?m WHERE { ?m ( "soup" ) ?x }')
+
+
+
+def test_group_by_expression_keys(spark):
+    from rify_spark.rdf import DEFAULT_GRAPH as DG
+
+    df = spark.createDataFrame(
+        [("a1", "n", "5", DG), ("a2", "n", "6", DG), ("b1", "n", "7", DG)],
+        "s string, p string, o string, g string",
+    )
+    q = """
+      SELECT ?k (SUM(?v) AS ?sm) WHERE { ?s <n> ?v }
+      GROUP BY (SUBSTR(?s, 1, 1) AS ?k)
+    """
+    assert _run(df, q) == [("a", 11), ("b", 7)]
+    # mixed with a plain key; alias usable in later ORDER BY
+    q2 = """
+      SELECT ?k ?p (COUNT(*) AS ?c) WHERE { ?s ?p ?v }
+      GROUP BY (UCASE(?p) AS ?k) ?p ORDER BY ?k
+    """
+    assert _run(df, q2) == [("N", "n", 3)]
+    # alias colliding with a pattern variable raises
+    with pytest.raises(SparqlParseError, match="collides"):
+        _run(df, "SELECT ?s WHERE { ?s <n> ?v } GROUP BY (STR(?v) AS ?s)")
