@@ -593,6 +593,45 @@ def main() -> None:
         )
     )
 
+    from rify_spark.sparql import sparql_agg_expr_gate, sparql_order_expr_gate
+
+    ax_exec = (
+        sparql_agg_expr_gate(spark, SF_DIR)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    sections.append(("sparql_agg_expr", ax_exec[:4000]))
+    checks.append(
+        (
+            "sparql_agg_expr",
+            "expression aggregates keep ONE partial-aggregating shuffle "
+            "(map-side combine present)",
+            bool(re.search(r"partial_sum|partial_min", ax_exec))
+            and ax_exec.count("Exchange hashpartitioning") <= 3,
+        )
+    )
+    checks.append(
+        (
+            "sparql_agg_expr",
+            "per-row aggregate expressions are JVM-side (no Python eval)",
+            not re.search(r"(BatchEvalPython|ArrowEvalPython)", ax_exec),
+        )
+    )
+
+    ox_exec = (
+        sparql_order_expr_gate(spark, SF_DIR)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    sections.append(("sparql_order_expr", ox_exec[:4000]))
+    checks.append(
+        (
+            "sparql_order_expr",
+            "ordered LIMIT plans as one global top-k "
+            "(TakeOrderedAndProject, no full Sort+Exchange)",
+            "TakeOrderedAndProject" in ox_exec
+            and not re.search(r"Exchange rangepartitioning", ox_exec),
+        )
+    )
+
     lines = ["# PLANS — physical-plan audit", ""]
     lines.append("| query | property | status |")
     lines.append("|---|---|---|")
