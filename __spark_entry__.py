@@ -627,6 +627,12 @@ def _q_sparql_group_expr(spark, sf_dir):
     return sparql_group_expr_gate(spark, sf_dir)
 
 
+def _q_sparql_dataset(spark, sf_dir):
+    from rify_spark.sparql import sparql_dataset_gate
+
+    return sparql_dataset_gate(spark, sf_dir)
+
+
 def _q_sparql_construct_bnode(spark, sf_dir):
     from rify_spark.sparql import sparql_construct_bnode_gate
 
@@ -771,6 +777,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_order_expr": _q_sparql_order_expr,
         # GROUP BY (expr AS ?alias) keys
         "sparql_group_expr": _q_sparql_group_expr,
+        # FROM / FROM NAMED dataset clauses
+        "sparql_dataset": _q_sparql_dataset,
         # KG construction
         "kg_extract_mentions": _q_kg_mentions,
         "kg_pipeline_derived": _q_kg_pipeline,
@@ -952,6 +960,7 @@ def oracle_sql() -> dict[str, str]:
         "sparql_agg_expr": _sparql_sql("sparql_agg_expr_sql"),
         "sparql_order_expr": _sparql_sql("sparql_order_expr_sql"),
         "sparql_group_expr": _sparql_sql("sparql_group_expr_sql"),
+        "sparql_dataset": _sparql_sql("sparql_dataset_sql"),
         "kg_pipeline_derived": KG_PIPELINE_SQL,
         "kg_extract_mentions": """
             SELECT DISTINCT doc_id, tok AS mention FROM (

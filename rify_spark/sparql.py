@@ -43,6 +43,15 @@ Supported subset (documented contract, errors otherwise):
   * ``GRAPH ?g { ... }`` / ``GRAPH <iri> { ... }`` — the 4th quad slot;
     patterns outside GRAPH match the engine's default graph
     (``rdf.DEFAULT_GRAPH``);
+  * ``FROM <g>`` / ``FROM NAMED <g>`` dataset clauses (spec §13.2, all
+    four query forms): the default graph becomes the set-union of the
+    FROM graphs and GRAPH patterns see only the FROM NAMED graphs
+    (either clause alone empties the other side); graph membership is
+    an ``isin`` filter on ``g`` — pushed to the scan, partition-
+    prunable when the store is partitioned by graph; not allowed in
+    subqueries. Under dataset clauses ``GRAPH ?g`` ranges over the
+    NAMED graphs only (spec); without them it stays the engine's plain
+    4th-slot variable (binds whatever ``g`` holds, default included);
   * ``FILTER`` with comparisons ``= != < <= > >=`` whose operands are
     any scalar expression (the BIND grammar below: variables, constants,
     CONCAT/COALESCE/STR/UCASE/LCASE/STRLEN/SUBSTR, ``+``/``-``
@@ -474,6 +483,8 @@ class _Parser:
         self._pending: list = []  # [ p o ] property-list inner triples
         self.select: list | None = None  # None == SELECT *
         self.projection: list = []  # ("var", name) | Agg — SELECT order
+        self.dataset_from: list = []  # FROM <iri> graphs (default merge)
+        self.dataset_named: list = []  # FROM NAMED <iri> graphs
         self.group_by: list = []  # variable names (incl. expr aliases)
         self.group_exprs: list = []  # (alias, scalar AST) GROUP BY keys
         self.having: list = []  # (Agg, op, py-literal)
@@ -520,6 +531,21 @@ class _Parser:
             self.next()
             return True
         return False
+
+    def dataset_clause(self):
+        """``FROM <iri>`` / ``FROM NAMED <iri>`` clauses (spec §13.2) —
+        they pick the query's dataset out of the quad store: the default
+        graph becomes the set-union of the FROM graphs and only the FROM
+        NAMED graphs stay visible to GRAPH patterns (either clause alone
+        empties the other side, per spec)."""
+        while self.kw("FROM"):
+            named = self.kw("NAMED")
+            t = self.term()
+            if not isinstance(t, Const):
+                raise SparqlParseError("FROM needs a graph IRI")
+            (
+                self.dataset_named if named else self.dataset_from
+            ).append(t.value)
 
     # --- terms ---
     def term(self, *, as_pred=False, allow_bnode=False):
@@ -636,6 +662,8 @@ class _Parser:
             self.select_query()
         elif self.kw("ASK"):
             self.form = "ASK"
+            self.dataset_clause()
+            self.kw("WHERE")
             self.root = self.group_node(Const(DEFAULT_GRAPH))
         elif self.kw("CONSTRUCT"):
             self.form = "CONSTRUCT"
@@ -649,6 +677,7 @@ class _Parser:
                     "CONSTRUCT template must be plain triples"
                 )
             self.template = [p for e in tmpl.elems for p in e.patterns]
+            self.dataset_clause()
             if not self.kw("WHERE"):
                 raise SparqlParseError("CONSTRUCT needs a WHERE pattern")
             self.root = self.group_node(Const(DEFAULT_GRAPH))
@@ -666,6 +695,7 @@ class _Parser:
                 raise SparqlParseError(
                     "DESCRIBE needs ?vars or constant terms"
                 )
+            self.dataset_clause()
             kind, tok = self.peek()
             if (kind == "kw" and tok.upper() == "WHERE") or (
                 kind == "op" and tok == "{"
@@ -747,6 +777,7 @@ class _Parser:
                 raise SparqlParseError(
                     "duplicate name in the SELECT clause"
                 )
+        self.dataset_clause()
         self.kw("WHERE")
         self.root = self.group_node(Const(DEFAULT_GRAPH))
         self.modifiers()
@@ -760,6 +791,11 @@ class _Parser:
         child.i = self.i
         child.prefixes = self.prefixes
         child.select_query()
+        if child.dataset_from or child.dataset_named:
+            raise SparqlParseError(
+                "FROM / FROM NAMED are top-level clauses, not allowed "
+                "in a subquery"
+            )
         self.i = child.i
         self.expect("}")
         return SubSelect(child)
@@ -1584,10 +1620,17 @@ class _Sol:
 
 
 class _Eval:
-    def __init__(self, quads: DataFrame):
+    def __init__(self, quads: DataFrame, *, graph_var_hides_default=False):
         self.quads = quads.select("s", "p", "o", "g")
         self.spark = quads.sparkSession
         self._gate_n = 0
+        # spec §13.2: under explicit FROM / FROM NAMED dataset clauses a
+        # variable GRAPH pattern ranges over the NAMED graphs only, never
+        # the constructed default graph. Without dataset clauses the
+        # engine keeps its plain 4th-slot semantics (``GRAPH ?g`` binds
+        # whatever the g column holds — documented in the module
+        # docstring), so the exclusion is scoped to dataset queries.
+        self._hide_default = graph_var_hides_default
 
     def bgp(self, patterns: list) -> _Sol:
         plain = [q for q in patterns if not isinstance(q[1], Path)]
@@ -1599,6 +1642,17 @@ class _Eval:
             s = self._path_closure(pat)
             acc = s if acc is None else self.join(acc, s, "inner")
         assert acc is not None  # parser guarantees non-empty BGPs
+        if self._hide_default:
+            gvars = {
+                q[3].name
+                for q in patterns
+                if isinstance(q[3], Var) and q[3].name in acc.bound
+            }
+            for n in gvars:
+                acc = _Sol(
+                    acc.df.filter(F.col(n) != DEFAULT_GRAPH),
+                    acc.bound, acc.maybe,
+                )
         return acc
 
     def _plain_bgp(self, patterns: list) -> _Sol:
@@ -2339,7 +2393,38 @@ def sparql_select(quads: DataFrame, query: str) -> DataFrame:
         raise SparqlParseError(
             f"{q.form} query passed to sparql_select — use sparql_query"
         )
-    return _select_solution(_Eval(quads), q).df
+    return _select_solution(_Eval(
+        _dataset_view(quads, q),
+        graph_var_hides_default=bool(q.dataset_from or q.dataset_named),
+    ), q).df
+
+
+def _dataset_view(quads: DataFrame, q: _Parser) -> DataFrame:
+    """Apply the query's ``FROM`` / ``FROM NAMED`` dataset clauses (spec
+    §13.2) to the quad store: the default graph becomes the SET-UNION of
+    the FROM graphs (re-tagged ``DEFAULT_GRAPH``; RDF merge of more than
+    one graph dedups) and GRAPH patterns see only the FROM NAMED graphs.
+    Either clause alone empties the other side, per spec. The graph
+    membership filters are ``isin`` predicates on the ``g`` column, so
+    they push down to a parquet scan (partition-prunable when the store
+    is partitioned by graph — the 100-TB layout)."""
+    if not q.dataset_from and not q.dataset_named:
+        return quads
+    g = F.col("g")
+    parts = []
+    if q.dataset_from:
+        d = quads.filter(g.isin(q.dataset_from)).withColumn(
+            "g", F.lit(DEFAULT_GRAPH)
+        )
+        if len(q.dataset_from) > 1:
+            d = d.distinct()
+        parts.append(d)
+    if q.dataset_named:
+        parts.append(quads.filter(g.isin(q.dataset_named)))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def _select_solution(ev: _Eval, q: _Parser) -> _Sol:
@@ -2442,7 +2527,10 @@ def sparql_ask(quads: DataFrame, query: str) -> DataFrame:
     q = parse_select(query)
     if q.form != "ASK":
         raise SparqlParseError("sparql_ask needs an ASK query")
-    found = _Eval(quads).group(q.root).df.limit(1)
+    found = _Eval(
+        _dataset_view(quads, q),
+        graph_var_hides_default=bool(q.dataset_from or q.dataset_named),
+    ).group(q.root).df.limit(1)
     spark = quads.sparkSession
     return spark.createDataFrame(
         [(bool(found.take(1)),)], "ask boolean"
@@ -2466,7 +2554,10 @@ def sparql_construct(quads: DataFrame, query: str) -> DataFrame:
         raise SparqlParseError("sparql_construct needs a CONSTRUCT query")
     if not q.template:
         raise SparqlParseError("empty CONSTRUCT template")
-    sol = _Eval(quads).group(q.root)
+    sol = _Eval(
+        _dataset_view(quads, q),
+        graph_var_hides_default=bool(q.dataset_from or q.dataset_named),
+    ).group(q.root)
     dtype = quads.schema["s"].dataType
     return _template_quads(sol, q.template, dtype, what="CONSTRUCT")
 
@@ -2586,6 +2677,8 @@ def sparql_describe(quads: DataFrame, query: str) -> DataFrame:
     q = parse_select(query)
     if q.form != "DESCRIBE":
         raise SparqlParseError("sparql_describe needs a DESCRIBE query")
+    has_dataset = bool(q.dataset_from or q.dataset_named)
+    quads = _dataset_view(quads, q)
     spark = quads.sparkSession
     parts = []
     consts = [t.value for t in q.described if isinstance(t, Const)]
@@ -2595,7 +2688,9 @@ def sparql_describe(quads: DataFrame, query: str) -> DataFrame:
         )
     dvars = [t.name for t in q.described if isinstance(t, Var)]
     if dvars:
-        sol = _Eval(quads).group(q.root)
+        sol = _Eval(
+            quads, graph_var_hides_default=has_dataset
+        ).group(q.root)
         for name in dvars:
             if name not in sol.bound:
                 raise SparqlParseError(
@@ -3414,6 +3509,41 @@ def sparql_group_expr_sql() -> str:
         FROM orders
       )
       GROUP BY 1
+    """
+
+
+# FROM dataset clause: the named tpch graph becomes the query's default
+# graph (re-tag + pattern match without GRAPH), composed with a FROM
+# NAMED keeping a second graph visible to a GRAPH pattern
+GATE_DATASET = """
+  SELECT ?c ?n ?o FROM <graph://tpch> FROM NAMED <graph://totals>
+  WHERE {
+    ?c <in_nation> ?n .
+    GRAPH <graph://totals> { ?o <placed_by> ?c }
+  }
+"""
+
+
+def sparql_dataset_gate(spark, sf_dir: str) -> DataFrame:
+    from .ops.quads import tpch_quads
+
+    quads = tpch_quads(spark, sf_dir)
+    # re-tag the placed_by edges as a second named graph so the gate
+    # exercises both clause kinds over one store
+    store = quads.withColumn(
+        "g",
+        F.when(F.col("p") == "placed_by", F.lit("graph://totals"))
+        .otherwise(F.col("g")),
+    )
+    return sparql_select(store, GATE_DATASET)
+
+
+def sparql_dataset_sql() -> str:
+    return """
+      SELECT 'cust:' || c.c_custkey AS c,
+             'nation:' || c.c_nationkey AS n,
+             'order:' || o.o_orderkey AS o
+      FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
     """
 
 

@@ -1624,3 +1624,47 @@ def test_group_by_expression_keys(spark):
     # alias colliding with a pattern variable raises
     with pytest.raises(SparqlParseError, match="collides"):
         _run(df, "SELECT ?s WHERE { ?s <n> ?v } GROUP BY (STR(?v) AS ?s)")
+
+
+# --- FROM / FROM NAMED dataset clauses ---------------------------------------
+
+
+def test_from_dataset_clauses(spark):
+    df = spark.createDataFrame(
+        [("a", "p", "1", "g1"), ("b", "p", "2", "g2"),
+         ("c", "p", "3", "g3"), ("a", "p", "1", "g2")],
+        "s string, p string, o string, g string",
+    )
+    # FROM merges the named graphs into the default graph (set-union:
+    # the (a,p,1) duplicate across g1/g2 collapses)
+    q = "SELECT ?s ?v FROM <g1> FROM <g2> WHERE { ?s <p> ?v }"
+    assert _run(df, q) == [("a", "1"), ("b", "2")]
+    # FROM alone: GRAPH patterns see nothing
+    q2 = "SELECT ?s FROM <g1> WHERE { GRAPH ?g { ?s <p> ?v } }"
+    assert _run(df, q2) == []
+    # FROM NAMED alone: the default graph is empty...
+    q3 = "SELECT ?s FROM NAMED <g2> WHERE { ?s <p> ?v }"
+    assert _run(df, q3) == []
+    # ...and GRAPH sees only the named graphs
+    q4 = """
+      SELECT ?g ?s FROM NAMED <g2> FROM NAMED <g3>
+      WHERE { GRAPH ?g { ?s <p> ?v } }
+    """
+    assert _run(df, q4) == [("g2", "a"), ("g2", "b"), ("g3", "c")]
+    # both: default from FROM, GRAPH from FROM NAMED
+    q5 = """
+      SELECT ?s ?t FROM <g1> FROM NAMED <g3>
+      WHERE { ?s <p> ?v . GRAPH <g3> { ?c <p> ?t } }
+    """
+    assert _run(df, q5) == [("a", "3")]
+    # ASK and CONSTRUCT take dataset clauses too
+    from rify_spark.sparql import sparql_ask, sparql_construct
+
+    assert sparql_ask(df, "ASK FROM <g3> WHERE { ?s <p> \"3\" }").head()[0]
+    got = sparql_construct(
+        df, "CONSTRUCT { ?s <q> ?v } FROM <g2> WHERE { ?s <p> ?v }"
+    ).collect()
+    assert sorted((r.s, r.o) for r in got) == [("a", "1"), ("b", "2")]
+    # subqueries reject dataset clauses
+    with pytest.raises(SparqlParseError, match="top-level"):
+        _run(df, "SELECT ?s WHERE { { SELECT ?s FROM <g1> WHERE { ?s <p> ?v } } }")
