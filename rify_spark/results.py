@@ -1,0 +1,149 @@
+"""W3C SPARQL 1.1 Query Results serializers over solution DataFrames.
+
+A solution DataFrame is what :func:`rify_spark.sparql.sparql_select`
+returns — one column per selected variable, NULL = unbound. The engine's
+term space is opaque strings (reference src/translator.rs generic
+``Bound``), so every bound value serializes as a plain literal: CSV cells
+are the raw lexemes (RFC 4180 quoting), TSV and JSON encode each binding
+as a quoted literal term. All serializers are DISTRIBUTED: the per-row
+encoding is built-in JVM expressions (``to_json`` / ``concat`` /
+``regexp_replace`` under whole-stage codegen — no Python in the row
+path), and the file writers are plain ``df.write`` sinks, so a 100-TB
+result set streams straight from the executors. The one driver-side
+convenience, :func:`results_json`, assembles the single-document W3C
+JSON form and is row-capped for that reason.
+
+Formats:
+  * CSV (https://www.w3.org/TR/sparql11-results-csv-tsv/ §3): header =
+    variable names, unbound = empty field, RFC 4180 quoting — exactly
+    Spark's CSV writer contract.
+  * TSV (§4): header = ``?var`` names, each bound value a quoted
+    literal with ``\\ \\t \\n \\r \\"`` escapes, unbound = empty field.
+  * JSON (https://www.w3.org/TR/sparql11-results-json/): the
+    ``{"head": {"vars": [...]}, "results": {"bindings": [...]}}``
+    document; each binding maps bound variables to
+    ``{"type": "literal", "value": ...}`` (unbound variables are
+    omitted from the binding object, per spec §3.2.2).
+    :func:`results_json_lines` is the distributed form — one binding
+    object per line (JSONL), the shape a 1000-executor export job
+    actually wants.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "results_json",
+    "results_json_lines",
+    "results_tsv_lines",
+    "write_results_csv",
+    "write_results_tsv",
+]
+
+
+def write_results_csv(df: DataFrame, path: str, **options) -> None:
+    """Write the W3C CSV results form (spec §3). Spark's CSV sink IS the
+    format: header row of variable names, RFC 4180 quoting, NULL
+    (unbound) as the empty field. Extra ``options`` pass through to the
+    writer (e.g. ``compression="gzip"``)."""
+    (
+        df.write.option("header", True)
+        .option("nullValue", "")
+        .option("emptyValue", "")
+        # RFC 4180 doubles embedded quotes; Spark's default is \" escaping
+        .option("escape", '"')
+        .options(**options)
+        .csv(path)
+    )
+
+
+def _tsv_term(col):
+    """One bound value -> a quoted-literal SPARQL term with the TSV
+    escapes; NULL (unbound) -> the empty field (spec §4)."""
+    esc = F.regexp_replace(col, r"\\", r"\\\\")
+    esc = F.regexp_replace(esc, "\t", r"\\t")
+    esc = F.regexp_replace(esc, "\n", r"\\n")
+    esc = F.regexp_replace(esc, "\r", r"\\r")
+    esc = F.regexp_replace(esc, '"', r'\\"')
+    return F.when(
+        col.isNotNull(), F.concat(F.lit('"'), esc, F.lit('"'))
+    ).otherwise(F.lit(""))
+
+
+def results_tsv_lines(df: DataFrame) -> DataFrame:
+    """The W3C TSV results form (spec §4) as a DataFrame of lines
+    (column ``line``) — distributed; write with ``.write.text(path)``.
+    The header line (``?a\\t?b``) is a format concern of the assembled
+    file, so :func:`write_results_tsv` prepends it per output file; this
+    function returns the data lines only."""
+    return df.select(
+        F.concat_ws("\t", *[_tsv_term(F.col(c)) for c in df.columns]).alias(
+            "line"
+        )
+    )
+
+
+def write_results_tsv(df: DataFrame, path: str, **options) -> None:
+    """Write the W3C TSV results form: ``?var`` header + quoted-literal
+    terms. Values are pre-escaped by :func:`results_tsv_lines`'s term
+    encoder, so the CSV sink runs with quoting disabled and a tab
+    separator (header handling comes from the sink)."""
+    cells = [_tsv_term(F.col(c)).alias(f"?{c}") for c in df.columns]
+    (
+        df.select(*cells)
+        .write.option("header", True)
+        .option("sep", "\t")
+        .option("quote", "")
+        .option("escape", "")
+        .option("emptyValue", "")
+        .options(**options)
+        .csv(path)
+    )
+
+
+def _binding_struct(df: DataFrame):
+    """Per-row binding object: bound vars -> {"type","value"} structs;
+    ``to_json`` omits NULL fields, which is exactly the spec's
+    unbound-variables-omitted rule."""
+    return F.struct(
+        *[
+            F.when(
+                F.col(c).isNotNull(),
+                F.struct(
+                    F.lit("literal").alias("type"), F.col(c).alias("value")
+                ),
+            ).alias(c)
+            for c in df.columns
+        ]
+    )
+
+
+def results_json_lines(df: DataFrame) -> DataFrame:
+    """The distributed JSON form: one W3C binding object per line
+    (column ``line``) — JSONL, the shape a large export job wants; the
+    enclosing ``head``/``results`` document framing is two constant
+    lines the consumer adds. Encoding is one ``to_json`` JVM projection
+    per row."""
+    return df.select(F.to_json(_binding_struct(df)).alias("line"))
+
+
+def results_json(df: DataFrame, max_rows: int = 100_000) -> dict:
+    """The single-document W3C JSON results form, assembled driver-side
+    (it IS one document). Row-capped: raises ``ValueError`` beyond
+    ``max_rows`` — use :func:`results_json_lines` +
+    ``.write.text(path)`` for result sets that should never transit the
+    driver."""
+    import json
+
+    lines = results_json_lines(df).limit(max_rows + 1).collect()
+    if len(lines) > max_rows:
+        raise ValueError(
+            f"result exceeds max_rows={max_rows}; use "
+            "results_json_lines for a distributed export"
+        )
+    return {
+        "head": {"vars": list(df.columns)},
+        "results": {"bindings": [json.loads(r.line) for r in lines]},
+    }
