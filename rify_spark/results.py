@@ -27,6 +27,15 @@ Formats:
     :func:`results_json_lines` is the distributed form — one binding
     object per line (JSONL), the shape a 1000-executor export job
     actually wants.
+  * XML (https://www.w3.org/TR/rdf-sparql-XMLres/): the ``<sparql>``
+    document with ``<head>``/``<results>``; each row is one
+    ``<result>`` element whose ``<binding name="...">`` children carry
+    bound variables only (spec §2.3.1 — unbound bindings are omitted).
+    :func:`results_xml_fragments` is the distributed form — one
+    ``<result>`` element per line, built from pure JVM string
+    expressions; :func:`results_xml` assembles the single document
+    driver-side (row-capped, like :func:`results_json`), and
+    :func:`results_xml_ask` emits the boolean document for ASK.
 """
 
 from __future__ import annotations
@@ -38,6 +47,9 @@ __all__ = [
     "results_json",
     "results_json_lines",
     "results_tsv_lines",
+    "results_xml",
+    "results_xml_ask",
+    "results_xml_fragments",
     "write_results_csv",
     "write_results_tsv",
 ]
@@ -127,6 +139,77 @@ def results_json_lines(df: DataFrame) -> DataFrame:
     lines the consumer adds. Encoding is one ``to_json`` JVM projection
     per row."""
     return df.select(F.to_json(_binding_struct(df)).alias("line"))
+
+
+#: the spec's result-set namespace (rdf-sparql-XMLres §2.1)
+XML_NS = "http://www.w3.org/2005/sparql-results#"
+
+
+def _xml_escape(col):
+    """XML character-data escaping for a term lexeme: ``&`` first (so
+    the entities it introduces survive), then the angle brackets. Quotes
+    need no escaping in element content, and the lexeme space cannot
+    contain the literal entities this would double-escape."""
+    esc = F.replace(col, F.lit("&"), F.lit("&amp;"))
+    esc = F.replace(esc, F.lit("<"), F.lit("&lt;"))
+    return F.replace(esc, F.lit(">"), F.lit("&gt;"))
+
+
+def results_xml_fragments(df: DataFrame) -> DataFrame:
+    """The distributed XML form: one ``<result>`` element per line
+    (column ``line``) — the body of the document's ``<results>``
+    element, built from pure JVM ``concat``/``replace`` expressions.
+    The enclosing ``<sparql>``/``<head>`` framing is constant text the
+    consumer (or :func:`results_xml`) adds; write with
+    ``.write.text(path)`` for an executor-streamed export."""
+    parts = []
+    for c in df.columns:
+        parts.append(
+            F.when(
+                F.col(c).isNotNull(),
+                F.concat(
+                    F.lit(f'<binding name="{c}"><literal>'),
+                    _xml_escape(F.col(c)),
+                    F.lit("</literal></binding>"),
+                ),
+            ).otherwise(F.lit(""))
+        )
+    return df.select(
+        F.concat(F.lit("<result>"), *parts, F.lit("</result>")).alias("line")
+    )
+
+
+def results_xml(df: DataFrame, max_rows: int = 100_000) -> str:
+    """The single-document W3C XML results form (rdf-sparql-XMLres),
+    assembled driver-side (it IS one document — a multi-part distributed
+    write cannot be one well-formed XML file). Row-capped like
+    :func:`results_json`; use :func:`results_xml_fragments` +
+    ``.write.text(path)`` for result sets that should never transit the
+    driver."""
+    rows = results_xml_fragments(df).limit(max_rows + 1).collect()
+    if len(rows) > max_rows:
+        raise ValueError(
+            f"result exceeds max_rows={max_rows}; use "
+            "results_xml_fragments for a distributed export"
+        )
+    head = "".join(f'<variable name="{c}"/>' for c in df.columns)
+    body = "".join(r.line for r in rows)
+    return (
+        '<?xml version="1.0"?>\n'
+        f'<sparql xmlns="{XML_NS}">'
+        f"<head>{head}</head><results>{body}</results></sparql>"
+    )
+
+
+def results_xml_ask(value: bool) -> str:
+    """The boolean (ASK) XML results document (spec §2.2: ``<boolean>``
+    replaces ``<results>``; the lexical forms are ``true``/``false``)."""
+    return (
+        '<?xml version="1.0"?>\n'
+        f'<sparql xmlns="{XML_NS}">'
+        f"<head></head><boolean>{'true' if value else 'false'}</boolean>"
+        "</sparql>"
+    )
 
 
 def results_json(df: DataFrame, max_rows: int = 100_000) -> dict:

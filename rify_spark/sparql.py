@@ -135,7 +135,10 @@ Supported subset (documented contract, errors otherwise):
     -> ""/the whole string, missing needle -> ""), ``REPLACE(s, "pat",
     "rep")`` (GLOBAL regex replace, Java flavor — the regex()
     divergence; pattern/replacement must be string literals), ``MD5`` /
-    ``SHA256`` (lowercase hex over the UTF-8 bytes), ``IF(cond, then,
+    ``SHA1`` / ``SHA256`` / ``SHA384`` / ``SHA512`` (lowercase hex over
+    the UTF-8 bytes), ``ABS`` (the integer-lexeme numeric model),
+    ``ENCODE_FOR_URI`` (RFC 3986 percent-encoding, uppercase hex —
+    Java URLEncoder patched for the unreserved set), ``IF(cond, then,
     else)`` (cond is a FILTER boolean tree; an errored condition makes
     the IF an error per §17.4.1.2 — bare-variable EBV coercion stays
     out of subset), and integer ``+``/``-`` arithmetic (operands
@@ -1222,10 +1225,14 @@ class _Parser:
     _EXPR_FUNCS = {
         "CONCAT", "COALESCE", "STR", "UCASE", "LCASE", "STRLEN", "SUBSTR",
         "STRBEFORE", "STRAFTER", "REPLACE", "MD5", "SHA256",
+        "ABS", "SHA1", "SHA384", "SHA512", "ENCODE_FOR_URI",
         "IF",  # parsed by its own scalar_atom branch (boolean first arg);
         # listed here so SELECT items route (IF(...) AS ?v) to scalar_expr
     }
-    _EXPR_UNARY = {"STR", "UCASE", "LCASE", "STRLEN", "MD5", "SHA256"}
+    _EXPR_UNARY = {
+        "STR", "UCASE", "LCASE", "STRLEN", "MD5", "SHA256",
+        "ABS", "SHA1", "SHA384", "SHA512", "ENCODE_FOR_URI",
+    }
     _EXPR_BINARY = {"STRBEFORE", "STRAFTER"}
 
     def scalar_expr(self):
@@ -1583,6 +1590,32 @@ def _scalar_column(expr, bound: set, maybe: set):
             return F.md5(s(e.args[0]).cast("binary"))
         if e.name == "SHA256":
             return F.sha2(s(e.args[0]).cast("binary"), 256)
+        if e.name == "SHA1":
+            # lowercase hex, spec §17.4.4.4; unit-tested against
+            # hashlib (this DuckDB build has no sha1, so no gate twin)
+            return F.sha1(s(e.args[0]).cast("binary"))
+        if e.name in ("SHA384", "SHA512"):
+            return F.sha2(s(e.args[0]).cast("binary"), int(e.name[3:]))
+        if e.name == "ABS":
+            # numeric function over the integer-lexeme model (the
+            # arithmetic contract): try_cast to BIGINT — a non-integer
+            # lexeme nulls the result (error-semantics) — rendered back
+            # as the decimal lexeme. SQL twin
+            # CAST(ABS(TRY_CAST(x AS BIGINT)) AS VARCHAR).
+            return F.abs(s(e.args[0]).try_cast("long")).cast("string")
+        if e.name == "ENCODE_FOR_URI":
+            # spec §17.4.3.12: percent-encode everything outside RFC 3986
+            # unreserved (ALPHA / DIGIT / '-' / '.' / '_' / '~'),
+            # uppercase hex over the UTF-8 bytes. Spark's url_encode is
+            # Java URLEncoder (form encoding), patched to RFC 3986: '+'
+            # (its space form; a literal '+' already left as %2B) back to
+            # %20, raw '*' (left unescaped) to %2A, and %7E (it escapes
+            # '~') back to '~' — each replace provably unambiguous
+            # because the pre-image cannot survive the encoder.
+            enc = F.url_encode(s(e.args[0]))
+            enc = F.replace(enc, F.lit("+"), F.lit("%20"))
+            enc = F.replace(enc, F.lit("*"), F.lit("%2A"))
+            return F.replace(enc, F.lit("%7E"), F.lit("~"))
         raise AssertionError(e.name)
 
     def can_null(e):
@@ -3352,6 +3385,35 @@ def sparql_scalar_funcs_sql() -> str:
              regexp_replace('cust:' || c_custkey, 'cust:', 'c-', 'g')
                AS cid
       FROM customer
+    """
+
+
+# ABS over the integer-lexeme arithmetic model: per-customer distance of
+# the nation key from a pivot, filtered numerically — all pure JVM
+# expressions (try_cast / abs / cast), DuckDB twin shares the pivot
+GATE_NUMERIC_FUNCS = """
+  SELECT ?cust ?nkey ?d WHERE {
+    GRAPH <graph://tpch> { ?cust <in_nation> ?nation }
+    BIND(STRAFTER(?nation, ":") AS ?nkey)
+    BIND(ABS(?nkey - 12) AS ?d)
+    FILTER (?d < 9)
+  }
+"""
+
+
+def sparql_numeric_funcs_gate(spark, sf_dir: str) -> DataFrame:
+    from .ops.quads import tpch_quads
+
+    return sparql_select(tpch_quads(spark, sf_dir), GATE_NUMERIC_FUNCS)
+
+
+def sparql_numeric_funcs_sql() -> str:
+    return """
+      SELECT 'cust:' || c_custkey AS cust,
+             CAST(c_nationkey AS VARCHAR) AS nkey,
+             CAST(ABS(c_nationkey - 12) AS VARCHAR) AS d
+      FROM customer
+      WHERE ABS(c_nationkey - 12) < 9
     """
 
 

@@ -13,6 +13,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from rify_spark.results import (  # noqa: E402
     results_json,
+    results_xml,
+    results_xml_ask,
+    results_xml_fragments,
     results_json_lines,
     results_tsv_lines,
     write_results_csv,
@@ -130,3 +133,56 @@ def test_end_to_end_from_sparql_optional(spark):
         "x": {"type": "literal", "value": "b"},
         "age": {"type": "literal", "value": "30"},
     } in binds
+
+
+def test_xml_fragments_escape_and_omit_unbound(solutions):
+    lines = {r.line for r in results_xml_fragments(solutions).collect()}
+    # unbound -> the binding element is omitted entirely (spec §2.3.1)
+    assert (
+        '<result><binding name="a"><literal>carol</literal></binding>'
+        "</result>" in lines
+    )
+    hard = next(line for line in lines if "say" in line)
+    # raw tab/newline are legal XML character data; quotes untouched
+    assert '<literal>say "hi", ok\tnow\nbye\\</literal>' in hard
+
+
+def test_xml_fragment_escapes_markup(spark):
+    df = spark.createDataFrame([("<b> & </b>",)], "a string")
+    (row,) = results_xml_fragments(df).collect()
+    assert "&lt;b&gt; &amp; &lt;/b&gt;" in row.line
+    assert "<b>" not in row.line
+
+
+def test_xml_document_parses_and_round_trips(solutions):
+    import xml.etree.ElementTree as ET
+
+    root = ET.fromstring(results_xml(solutions))
+    ns = {"sr": "http://www.w3.org/2005/sparql-results#"}
+    assert [v.get("name") for v in root.findall("sr:head/sr:variable", ns)] == [
+        "a",
+        "b",
+    ]
+    results = root.findall("sr:results/sr:result", ns)
+    assert len(results) == 3
+    got = {
+        tuple(
+            (b.get("name"), b.find("sr:literal", ns).text)
+            for b in res.findall("sr:binding", ns)
+        )
+        for res in results
+    }
+    assert (("a", "carol"),) in got  # b omitted
+    assert (("a", "alice"), ("b", "bob")) in got
+    assert (("a", 'say "hi", ok\tnow\nbye\\'), ("b", "x")) in got
+
+
+def test_xml_row_cap_and_ask(solutions):
+    import xml.etree.ElementTree as ET
+
+    with pytest.raises(ValueError, match="max_rows"):
+        results_xml(solutions, max_rows=2)
+    ns = {"sr": "http://www.w3.org/2005/sparql-results#"}
+    for value, lex in ((True, "true"), (False, "false")):
+        root = ET.fromstring(results_xml_ask(value))
+        assert root.find("sr:boolean", ns).text == lex

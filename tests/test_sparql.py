@@ -1668,3 +1668,56 @@ def test_from_dataset_clauses(spark):
     # subqueries reject dataset clauses
     with pytest.raises(SparqlParseError, match="top-level"):
         _run(df, "SELECT ?s WHERE { { SELECT ?s FROM <g1> WHERE { ?s <p> ?v } } }")
+
+
+def test_sha_family_matches_hashlib(quads):
+    import hashlib
+
+    q = """
+      SELECT ?x ?h1 ?h384 ?h512 WHERE {
+        GRAPH <g1> { ?x <knows> ?y }
+        BIND(SHA1(?x) AS ?h1)
+        BIND(SHA384(?x) AS ?h384)
+        BIND(SHA512(?x) AS ?h512)
+      }
+    """
+    got = _run(quads, q)
+    exp = [
+        (
+            x,
+            hashlib.sha1(x.encode()).hexdigest(),
+            hashlib.sha384(x.encode()).hexdigest(),
+            hashlib.sha512(x.encode()).hexdigest(),
+        )
+        for x in ("a", "b")
+    ]
+    assert got == exp
+
+
+def test_abs_integer_model_and_error_semantics(quads):
+    # age lexeme "3": ABS(3 - 10) = 7; a non-integer lexeme ("a") nulls
+    q = """
+      SELECT ?x ?d ?bad WHERE {
+        ?x <age> ?n
+        BIND(ABS(?n - 10) AS ?d)
+        BIND(ABS(?x) AS ?bad)
+      }
+    """
+    assert _run(quads, q) == [("a", "7", None)]
+
+
+def test_encode_for_uri_matches_rfc3986(spark):
+    from urllib.parse import quote
+
+    hard = "Los Angeles~*+%/ü?&=#.b-_c"
+    quads = spark.createDataFrame(
+        [("s", "label", hard, "default_graph")],
+        "s string, p string, o string, g string",
+    )
+    q = """
+      SELECT ?e WHERE { ?s <label> ?o BIND(ENCODE_FOR_URI(?o) AS ?e) }
+    """
+    (row,) = sparql_select(quads, q).collect()
+    # spec §17.4.3.12 == urllib quote with nothing safe (RFC 3986
+    # unreserved set, uppercase hex)
+    assert row.e == quote(hard, safe="")
