@@ -1259,6 +1259,18 @@ class _Parser:
         if kind == "num":
             self.next()
             return NumConst(int(tok))
+        if kind == "op" and tok == "-":
+            # unary minus on an integer literal (the tokenizer keeps
+            # '-' a bare op so binary minus still lexes; negation binds
+            # to the literal only — SPARQL's signed NumericLiteral)
+            self.next()
+            kind2, tok2 = self.peek()
+            if kind2 != "num":
+                raise SparqlParseError(
+                    "unary '-' is supported on integer literals only"
+                )
+            self.next()
+            return NumConst(-int(tok2))
         if kind == "kw" and tok.upper() == "IF":
             # IF(boolean, then, else): the condition uses the FILTER
             # boolean grammar, the branches the scalar grammar
@@ -1399,6 +1411,14 @@ class _Parser:
                         f"unsupported HAVING operator {op!r}"
                     )
                 kind, tok = self.next()
+                if kind == "op" and tok == "-":
+                    kind, tok = self.next()
+                    if kind != "num":
+                        raise SparqlParseError(
+                            "unary '-' is supported on integer "
+                            "literals only"
+                        )
+                    kind, tok = "num", f"-{tok}"
                 if kind == "num":
                     val = int(tok)
                     if agg.func not in ("COUNT", "SUM", "AVG"):
@@ -2277,14 +2297,22 @@ def _var_order(q: _Parser) -> list:
     return seen
 
 
-def _agg_column(agg: Agg, sol: _Sol, name: str):
+def _agg_column(agg: Agg, sol: _Sol, name: str, implicit_group=False):
     """One aggregate -> a Spark aggregate expression aliased ``name``.
 
     COUNT counts non-null (non-unbound) bindings — SPARQL's
     skip-the-errors semantics is exactly Spark's null-skipping; SUM casts
     the opaque string lexeme to BIGINT (non-integer lexemes -> NULL,
     skipped; SQL twin: SUM(TRY_CAST(v AS BIGINT))); MIN/MAX compare
-    lexicographically (binary collation in both engines)."""
+    lexicographically (binary collation in both engines).
+
+    ``implicit_group``: the no-GROUP-BY form aggregates the whole
+    solution set as one group, which unlike a real group can be EMPTY —
+    and SPARQL defines Sum({}) = 0 (spec §18.5.1.5, vs SQL's NULL), so
+    the implicit-group SUM coalesces. The twin for an implicit-group
+    SUM is therefore COALESCE(SUM(...), 0). MIN/MAX/AVG of an empty
+    group error (stay unbound) in both models, and GROUP_CONCAT already
+    guards on COUNT > 0."""
     if agg.var is not None and agg.var not in sol.bound:
         raise SparqlParseError(
             f"aggregate variable ?{agg.var} not bound in the pattern"
@@ -2311,6 +2339,8 @@ def _agg_column(agg: Agg, sol: _Sol, name: str):
         # lexeme; the contract is NULL -> skipped (TRY_CAST in the twin)
         c = val.try_cast("long")
         e = F.sum_distinct(c) if agg.distinct else F.sum(c)
+        if implicit_group:
+            e = F.coalesce(e, F.lit(0).cast("long"))
         return e.alias(name)
     if agg.func == "AVG":
         # the one non-string, non-integer aggregate output: a DOUBLE
@@ -2337,6 +2367,11 @@ def _agg_column(agg: Agg, sol: _Sol, name: str):
         # an all-null group yields NULL, matching string_agg
         arr = F.collect_set(val) if agg.distinct else F.collect_list(val)
         joined = F.array_join(F.array_sort(arr), agg.sep)
+        if implicit_group:
+            # GroupConcat({}) = "" (spec §18.5.1.7); only the implicit
+            # group can be empty, and collect_list already yields [] ->
+            # "" there. Twin: COALESCE(string_agg(...), '').
+            return joined.alias(name)
         return F.when(F.count(val) > 0, joined).alias(name)
     # MIN/MAX compare lexicographically; SAMPLE must pick SOME value and
     # picking the minimum keeps it deterministic (and SQL-twinnable).
@@ -2387,13 +2422,15 @@ def _aggregate(sol: _Sol, q: _Parser) -> DataFrame:
                     f"aggregate alias ?{it.alias} collides with a "
                     "GROUP BY variable"
                 )
-            exprs.append(_agg_column(it, sol, it.alias))
+            exprs.append(
+                _agg_column(it, sol, it.alias, not q.group_by)
+            )
             by_key[it.key] = it.alias
     hidden = []
     for agg, _op, _val in q.having:
         if agg.key not in by_key:
             name = f"__h{len(hidden)}"
-            exprs.append(_agg_column(agg, sol, name))
+            exprs.append(_agg_column(agg, sol, name, not q.group_by))
             by_key[agg.key] = name
             hidden.append(name)
     if exprs:
@@ -3505,8 +3542,8 @@ def sparql_agg_expr_gate(spark, sf_dir: str) -> DataFrame:
 def sparql_agg_expr_sql() -> str:
     return """
       SELECT 'nation:' || c.c_nationkey AS nation,
-             SUM(CAST(FLOOR(o.o_totalprice * 100) AS BIGINT) - 1000000)
-               AS excess,
+             CAST(SUM(CAST(FLOOR(o.o_totalprice * 100) AS BIGINT)
+                      - 1000000) AS BIGINT) AS excess,
              CAST(COUNT(DISTINCT 'cust:' || c.c_custkey || '#' ||
                         'nation:' || c.c_nationkey) AS BIGINT) AS nc,
              MIN(CAST(LENGTH(CAST(CAST(FLOOR(o.o_totalprice * 100)
@@ -3564,7 +3601,7 @@ def sparql_group_expr_sql() -> str:
     return """
       SELECT CAST(LENGTH(lex) AS VARCHAR) AS k,
              CAST(COUNT(*) AS BIGINT) AS n,
-             SUM(CAST(lex AS BIGINT)) AS tot
+             CAST(SUM(CAST(lex AS BIGINT)) AS BIGINT) AS tot
       FROM (
         SELECT CAST(CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS VARCHAR)
                  AS lex

@@ -1721,3 +1721,37 @@ def test_encode_for_uri_matches_rfc3986(spark):
     # spec §17.4.3.12 == urllib quote with nothing safe (RFC 3986
     # unreserved set, uppercase hex)
     assert row.e == quote(hard, safe="")
+
+
+def test_negative_integer_literals(quads):
+    # signed NumericLiteral in FILTER comparisons and BIND arithmetic
+    q = """
+      SELECT ?x ?d WHERE {
+        ?x <age> ?n
+        BIND(?n - 5 AS ?d)
+        FILTER (?d > -3 && ?d < -1)
+      }
+    """
+    assert _run(quads, q) == [("a", "-2")]
+    # negation binds to integer literals only (no term negation)
+    with pytest.raises(SparqlParseError, match="unary '-'"):
+        _run(quads, "SELECT ?d WHERE { ?x <age> ?n BIND(-?n AS ?d) }")
+
+
+def test_having_negative_constant(quads):
+    q = """
+      SELECT ?x (SUM(?n) AS ?s) WHERE { ?x <age> ?n }
+      GROUP BY ?x HAVING (SUM(?n) > -1)
+    """
+    assert _run(quads, q) == [("a", 3)]
+
+
+def test_empty_implicit_group_aggregates(quads):
+    # SPARQL defines Sum({}) = 0 and GroupConcat({}) = "" over the
+    # implicit (no GROUP BY) group — unlike SQL's NULL
+    q = """
+      SELECT (COUNT(*) AS ?n) (SUM(?v) AS ?s)
+             (GROUP_CONCAT(?v) AS ?c) (MIN(?v) AS ?lo)
+      WHERE { ?x <no_such_predicate> ?v }
+    """
+    assert _run(quads, q) == [(0, 0, "", None)]
