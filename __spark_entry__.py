@@ -591,6 +591,12 @@ def _q_sparql_scalar_funcs(spark, sf_dir):
     return sparql_scalar_funcs_gate(spark, sf_dir)
 
 
+def _q_sparql_optional_cond(spark, sf_dir):
+    from rify_spark.sparql import sparql_optional_cond_gate
+
+    return sparql_optional_cond_gate(spark, sf_dir)
+
+
 def _q_sparql_numeric_funcs(spark, sf_dir):
     from rify_spark.sparql import sparql_numeric_funcs_gate
 
@@ -771,6 +777,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_scalar_funcs": _q_sparql_scalar_funcs,
         # numeric built-ins: ABS over the integer-lexeme model
         "sparql_numeric_funcs": _q_sparql_numeric_funcs,
+        # OPTIONAL filter over an outer var = the LeftJoin condition
+        "sparql_optional_cond": _q_sparql_optional_cond,
         # negated property sets !(p | ^q)
         "sparql_nps": _q_sparql_nps,
         # AVG aggregate (double output, cross-engine deterministic)
@@ -962,6 +970,7 @@ def oracle_sql() -> dict[str, str]:
         "sparql_filter_compound": _sparql_sql("sparql_filter_compound_sql"),
         "sparql_scalar_funcs": _sparql_sql("sparql_scalar_funcs_sql"),
         "sparql_numeric_funcs": _sparql_sql("sparql_numeric_funcs_sql"),
+        "sparql_optional_cond": _sparql_sql("sparql_optional_cond_sql"),
         "sparql_nps": _sparql_sql("sparql_nps_sql"),
         "sparql_avg": _sparql_sql("sparql_avg_sql"),
         "sparql_update": _update_sql(),

@@ -1507,9 +1507,12 @@ def _compile_bgp(patterns: list) -> tuple[LoweredRule, list]:
     return lrule, names
 
 
-def _scalar_column(expr, bound: set, maybe: set):
+def _scalar_column(expr, bound: set, maybe: set, colf=F.col):
     """Compile a BIND / SELECT scalar expression to a string-typed Spark
     Column over a solution relation whose columns are ``bound``.
+    ``colf`` resolves a variable name to its Column — the default is the
+    relation's own column; the deferred-OPTIONAL-filter path passes a
+    resolver over the two-sided pre-merge join namespace.
 
     Returns ``(column, can_be_null)``. The engine's term space is opaque
     strings (reference src/translator.rs generic Bound), so every
@@ -1543,7 +1546,7 @@ def _scalar_column(expr, bound: set, maybe: set):
                 raise SparqlParseError(
                     f"?{e.name} is not in scope in this expression"
                 )
-            return F.col(e.name)
+            return colf(e.name)
         if isinstance(e, Const):
             return F.lit(e.value)
         if isinstance(e, NumConst):
@@ -1551,7 +1554,7 @@ def _scalar_column(expr, bound: set, maybe: set):
         if isinstance(e, EArith):
             return num(e).cast("string")
         if isinstance(e, EIf):
-            c = _condition_column(e.cond, bound, maybe)
+            c = _condition_column(e.cond, bound, maybe, colf)
             # no otherwise: a NULL (errored) condition -> NULL result,
             # SPARQL's IF error semantics (§17.4.1.2)
             return F.when(c, s(e.then)).when(~c, s(e.other))
@@ -1902,14 +1905,22 @@ class _Eval:
         )
         return _Sol(df, sol.bound, sol.maybe)
 
-    def join(self, a: _Sol, b: _Sol, how: str) -> _Sol:
+    def join(self, a: _Sol, b: _Sol, how: str, filters=None) -> _Sol:
         shared = sorted(a.bound & b.bound)
         if shared:
             a = self._lexeme_cast(a, set(shared))
             b = self._lexeme_cast(b, set(shared))
         maybe_shared = [v for v in shared if v in a.maybe or v in b.maybe]
         sure = [v for v in shared if v not in maybe_shared]
-        if shared and not maybe_shared:
+        if filters:
+            # OPTIONAL with deferred filters: the spec's LeftJoin
+            # condition — match only when the shared keys agree AND the
+            # filter holds over the merged row; a left row with no such
+            # partner survives alone (nulls on the right). With no shared
+            # variable the filter itself is the only join condition (a
+            # conditioned nested-loop — stated, not hidden).
+            df = self._filtered_left_join(a, b, sure, maybe_shared, filters)
+        elif shared and not maybe_shared:
             df = a.df.join(b.df, on=shared, how=how)
         elif shared:
             df = self._compat_join(a.df, b.df, sure, maybe_shared, how)
@@ -1930,6 +1941,62 @@ class _Eval:
         if how == "left":
             maybe |= b.bound - set(shared)
         return _Sol(df, a.bound | b.bound, maybe)
+
+    def _filtered_left_join(
+        self, a: _Sol, b: _Sol, sure: list, maybe_shared: list,
+        filters: list,
+    ) -> DataFrame:
+        """LeftJoin(A, B, expr) — spec §18.2.2.2: a FILTER written inside
+        an OPTIONAL group that references variables bound OUTSIDE it is
+        part of the left-join condition, not a post-join filter (the two
+        differ exactly on the rows the condition rejects: they must come
+        back as left-side rows with an unbound right side).
+
+        Shape: B's shared columns rename to ``__r_*`` so both sides stay
+        addressable; the join condition is the equi/compat key agreement
+        AND the compiled filters, with variables resolved over the merged
+        namespace (a maybe-shared variable reads ``coalesce(a, b)``, a
+        sure-shared one reads the A side — equal under the key
+        condition). When a definitely-bound shared key exists Catalyst
+        still plans a hash join with the filters as post-match join
+        conditions — the at-scale shape."""
+        shared = sure + maybe_shared
+        ren = {v: f"__r_{v}" for v in shared}
+        right = b.df
+        for v, rv in ren.items():
+            right = right.withColumnRenamed(v, rv)
+        merged_bound = a.bound | b.bound
+        merged_maybe = a.maybe | b.maybe
+
+        def colf(name):
+            if name in maybe_shared:
+                return F.coalesce(F.col(name), F.col(ren[name]))
+            # sure-shared -> the A side (equal under the key condition);
+            # A-only and B-only names are unambiguous after the rename
+            return F.col(name)
+
+        conds = [F.col(v) == F.col(ren[v]) for v in sure]
+        conds += [
+            F.col(v).isNull()
+            | F.col(ren[v]).isNull()
+            | (F.col(v) == F.col(ren[v]))
+            for v in maybe_shared
+        ]
+        conds += [
+            _condition_column(f, merged_bound, merged_maybe, colf)
+            for f in filters
+        ]
+        cond = conds[0]
+        for c in conds[1:]:
+            cond = cond & c
+        df = a.df.join(right, cond, "left")
+        merged = [
+            F.coalesce(F.col(v), F.col(ren[v])).alias(v)
+            for v in maybe_shared
+        ]
+        drop = set(ren.values()) | set(maybe_shared)
+        keep = [c for c in df.columns if c not in drop]
+        return df.select(*[F.col(c) for c in keep], *merged)
 
     def _compat_join(
         self, left: DataFrame, right: DataFrame,
@@ -2072,7 +2139,11 @@ class _Eval:
             )
         return _Sol(df, acc.bound, acc.maybe)
 
-    def group(self, node: Group) -> _Sol:
+    def group(self, node: Group, defer: list | None = None) -> _Sol:
+        """Evaluate one group. ``defer`` (OPTIONAL bodies only): filters
+        referencing variables not bound in this group are appended to it
+        instead of raising — the caller folds them into the LeftJoin
+        condition."""
         acc: _Sol | None = None
         for e in node.elems:
             if isinstance(e, Opt):
@@ -2080,7 +2151,17 @@ class _Eval:
                     raise SparqlParseError(
                         "OPTIONAL cannot be the first element of a group"
                     )
-                acc = self.join(acc, self.group(e.node), "left")
+                # FILTERs inside the OPTIONAL group that reference
+                # variables NOT bound inside it are the spec's LeftJoin
+                # condition (§18.2.2.2): they defer out of the group and
+                # evaluate over the merged pre-join namespace. Filters
+                # fully bound inside stay in-group — LeftJoin(A, Filter
+                # (e, B), true) == LeftJoin(A, B, e) when e's domain is
+                # within B, so that path is unchanged (and stays a plain
+                # equi left join).
+                deferred: list = []
+                s = self.group(e.node, deferred)
+                acc = self.join(acc, s, "left", deferred or None)
                 continue
             if isinstance(e, Minus):
                 if acc is None:
@@ -2155,6 +2236,11 @@ class _Eval:
                     minus=False,
                 )
                 continue
+            if defer is not None:
+                fv = _cond_vars(entry)
+                if fv is not None and not fv <= acc.bound:
+                    defer.append(entry)
+                    continue
             cond = self._filter_condition(entry, acc)
             acc = _Sol(acc.df.filter(cond), acc.bound, acc.maybe)
         return acc
@@ -2164,13 +2250,14 @@ class _Eval:
         return _condition_column(entry, acc.bound, acc.maybe)
 
 
-def _condition_column(entry, bound: set, maybe: set):
+def _condition_column(entry, bound: set, maybe: set, colf=F.col):
     """One FILTER boolean tree node -> a boolean Column over a
     solution relation with the given bound / possibly-unbound variable
-    sets (shared by FILTER evaluation and the scalar IF() condition)."""
+    sets (shared by FILTER evaluation and the scalar IF() condition).
+    ``colf`` resolves variable names to Columns (see _scalar_column)."""
     op, a, b = entry
     if op in ("and", "or"):
-        conds = [_condition_column(c, bound, maybe) for c in a]
+        conds = [_condition_column(c, bound, maybe, colf) for c in a]
         out = conds[0]
         for c in conds[1:]:
             out = (out & c) if op == "and" else (out | c)
@@ -2178,7 +2265,7 @@ def _condition_column(entry, bound: set, maybe: set):
     if op == "not":
         # three-valued: ~null is null in Spark == !error = error
         # (spec §17.2), so the FILTER still drops the errored row
-        return ~_condition_column(a, bound, maybe)
+        return ~_condition_column(a, bound, maybe, colf)
     if op in ("in", "!in"):
         # spec §17.4.1.9: IN is the ||-chain of = comparisons, so it
         # inherits the per-comparison numeric switch and null logic
@@ -2190,8 +2277,8 @@ def _condition_column(entry, bound: set, maybe: set):
             numeric = isinstance(
                 a, (NumConst, EArith)
             ) or isinstance(item, (NumConst, EArith))
-            ca = _scalar_column(a, bound, maybe)[0]
-            ci = _scalar_column(item, bound, maybe)[0]
+            ca = _scalar_column(a, bound, maybe, colf)[0]
+            ci = _scalar_column(item, bound, maybe, colf)[0]
             if numeric:
                 ca, ci = ca.try_cast("long"), ci.try_cast("long")
             c = ca == ci
@@ -2214,31 +2301,31 @@ def _condition_column(entry, bound: set, maybe: set):
         if isinstance(t, NumConst):
             return F.lit(t.value)
         if isinstance(t, Var):
-            c = F.col(t.name)
+            c = colf(t.name)
             return c.try_cast("long") if numeric else c
         if isinstance(t, Const):
             c = F.lit(t.value)
             return c.try_cast("long") if numeric else c
         # a composite scalar expression (EFunc / EArith)
-        c, _ = _scalar_column(t, bound, maybe)
+        c, _ = _scalar_column(t, bound, maybe, colf)
         return c.try_cast("long") if numeric else c
 
     if op in ("bound", "!bound"):
         # the OPTIONAL companion: null == unbound in this algebra
-        c = F.col(a.name)
+        c = colf(a.name)
         return c.isNotNull() if op == "bound" else c.isNull()
     if op in ("regex", "!regex"):
         # Java regex flavor (Spark rlike), documented divergence
         # from SPARQL's XPath flavor; null input excludes the row
         # under negation too (error-semantics, like comparisons)
-        cond = F.col(a.name).rlike(b.value)
+        cond = colf(a.name).rlike(b.value)
         return ~cond if op == "!regex" else cond
     base = op.lstrip("!")
     if base in ("strstarts", "strends", "contains"):
         # string tests over scalar expressions; a null (unbound or
         # errored) argument excludes the row under negation too
-        la = _scalar_column(a, bound, maybe)[0]
-        lb = _scalar_column(b, bound, maybe)[0]
+        la = _scalar_column(a, bound, maybe, colf)[0]
+        lb = _scalar_column(b, bound, maybe, colf)[0]
         cond = {
             "strstarts": la.startswith(lb),
             "strends": la.endswith(lb),
@@ -2250,6 +2337,59 @@ def _condition_column(entry, bound: set, maybe: set):
         "=": la == lb, "!=": la != lb, "<": la < lb,
         "<=": la <= lb, ">": la > lb, ">=": la >= lb,
     }[op]
+
+
+def _expr_vars(e):
+    """Variable names a scalar expression references; ``None`` when an
+    embedded IF() condition contains an (NOT) EXISTS (not deferrable —
+    see _cond_vars)."""
+    if isinstance(e, Var):
+        return {e.name}
+    if isinstance(e, (Const, NumConst)):
+        return set()
+    if isinstance(e, EIf):
+        parts = [_cond_vars(e.cond), _expr_vars(e.then), _expr_vars(e.other)]
+    elif isinstance(e, EArith):
+        parts = [_expr_vars(e.lhs), _expr_vars(e.rhs)]
+    else:
+        assert isinstance(e, EFunc), e
+        parts = [_expr_vars(a) for a in e.args]
+    out = set()
+    for p in parts:
+        if p is None:
+            return None
+        out |= p
+    return out
+
+
+def _cond_vars(entry):
+    """Variable names a FILTER boolean tree references, or ``None`` when
+    the tree contains an (NOT) EXISTS — those evaluate as joins against
+    their own group and are never deferred into a LeftJoin condition."""
+    op = entry[0]
+    if op in ("exists", "not_exists"):
+        return None
+    _, a, b = entry
+    if op in ("and", "or"):
+        out = set()
+        for c in a:
+            v = _cond_vars(c)
+            if v is None:
+                return None
+            out |= v
+        return out
+    if op == "not":
+        return _cond_vars(a)
+    out = set()
+    operands = [a] + (list(b) if op in ("in", "!in") else [b])
+    for t in operands:
+        if t is None or isinstance(t, (Const, NumConst)):
+            continue
+        v = _expr_vars(t)
+        if v is None:
+            return None
+        out |= v
+    return out
 
 
 def _var_order(q: _Parser) -> list:
@@ -3422,6 +3562,39 @@ def sparql_scalar_funcs_sql() -> str:
              regexp_replace('cust:' || c_custkey, 'cust:', 'c-', 'g')
                AS cid
       FROM customer
+    """
+
+
+# OPTIONAL with a deferred filter over an outer variable: the LeftJoin
+# condition (spec §18.2.2.2) — per-customer orders above a
+# nation-dependent threshold; a customer with no qualifying order keeps
+# one row with ?o unbound, exactly SQL's LEFT JOIN ... ON extra-condition
+GATE_OPTIONAL_COND = """
+  SELECT ?cust ?nkey ?o WHERE {
+    GRAPH <graph://tpch> { ?cust <in_nation> ?nation }
+    BIND(STRAFTER(?nation, ":") AS ?nkey)
+    OPTIONAL {
+      GRAPH <graph://tpch> { ?o <placed_by> ?cust . ?o <total_cents> ?t }
+      FILTER (?t > 27000000 + ?nkey)
+    }
+  }
+"""
+
+
+def sparql_optional_cond_gate(spark, sf_dir: str) -> DataFrame:
+    return sparql_select(_order_total_quads(spark, sf_dir), GATE_OPTIONAL_COND)
+
+
+def sparql_optional_cond_sql() -> str:
+    return """
+      SELECT 'cust:' || c.c_custkey AS cust,
+             CAST(c.c_nationkey AS VARCHAR) AS nkey,
+             'order:' || o.o_orderkey AS o
+      FROM customer c
+      LEFT JOIN orders o
+        ON o.o_custkey = c.c_custkey
+       AND CAST(FLOOR(o.o_totalprice * 100) AS BIGINT)
+           > 27000000 + c.c_nationkey
     """
 
 

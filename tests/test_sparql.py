@@ -1755,3 +1755,124 @@ def test_empty_implicit_group_aggregates(quads):
       WHERE { ?x <no_such_predicate> ?v }
     """
     assert _run(quads, q) == [(0, 0, "", None)]
+
+
+# --- OPTIONAL filters over outer variables: the LeftJoin condition ---------
+
+
+@pytest.fixture(scope="module")
+def ljquads(spark):
+    return spark.createDataFrame(
+        [
+            ("a", "v", "5", "g"), ("b", "v", "1", "g"),
+            ("c", "v", "x", "g"),
+            ("a", "w", "3", "g"), ("b", "w", "4", "g"),
+            ("c", "w", "9", "g"),
+        ],
+        "s string, p string, o string, g string",
+    )
+
+
+def test_optional_filter_on_outer_var_is_leftjoin_condition(ljquads):
+    # spec §18.2.2.2: the filter references ?vv from OUTSIDE the
+    # OPTIONAL, so it is part of the left-join condition — a row whose
+    # candidate fails the condition comes back with ?wv UNBOUND, not
+    # dropped (the post-join-filter reading would kill x=b entirely).
+    # the `+ 0` switches the comparison numeric; x=c: ?vv = "x" is a
+    # non-integer lexeme -> the comparison errors (null) -> no match ->
+    # survives with ?wv unbound (three-valued).
+    q = """
+      SELECT ?x ?wv WHERE {
+        GRAPH <g> { ?x <v> ?vv }
+        OPTIONAL { GRAPH <g> { ?x <w> ?wv } FILTER(?wv < ?vv + 0) }
+      }
+    """
+    assert _run(ljquads, q) == [("a", "3"), ("b", None), ("c", None)]
+    # var-vs-var comparison is LEXICOGRAPHIC (the opaque-term
+    # contract): "9" < "x", so x=c now matches
+    q2 = """
+      SELECT ?x ?wv WHERE {
+        GRAPH <g> { ?x <v> ?vv }
+        OPTIONAL { GRAPH <g> { ?x <w> ?wv } FILTER(?wv < ?vv) }
+      }
+    """
+    assert _run(ljquads, q2) == [("a", "3"), ("b", None), ("c", "9")]
+
+
+def test_optional_filter_inner_bound_still_in_group(ljquads):
+    # a filter fully bound INSIDE the optional group is equivalent
+    # either way (LeftJoin(A, Filter(e,B), true) == LeftJoin(A, B, e)
+    # when dom(e) is inside B) and stays the plain equi left join
+    q = """
+      SELECT ?x ?wv WHERE {
+        GRAPH <g> { ?x <v> ?vv }
+        OPTIONAL { GRAPH <g> { ?x <w> ?wv } FILTER(?wv > 3) }
+      }
+    """
+    assert _run(ljquads, q) == [("a", None), ("b", "4"), ("c", "9")]
+
+
+def test_optional_connected_only_by_filter(ljquads):
+    # no shared variable: the deferred filter IS the join condition
+    # (without one this shape is rejected — test above); every (z, wv)
+    # with wv < vv attaches, b/c (vv=1 / non-integer) get unbound arms
+    q = """
+      SELECT ?x ?z ?wv WHERE {
+        GRAPH <g> { ?x <v> ?vv }
+        OPTIONAL { GRAPH <g> { ?z <w> ?wv } FILTER(?wv < ?vv + 0) }
+      }
+    """
+    assert _run(ljquads, q) == [
+        ("a", "a", "3"), ("a", "b", "4"), ("b", None, None),
+        ("c", None, None),
+    ]
+
+
+def test_optional_filter_outer_var_with_expression(ljquads):
+    # scalar expressions in the deferred filter resolve over the merged
+    # namespace: STRLEN of the inner value vs outer arithmetic
+    q = """
+      SELECT ?x ?wv WHERE {
+        GRAPH <g> { ?x <v> ?vv }
+        OPTIONAL { GRAPH <g> { ?x <w> ?wv } FILTER(?wv - ?vv = 3) }
+      }
+    """
+    # b: 4-1=3 matches; a: 3-5=-2 no; c: error no
+    assert _run(ljquads, q) == [("a", None), ("b", "4"), ("c", None)]
+
+
+def test_optional_filter_var_bound_nowhere_still_raises(ljquads):
+    q = """
+      SELECT ?x WHERE {
+        GRAPH <g> { ?x <v> ?vv }
+        OPTIONAL { GRAPH <g> { ?x <w> ?wv } FILTER(?nope < ?vv) }
+      }
+    """
+    with pytest.raises(SparqlParseError, match="nope"):
+        _run(ljquads, q)
+
+
+def test_optional_filter_on_maybe_shared_var(ljquads, spark):
+    # the deferred filter composes with compatible-mappings machinery:
+    # ?wv is possibly-unbound going INTO the second OPTIONAL (it came
+    # from a first OPTIONAL), and the deferred filter reads the merged
+    # coalesce of the shared variable
+    quads = spark.createDataFrame(
+        [
+            ("a", "v", "5", "g"), ("b", "v", "9", "g"),
+            ("a", "w", "7", "g"),
+            ("7", "u", "6", "g"), ("9", "u", "8", "g"),
+        ],
+        "s string, p string, o string, g string",
+    )
+    q = """
+      SELECT ?x ?wv ?uv WHERE {
+        GRAPH <g> { ?x <v> ?vv }
+        OPTIONAL { GRAPH <g> { ?x <w> ?wv } }
+        OPTIONAL { GRAPH <g> { ?wv <u> ?uv } FILTER(?uv > ?vv) }
+      }
+    """
+    # x=a: wv=7, u-edge 7->6, 6 > 5 fails? 6 > 5 true -> uv=6
+    # x=b: wv unbound -> compatible with any u subject; u-edges (7,6),
+    # (9,8): filter uv > 9 -> 6,8 both fail -> unbound arm
+    assert _run(quads, q) == [("a", "7", "6"), ("b", None, None)]
