@@ -632,6 +632,38 @@ def main() -> None:
         )
     )
 
+    from rify_spark.sparql import sparql_optional_cond_gate
+
+    oc_exec = (
+        sparql_optional_cond_gate(spark, SF_DIR)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    sections.append(("sparql_optional_cond", oc_exec[:4000]))
+    checks.append(
+        (
+            "sparql_optional_cond",
+            "deferred OPTIONAL filter = LeftOuter HASH join on the "
+            "shared key with the condition as a join filter (no "
+            "cartesian, no post-join filter node for it)",
+            bool(
+                re.search(
+                    r"(SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin)"
+                    r".*LeftOuter",
+                    oc_exec,
+                )
+            )
+            and "Cartesian" not in oc_exec
+            and "BroadcastNestedLoop" not in oc_exec,
+        )
+    )
+    checks.append(
+        (
+            "sparql_optional_cond",
+            "LeftJoin condition evaluates JVM-side (no Python eval)",
+            not re.search(r"(BatchEvalPython|ArrowEvalPython)", oc_exec),
+        )
+    )
+
     lines = ["# PLANS — physical-plan audit", ""]
     lines.append("| query | property | status |")
     lines.append("|---|---|---|")
