@@ -92,12 +92,25 @@ def main() -> None:
     # JVM/codegen warmup on a trivial job so q1 isn't charged for startup
     spark.range(1_000_000).selectExpr("sum(id)").collect()
 
+    def _steal_jiffies() -> int:
+        # /proc/stat cpu field 8: jiffies this VM was runnable but the
+        # hypervisor ran a neighbor — the window-quality signal (walls on
+        # this box have varied 3-4x between quiet and stolen windows)
+        try:
+            with open("/proc/stat") as f:
+                return int(f.readline().split()[8])
+        except Exception:
+            return 0
+
     times: dict = {}
     rows: dict = {}
+    steal0, wall0 = _steal_jiffies(), time.time()
     for name, fn in headline.items():
         t0 = time.time()
         rows[name] = _force(fn(spark, SF_DIR))
         times[name] = round(time.time() - t0, 3)
+    steal = _steal_jiffies() - steal0
+    steal_per_cpu_s = steal / 100.0 / max(time.time() - wall0, 1e-9) / CPUS
 
     total = round(sum(times.values()), 3)
     sf = SF_DIR.rstrip("/").split("sf")[-1]
@@ -116,6 +129,8 @@ def main() -> None:
             rows["kg_pipeline"] / times["kg_pipeline"], 1
         ),
         "kg_pipeline_stage_walls": kg_stage_walls,
+        "steal_jiffies_during_run": steal,
+        "steal_cpu_fraction": round(steal_per_cpu_s, 4),
     }
     # two-parallelism scaling evidence (the north rule's N vs 4N criterion,
     # measured by scripts/scaling.py into SCALING.json) rides along so each
