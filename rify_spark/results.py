@@ -147,12 +147,17 @@ XML_NS = "http://www.w3.org/2005/sparql-results#"
 
 def _xml_escape(col):
     """XML character-data escaping for a term lexeme: ``&`` first (so
-    the entities it introduces survive), then the angle brackets. Quotes
-    need no escaping in element content, and the lexeme space cannot
-    contain the literal entities this would double-escape."""
+    the entities it introduces survive), then the angle brackets, then
+    CR/LF as character references — a raw ``\\r`` would be silently
+    normalized to ``\\n`` by every conforming parser (XML 1.0 §2.11),
+    and a raw ``\\n`` would break the fragment form's
+    one-``<result>``-per-line contract. Quotes and tabs need no
+    escaping in element content (tabs are preserved verbatim)."""
     esc = F.replace(col, F.lit("&"), F.lit("&amp;"))
     esc = F.replace(esc, F.lit("<"), F.lit("&lt;"))
-    return F.replace(esc, F.lit(">"), F.lit("&gt;"))
+    esc = F.replace(esc, F.lit(">"), F.lit("&gt;"))
+    esc = F.replace(esc, F.lit("\r"), F.lit("&#13;"))
+    return F.replace(esc, F.lit("\n"), F.lit("&#10;"))
 
 
 def results_xml_fragments(df: DataFrame) -> DataFrame:

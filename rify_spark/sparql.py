@@ -1658,6 +1658,10 @@ def _scalar_column(expr, bound: set, maybe: set, colf=F.col):
             return all(can_null(a) for a in e.args)
         if e.name == "SUBSTR":
             return can_null(e.args[0])
+        if e.name == "ABS":
+            # the try_cast can null a NON-null input (non-integer
+            # lexeme) — the same rule as arithmetic
+            return num_can_null(e.args[0])
         return any(can_null(a) for a in e.args)
 
     return s(expr), can_null(expr)
@@ -1960,47 +1964,30 @@ class _Eval:
         condition). When a definitely-bound shared key exists Catalyst
         still plans a hash join with the filters as post-match join
         conditions — the at-scale shape."""
-        shared = sure + maybe_shared
-        ren = {v: f"__r_{v}" for v in shared}
-        right = b.df
-        for v, rv in ren.items():
-            right = right.withColumnRenamed(v, rv)
         merged_bound = a.bound | b.bound
         merged_maybe = a.maybe | b.maybe
 
-        def colf(name):
-            if name in maybe_shared:
-                return F.coalesce(F.col(name), F.col(ren[name]))
-            # sure-shared -> the A side (equal under the key condition);
-            # A-only and B-only names are unambiguous after the rename
-            return F.col(name)
+        def extra(ren):
+            def colf(name):
+                if name in maybe_shared:
+                    return F.coalesce(F.col(name), F.col(ren[name]))
+                # sure-shared -> the A side (equal under the key
+                # condition); A-only and B-only names are unambiguous
+                # after the rename
+                return F.col(name)
 
-        conds = [F.col(v) == F.col(ren[v]) for v in sure]
-        conds += [
-            F.col(v).isNull()
-            | F.col(ren[v]).isNull()
-            | (F.col(v) == F.col(ren[v]))
-            for v in maybe_shared
-        ]
-        conds += [
-            _condition_column(f, merged_bound, merged_maybe, colf)
-            for f in filters
-        ]
-        cond = conds[0]
-        for c in conds[1:]:
-            cond = cond & c
-        df = a.df.join(right, cond, "left")
-        merged = [
-            F.coalesce(F.col(v), F.col(ren[v])).alias(v)
-            for v in maybe_shared
-        ]
-        drop = set(ren.values()) | set(maybe_shared)
-        keep = [c for c in df.columns if c not in drop]
-        return df.select(*[F.col(c) for c in keep], *merged)
+            return [
+                _condition_column(f, merged_bound, merged_maybe, colf)
+                for f in filters
+            ]
+
+        return self._compat_join(
+            a.df, b.df, sure, maybe_shared, "left", extra
+        )
 
     def _compat_join(
         self, left: DataFrame, right: DataFrame,
-        sure: list, maybe_shared: list, how: str,
+        sure: list, maybe_shared: list, how: str, extra=None,
     ) -> DataFrame:
         """SPARQL compatible-mappings join (spec §18.5 Join) when some
         shared variables are possibly-unbound (OPTIONAL / partial-UNION):
@@ -2016,7 +2003,14 @@ class _Eval:
         nested-loop leg against the other side. A LEFT join with no
         definitely-bound key keeps the single conditioned join
         (BroadcastNestedLoop) — stated, not hidden: that shape means an
-        OPTIONAL whose every link to its group is itself optional."""
+        OPTIONAL whose every link to its group is itself optional.
+
+        ``extra``: a callback ``ren -> [Column]`` producing additional
+        join conditions over the renamed two-sided namespace — the
+        deferred-OPTIONAL-filter (LeftJoin condition) path; only legal
+        with ``how='left'`` (which always takes the single conditioned
+        join, never the null-split decomposition)."""
+        assert extra is None or how == "left"
         ren = {v: f"__r_{v}" for v in sure + maybe_shared}
         for v, rv in ren.items():
             right = right.withColumnRenamed(v, rv)
@@ -2040,7 +2034,13 @@ class _Eval:
         eq = [F.col(v) == F.col(ren[v]) for v in sure]
         if sure or how == "left":
             df = left.join(
-                right, conj(eq + [compat(v) for v in maybe_shared]), how
+                right,
+                conj(
+                    eq
+                    + [compat(v) for v in maybe_shared]
+                    + (extra(ren) if extra is not None else [])
+                ),
+                how,
             )
         else:
             v0, rest = maybe_shared[0], maybe_shared[1:]
@@ -2238,7 +2238,12 @@ class _Eval:
                 continue
             if defer is not None:
                 fv = _cond_vars(entry)
-                if fv is not None and not fv <= acc.bound:
+                # stay in-group ONLY when every filter var is SURELY
+                # bound inside the group (there LeftJoin(A, Filter(e,B),
+                # true) == LeftJoin(A, B, e)); a var that is merely
+                # maybe-bound here may take its value from the OUTER
+                # side of the merge, so those defer too
+                if fv is not None and not fv <= (acc.bound - acc.maybe):
                     defer.append(entry)
                     continue
             cond = self._filter_condition(entry, acc)
@@ -2449,10 +2454,11 @@ def _agg_column(agg: Agg, sol: _Sol, name: str, implicit_group=False):
     ``implicit_group``: the no-GROUP-BY form aggregates the whole
     solution set as one group, which unlike a real group can be EMPTY —
     and SPARQL defines Sum({}) = 0 (spec §18.5.1.5, vs SQL's NULL), so
-    the implicit-group SUM coalesces. The twin for an implicit-group
-    SUM is therefore COALESCE(SUM(...), 0). MIN/MAX/AVG of an empty
-    group error (stay unbound) in both models, and GROUP_CONCAT already
-    guards on COUNT > 0."""
+    the implicit-group SUM coalesces — and §18.5.1.6 defines
+    Avg(M) = 0 when Count(M) = 0, so AVG coalesces likewise. The twins
+    are COALESCE(SUM(...), 0) / COALESCE(AVG(...), 0). MIN/MAX of an
+    empty group error (stay unbound) in both models, and GROUP_CONCAT
+    yields "" there (collect_list gives [])."""
     if agg.var is not None and agg.var not in sol.bound:
         raise SparqlParseError(
             f"aggregate variable ?{agg.var} not bound in the pattern"
@@ -2496,11 +2502,14 @@ def _agg_column(agg: Agg, sol: _Sol, name: str, implicit_group=False):
             # AVG(DISTINCT x) == SUM(DISTINCT x) / COUNT(DISTINCT x) —
             # exact integral sum below 2^53, one IEEE division (the same
             # determinism argument as the plain-AVG comment above)
-            return (
-                F.sum_distinct(c).cast("double")
-                / F.count_distinct(c)
-            ).alias(name)
-        return F.avg(c).alias(name)
+            e = F.sum_distinct(c).cast("double") / F.count_distinct(c)
+        else:
+            e = F.avg(c)
+        if implicit_group:
+            # Avg(M) = 0 when Count(M) = 0 (spec §18.5.1.6); only the
+            # implicit group can be empty
+            e = F.coalesce(e, F.lit(0.0))
+        return e.alias(name)
     if agg.func == "GROUP_CONCAT":
         # deterministic: values sorted before joining (SPARQL leaves the
         # order unspecified; the SQL twin is string_agg(.. ORDER BY ..));

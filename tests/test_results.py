@@ -143,8 +143,10 @@ def test_xml_fragments_escape_and_omit_unbound(solutions):
         "</result>" in lines
     )
     hard = next(line for line in lines if "say" in line)
-    # raw tab/newline are legal XML character data; quotes untouched
-    assert '<literal>say "hi", ok\tnow\nbye\\</literal>' in hard
+    # raw tab is legal, preserved XML character data; newline must be a
+    # character reference so the fragment stays ONE physical line
+    assert '<literal>say "hi", ok\tnow&#10;bye\\</literal>' in hard
+    assert all("\n" not in line for line in lines)
 
 
 def test_xml_fragment_escapes_markup(spark):
@@ -152,6 +154,18 @@ def test_xml_fragment_escapes_markup(spark):
     (row,) = results_xml_fragments(df).collect()
     assert "&lt;b&gt; &amp; &lt;/b&gt;" in row.line
     assert "<b>" not in row.line
+
+
+def test_xml_carriage_return_survives_round_trip(spark):
+    import xml.etree.ElementTree as ET
+
+    # a raw \r in the document would be normalized to \n by every
+    # conforming parser (XML 1.0 §2.11); the &#13; reference survives
+    df = spark.createDataFrame([("a\rb\nc",)], "a string")
+    root = ET.fromstring(results_xml(df))
+    ns = {"sr": "http://www.w3.org/2005/sparql-results#"}
+    lit = root.find("sr:results/sr:result/sr:binding/sr:literal", ns)
+    assert lit.text == "a\rb\nc"
 
 
 def test_xml_document_parses_and_round_trips(solutions):

@@ -1876,3 +1876,57 @@ def test_optional_filter_on_maybe_shared_var(ljquads, spark):
     # x=b: wv unbound -> compatible with any u subject; u-edges (7,6),
     # (9,8): filter uv > 9 -> 6,8 both fail -> unbound arm
     assert _run(quads, q) == [("a", "7", "6"), ("b", None, None)]
+
+
+def test_optional_filter_on_maybe_bound_inner_var_defers(spark):
+    # review finding: a filter var merely MAYBE-bound inside the
+    # OPTIONAL group can take its value from the OUTER side of the
+    # merge — it must defer into the LeftJoin condition, not filter the
+    # (null-valued) inner rows. x=a binds ?m=5 outside; inside, ?m is
+    # bound by a nested OPTIONAL that has no match, so the in-group
+    # reading would evaluate FILTER(?m < 9) over NULL and drop the zv
+    # arm; the spec evaluates it over the merged row where ?m = 5.
+    quads = spark.createDataFrame(
+        [("a", "v", "5", "g"), ("a", "z", "1", "g")],
+        "s string, p string, o string, g string",
+    )
+    q = """
+      SELECT ?x ?m ?zv WHERE {
+        GRAPH <g> { ?x <v> ?m }
+        OPTIONAL {
+          GRAPH <g> { ?x <z> ?zv }
+          OPTIONAL { GRAPH <g> { ?x <w> ?m } }
+          FILTER(?m < 9)
+        }
+      }
+    """
+    assert _run(quads, q) == [("a", "5", "1")]
+
+
+def test_abs_target_is_possibly_unbound(spark):
+    # review finding: ABS can null a non-null input (non-integer
+    # lexeme), so its BIND target must ride the maybe tracking — the
+    # later shared-var join then uses compatible-mappings semantics
+    # (unbound matches anything) instead of a null-dropping equi join
+    quads = spark.createDataFrame(
+        [("a", "v", "x", "g"), ("s1", "score", "7", "g")],
+        "s string, p string, o string, g string",
+    )
+    q = """
+      SELECT ?x ?d WHERE {
+        GRAPH <g> { ?x <v> ?n }
+        BIND(ABS(?n) AS ?d)
+        GRAPH <g> { ?s <score> ?d }
+      }
+    """
+    # ?d is unbound (ABS("x") errors): compatible with score=7, merged
+    # solution takes the bound value
+    assert _run(quads, q) == [("a", "7")]
+
+
+def test_empty_implicit_group_avg_is_zero(quads):
+    q = """
+      SELECT (AVG(?v) AS ?a) (AVG(DISTINCT ?v) AS ?ad)
+      WHERE { ?x <no_such_predicate> ?v }
+    """
+    assert _run(quads, q) == [(0.0, 0.0)]
