@@ -597,6 +597,12 @@ def _q_sparql_optional_cond(spark, sf_dir):
     return sparql_optional_cond_gate(spark, sf_dir)
 
 
+def _q_sparql_term_funcs(spark, sf_dir):
+    from rify_spark.sparql import sparql_term_funcs_gate
+
+    return sparql_term_funcs_gate(spark, sf_dir)
+
+
 def _q_sparql_numeric_funcs(spark, sf_dir):
     from rify_spark.sparql import sparql_numeric_funcs_gate
 
@@ -779,6 +785,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_numeric_funcs": _q_sparql_numeric_funcs,
         # OPTIONAL filter over an outer var = the LeftJoin condition
         "sparql_optional_cond": _q_sparql_optional_cond,
+        # term-kind built-ins (isIRI/LANG/DATATYPE/...) + '*' arithmetic
+        "sparql_term_funcs": _q_sparql_term_funcs,
         # negated property sets !(p | ^q)
         "sparql_nps": _q_sparql_nps,
         # AVG aggregate (double output, cross-engine deterministic)
@@ -971,6 +979,7 @@ def oracle_sql() -> dict[str, str]:
         "sparql_scalar_funcs": _sparql_sql("sparql_scalar_funcs_sql"),
         "sparql_numeric_funcs": _sparql_sql("sparql_numeric_funcs_sql"),
         "sparql_optional_cond": _sparql_sql("sparql_optional_cond_sql"),
+        "sparql_term_funcs": _sparql_sql("sparql_term_funcs_sql"),
         "sparql_nps": _sparql_sql("sparql_nps_sql"),
         "sparql_avg": _sparql_sql("sparql_avg_sql"),
         "sparql_update": _update_sql(),

@@ -141,9 +141,22 @@ Supported subset (documented contract, errors otherwise):
     Java URLEncoder patched for the unreserved set), ``IF(cond, then,
     else)`` (cond is a FILTER boolean tree; an errored condition makes
     the IF an error per §17.4.1.2 — bare-variable EBV coercion stays
-    out of subset), and integer ``+``/``-`` arithmetic (operands
-    try_cast to BIGINT, result rendered back as its decimal lexeme; a
-    non-integer lexeme makes the result unbound — error-semantics). An
+    out of subset), and integer ``+``/``-``/``*`` arithmetic (``*``
+    binds tighter; operands try_cast to BIGINT, result rendered back as
+    its decimal lexeme; a non-integer lexeme makes the result unbound —
+    error-semantics). Term-kind functions over the raw-lexeme
+    convention (see the convention block above ``_t_str``): boolean
+    FILTER tests ``isIRI``/``isURI``, ``isBlank``, ``isLiteral``,
+    ``isNumeric`` (the integer-lexeme model: the STR projection casts
+    to BIGINT), ``sameTerm`` (raw equality — never the numeric switch),
+    ``langMatches`` (RFC 4647 basic filtering; ``"*"`` = any non-empty
+    tag), and scalar projections ``STR`` (term-aware: literal lexical
+    form / IRI itself / error on blanks — identity over a legacy
+    all-bare store), ``LANG``, ``DATATYPE`` (xsd:string /
+    rdf:langString / the ``^^``-IRI; error on non-literals), ``IRI`` /
+    ``URI``, ``STRLANG``, ``STRDT`` — all pure JVM when/regexp
+    expressions; a wrong-kind input errors (NULL) and rides the
+    possibly-unbound tracking. An
     errored or unbound input propagates: the BIND target is unbound
     (null) and rides the possibly-unbound tracking like an OPTIONAL
     variable; ``COALESCE`` is the recovery function. The BIND target
@@ -213,6 +226,74 @@ _TOKEN_RE = re.compile(
 )
 
 _UNESC = {"\\\\": "\\", '\\"': '"', "\\n": "\n", "\\r": "\r", "\\t": "\t"}
+
+
+# ---------------------------------------------------------------------------
+# RDF term-kind convention over the opaque lexeme space
+#
+# The engine's store columns are plain strings. A store that wants
+# term-KIND semantics (isIRI / LANG / DATATYPE ...) keeps literals in
+# their raw N-Quads object form — '"value"', '"value"@en',
+# '"value"^^<datatype-iri>' (exactly what rdf.py's reader sees before it
+# strips delimiters) — blank nodes as '_:label', and IRIs BARE (no angle
+# brackets: that is already the engine-wide convention — a '<iri>'
+# constant in query text compiles to the bare lexeme). The projections
+# below are pure JVM when/regexp expressions: a lexeme starting '"' is a
+# literal, '_:' a blank node, anything else an IRI. Over a legacy
+# all-bare store every term therefore reads as an IRI — documented, and
+# exactly what an untyped store can truthfully say.
+#
+# ``str`` follows spec §17.4.2.5: the IRI string for IRIs, the LEXICAL
+# FORM for literals (suffixes stripped; ECHAR escapes are NOT decoded —
+# the raw convention stores decoded values), and an ERROR (NULL) for
+# blank nodes. LANG (§17.4.2.6) is "" for plain/typed literals, the tag
+# for lang literals, error otherwise; DATATYPE (§17.4.2.7) is
+# xsd:string / rdf:langString / the ^^-IRI for literals, error otherwise.
+# ---------------------------------------------------------------------------
+
+XSD_STRING = "http://www.w3.org/2001/XMLSchema#string"
+RDF_LANG_STRING = "http://www.w3.org/1999/02/22-rdf-syntax-ns#langString"
+
+_LIT_VALUE_RE = r'^"((?:[^"\\]|\\.)*)"'
+_LIT_LANG_RE = r'^"(?:[^"\\]|\\.)*"@([A-Za-z][A-Za-z0-9-]*)$'
+_LIT_DT_RE = r"\^\^<([^<>]*)>$"
+
+
+def _t_is_literal(c):
+    return c.startswith('"')
+
+
+def _t_is_blank(c):
+    return c.startswith("_:")
+
+
+def _t_is_iri(c):
+    return ~c.startswith('"') & ~c.startswith("_:")
+
+
+def _t_str(c):
+    return (
+        F.when(c.startswith('"'), F.regexp_extract(c, _LIT_VALUE_RE, 1))
+        .when(c.startswith("_:"), F.lit(None).cast("string"))
+        .otherwise(c)
+    )
+
+
+def _t_lang(c):
+    # regexp_extract yields "" on no match — exactly LANG's plain/typed
+    # literal answer; non-literals error (NULL)
+    return F.when(c.startswith('"'), F.regexp_extract(c, _LIT_LANG_RE, 1))
+
+
+def _t_datatype(c):
+    dt = F.regexp_extract(c, _LIT_DT_RE, 1)
+    lang = F.regexp_extract(c, _LIT_LANG_RE, 1)
+    return F.when(
+        c.startswith('"'),
+        F.when(dt != "", dt)
+        .when(lang != "", F.lit(RDF_LANG_STRING))
+        .otherwise(F.lit(XSD_STRING)),
+    )
 
 
 def _tokenize(text: str) -> list:
@@ -299,13 +380,15 @@ class EFunc:
 
 @dataclass(frozen=True)
 class EArith:
-    """Integer ``+``/``-`` over term lexemes: operands try_cast to
+    """Integer ``+``/``-``/``*`` over term lexemes: operands try_cast to
     BIGINT (a non-integer lexeme nulls the result — SPARQL's
     error-semantics, the same contract as numeric FILTERs) and the
     result renders back to its decimal lexeme (the term space stays
-    opaque strings)."""
+    opaque strings). ``/`` is deliberately absent: SPARQL's xsd division
+    yields decimals, which the integer-lexeme model cannot render
+    exactly."""
 
-    op: str  # "+" | "-"
+    op: str  # "+" | "-" | "*"
     lhs: object
     rhs: object
 
@@ -1149,11 +1232,15 @@ class _Parser:
             if not (
                 k2 == "kw"
                 and t2.lower()
-                in ("bound", "regex", "strstarts", "strends", "contains")
+                in (
+                    "bound", "regex", "strstarts", "strends", "contains",
+                    "isiri", "isuri", "isblank", "isliteral", "isnumeric",
+                    "sameterm", "langmatches",
+                )
             ):
                 raise SparqlParseError(
-                    "'!' only negates bound()/regex()/strstarts()/"
-                    "strends()/contains() or a parenthesised boolean"
+                    "'!' only negates bound()/regex()/string-test/"
+                    "term-test functions or a parenthesised boolean"
                 )
             op, *args = self._filter_atom()
             return ("!" + op, *args)
@@ -1184,7 +1271,7 @@ class _Parser:
             self.expect(")")
             return ("bound", v, None)
         if kind == "kw" and tok.lower() in (
-            "strstarts", "strends", "contains",
+            "strstarts", "strends", "contains", "sameterm", "langmatches",
         ):
             fn = self.next()[1].lower()
             self.expect("(")
@@ -1193,6 +1280,18 @@ class _Parser:
             b = self.scalar_expr()
             self.expect(")")
             return (fn, a, b)
+        if kind == "kw" and tok.lower() in (
+            "isiri", "isuri", "isblank", "isliteral", "isnumeric",
+        ):
+            # term-kind tests over the raw-lexeme convention (module
+            # docstring): unary, any scalar expression argument
+            fn = self.next()[1].lower()
+            if fn == "isuri":
+                fn = "isiri"  # spec synonym
+            self.expect("(")
+            a = self.scalar_expr()
+            self.expect(")")
+            return (fn, a, None)
         lhs = self._filter_operand()
         kind, op = self.peek()
         if kind == "kw" and op.upper() in ("IN", "NOT"):
@@ -1226,28 +1325,38 @@ class _Parser:
         "CONCAT", "COALESCE", "STR", "UCASE", "LCASE", "STRLEN", "SUBSTR",
         "STRBEFORE", "STRAFTER", "REPLACE", "MD5", "SHA256",
         "ABS", "SHA1", "SHA384", "SHA512", "ENCODE_FOR_URI",
+        "LANG", "DATATYPE", "IRI", "URI", "STRLANG", "STRDT",
         "IF",  # parsed by its own scalar_atom branch (boolean first arg);
         # listed here so SELECT items route (IF(...) AS ?v) to scalar_expr
     }
     _EXPR_UNARY = {
         "STR", "UCASE", "LCASE", "STRLEN", "MD5", "SHA256",
         "ABS", "SHA1", "SHA384", "SHA512", "ENCODE_FOR_URI",
+        "LANG", "DATATYPE", "IRI", "URI",
     }
-    _EXPR_BINARY = {"STRBEFORE", "STRAFTER"}
+    _EXPR_BINARY = {"STRBEFORE", "STRAFTER", "STRLANG", "STRDT"}
 
     def scalar_expr(self):
-        """A BIND / SELECT-item scalar expression: additive chain of
-        atoms (``+``/``-`` are integer arithmetic over lexemes — see
+        """A BIND / SELECT-item scalar expression: additive chain over a
+        multiplicative chain of atoms (``+``/``-``/``*`` are integer
+        arithmetic over lexemes, ``*`` binding tighter — see
         :class:`EArith`); atoms are variables, constants, parenthesised
         expressions, or the supported function calls."""
-        lhs = self.scalar_atom()
+        lhs = self._scalar_mul()
         while True:
             kind, tok = self.peek()
             if kind == "op" and tok in ("+", "-"):
                 self.next()
-                lhs = EArith(tok, lhs, self.scalar_atom())
+                lhs = EArith(tok, lhs, self._scalar_mul())
             else:
                 return lhs
+
+    def _scalar_mul(self):
+        lhs = self.scalar_atom()
+        while self.peek() == ("op", "*"):
+            self.next()
+            lhs = EArith("*", lhs, self.scalar_atom())
+        return lhs
 
     def scalar_atom(self):
         kind, tok = self.peek()
@@ -1530,7 +1639,9 @@ def _scalar_column(expr, bound: set, maybe: set, colf=F.col):
             return F.lit(e.value).cast("long")
         if isinstance(e, EArith):
             lo, ro = num(e.lhs), num(e.rhs)
-            return lo + ro if e.op == "+" else lo - ro
+            if e.op == "+":
+                return lo + ro
+            return lo - ro if e.op == "-" else lo * ro
         return s(e).try_cast("long")
 
     def num_can_null(e):
@@ -1564,7 +1675,30 @@ def _scalar_column(expr, bound: set, maybe: set, colf=F.col):
         if e.name == "COALESCE":
             return F.coalesce(*[s(a) for a in e.args])
         if e.name == "STR":
-            return s(e.args[0])
+            # term-aware (spec §17.4.2.5) under the raw-lexeme
+            # convention: IRI -> itself (IRIs are stored bare), quoted
+            # literal -> its lexical form, blank node -> error (NULL).
+            # Over a legacy all-bare store this is the identity.
+            return _t_str(s(e.args[0]))
+        if e.name in ("IRI", "URI"):
+            # §17.4.2.8: promote a literal's lexical form to an IRI; an
+            # IRI passes through. IRIs are stored bare, so the result
+            # lexeme is exactly the STR projection (blank -> error).
+            return _t_str(s(e.args[0]))
+        if e.name == "LANG":
+            return _t_lang(s(e.args[0]))
+        if e.name == "DATATYPE":
+            return _t_datatype(s(e.args[0]))
+        if e.name == "STRLANG":
+            # §17.4.2.12: build a language-tagged literal in the raw
+            # form '"value"@tag' from the STR projections of both args
+            v, tag = _t_str(s(e.args[0])), _t_str(s(e.args[1]))
+            return F.concat(F.lit('"'), v, F.lit('"@'), tag)
+        if e.name == "STRDT":
+            # §17.4.2.11: '"value"^^<datatype-iri>' (the datatype arg is
+            # an IRI — bare lexeme — per the engine convention)
+            v, dt = _t_str(s(e.args[0])), _t_str(s(e.args[1]))
+            return F.concat(F.lit('"'), v, F.lit('"^^<'), dt, F.lit(">"))
         if e.name == "UCASE":
             return F.upper(s(e.args[0]))
         if e.name == "LCASE":
@@ -1662,6 +1796,12 @@ def _scalar_column(expr, bound: set, maybe: set, colf=F.col):
             # the try_cast can null a NON-null input (non-integer
             # lexeme) — the same rule as arithmetic
             return num_can_null(e.args[0])
+        if e.name in ("STR", "IRI", "URI", "LANG", "DATATYPE",
+                      "STRLANG", "STRDT"):
+            # term projections error (NULL) on the wrong term kind —
+            # STR/IRI on blanks, LANG/DATATYPE on non-literals — even
+            # over a sure-bound input
+            return True
         return any(can_null(a) for a in e.args)
 
     return s(expr), can_null(expr)
@@ -2326,6 +2466,47 @@ def _condition_column(entry, bound: set, maybe: set, colf=F.col):
         cond = colf(a.name).rlike(b.value)
         return ~cond if op == "!regex" else cond
     base = op.lstrip("!")
+    if base in ("isiri", "isblank", "isliteral", "isnumeric"):
+        # term-kind tests under the raw-lexeme convention (module
+        # docstring); an unbound/errored argument is an error (NULL) —
+        # the row drops under negation too
+        c = _scalar_column(a, bound, maybe, colf)[0]
+        if base == "isnumeric":
+            # the integer-lexeme numeric model: true iff the STR
+            # projection casts to BIGINT (so '"12"^^<...>' counts);
+            # explicit when() keeps NULL-in -> NULL-out (isNotNull
+            # would collapse the error to false)
+            cond = F.when(
+                c.isNotNull(), _t_str(c).try_cast("long").isNotNull()
+            )
+        else:
+            cond = {
+                "isiri": _t_is_iri,
+                "isblank": _t_is_blank,
+                "isliteral": _t_is_literal,
+            }[base](c)
+        return ~cond if op.startswith("!") else cond
+    if base == "sameterm":
+        # raw-lexeme equality — never takes the numeric switch ('='
+        # with an integer constant does), spec §17.4.1.8
+        la = _scalar_column(a, bound, maybe, colf)[0]
+        lb = _scalar_column(b, bound, maybe, colf)[0]
+        cond = la == lb
+        return ~cond if op.startswith("!") else cond
+    if base == "langmatches":
+        # RFC 4647 basic filtering (spec §17.4.4.3): '*' matches any
+        # non-empty tag, else case-insensitive exact or prefix-with-'-'
+        la = _scalar_column(a, bound, maybe, colf)[0]
+        lb = _scalar_column(b, bound, maybe, colf)[0]
+        cond = (
+            F.when(la.isNull() | lb.isNull(), F.lit(None).cast("boolean"))
+            .when(lb == "*", la != "")
+            .otherwise(
+                (F.lower(la) == F.lower(lb))
+                | F.lower(la).startswith(F.concat(F.lower(lb), F.lit("-")))
+            )
+        )
+        return ~cond if op.startswith("!") else cond
     if base in ("strstarts", "strends", "contains"):
         # string tests over scalar expressions; a null (unbound or
         # errored) argument excludes the row under negation too
@@ -3888,4 +4069,81 @@ def sparql_modifiers_sql() -> str:
       FROM customer
       WHERE 'cust:' || c_custkey < 'cust:2'
       ORDER BY cust DESC LIMIT 500
+    """
+
+
+# ---------------------------------------------------------------------------
+# term-kind gate: a raw-term-convention store built from TPC-H customer
+# rows — lang-tagged name literals, typed integer balance literals, bare
+# IRI nation links — queried through the full term-function family
+# (isIRI / isLiteral / isBlank / isNumeric / langMatches / LANG /
+# DATATYPE / STR) plus '*' multiplication. Every projection is a pure
+# JVM when/regexp expression; the DuckDB twin is the closed form the
+# construction guarantees, so a hash mismatch pins a term-machinery bug.
+# ---------------------------------------------------------------------------
+
+XSD_INTEGER = "http://www.w3.org/2001/XMLSchema#integer"
+
+GATE_TERM_FUNCS = """
+  SELECT ?cust ?name ?lang ?dt ?bal2 WHERE {
+    GRAPH <graph://term> {
+      ?cust <name> ?name .
+      ?cust <acct_cents> ?a .
+      ?cust <in_nation> ?nat .
+    }
+    FILTER(isIRI(?nat) && isLiteral(?name) && !isBlank(?cust)
+           && isNumeric(?a) && langMatches(LANG(?name), "EN"))
+    BIND(LANG(?name) AS ?lang)
+    BIND(DATATYPE(?a) AS ?dt)
+    BIND(STR(?a) * 2 AS ?bal2)
+  }
+"""
+
+
+def _term_convention_quads(spark, sf_dir: str) -> DataFrame:
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    g = F.lit("graph://term")
+    s = F.concat(F.lit("cust:"), F.col("c_custkey"))
+    name = customer.select(
+        s.alias("s"),
+        F.lit("name").alias("p"),
+        F.concat(F.lit('"'), F.col("c_name"), F.lit('"@en')).alias("o"),
+        g.alias("g"),
+    )
+    # FLOOR(c_acctbal * 100): the same IEEE multiply+floor in both
+    # engines, so the typed-literal lexeme is bit-identical to the twin's
+    acct = customer.select(
+        s.alias("s"),
+        F.lit("acct_cents").alias("p"),
+        F.concat(
+            F.lit('"'),
+            F.floor(F.col("c_acctbal") * 100).cast("string"),
+            F.lit('"^^<' + XSD_INTEGER + ">"),
+        ).alias("o"),
+        g.alias("g"),
+    )
+    nat = customer.select(
+        s.alias("s"),
+        F.lit("in_nation").alias("p"),
+        F.concat(F.lit("nation:"), F.col("c_nationkey")).alias("o"),
+        g.alias("g"),
+    )
+    return name.unionByName(acct).unionByName(nat)
+
+
+def sparql_term_funcs_gate(spark, sf_dir: str) -> DataFrame:
+    return sparql_select(_term_convention_quads(spark, sf_dir), GATE_TERM_FUNCS)
+
+
+def sparql_term_funcs_sql() -> str:
+    # every customer passes the term-kind filters by construction; the
+    # oracle recomputes the projections in closed form
+    return """
+      SELECT 'cust:' || c_custkey AS cust,
+             '"' || c_name || '"@en' AS name,
+             'en' AS lang,
+             'http://www.w3.org/2001/XMLSchema#integer' AS dt,
+             CAST(CAST(FLOOR(c_acctbal * 100) AS BIGINT) * 2 AS VARCHAR)
+               AS bal2
+      FROM customer
     """

@@ -1930,3 +1930,162 @@ def test_empty_implicit_group_avg_is_zero(quads):
       WHERE { ?x <no_such_predicate> ?v }
     """
     assert _run(quads, q) == [(0.0, 0.0)]
+
+
+# ---------------------------------------------------------------------------
+# term-kind built-ins over the raw-lexeme convention (sparql.py module
+# docstring): literals stored '"value"' / '"value"@tag' / '"v"^^<dt>',
+# blanks '_:label', IRIs bare
+# ---------------------------------------------------------------------------
+
+TERM_QUADS = [
+    ("cust:1", "name", '"Alice"@en', "g"),
+    ("cust:2", "name", '"Bob"@en-US', "g"),
+    ("cust:3", "name", '"Eve"', "g"),
+    ("cust:4", "name", '"Zoe"@fr', "g"),
+    ("cust:1", "acct", '"25"^^<http://www.w3.org/2001/XMLSchema#integer>', "g"),
+    ("cust:3", "acct", '"n/a"', "g"),
+    ("cust:1", "ref", "_:b1", "g"),
+    ("cust:2", "ref", "nation:7", "g"),
+]
+
+
+@pytest.fixture(scope="module")
+def term_quads(spark):
+    return spark.createDataFrame(
+        TERM_QUADS, "s string, p string, o string, g string"
+    )
+
+
+def test_term_kind_predicates(term_quads):
+    q = """
+      SELECT ?c ?r WHERE { GRAPH <g> { ?c <ref> ?r }
+        FILTER(isBlank(?r) && isIRI(?c) && !isLiteral(?r)) }
+    """
+    assert _run(term_quads, q) == [("cust:1", "_:b1")]
+    q2 = 'SELECT ?r WHERE { GRAPH <g> { ?c <ref> ?r } FILTER(isURI(?r)) }'
+    assert _run(term_quads, q2) == [("nation:7",)]
+
+
+def test_isnumeric_integer_lexeme_model(term_quads):
+    # true for a typed-integer raw literal (its STR projection casts),
+    # false for a plain non-numeric literal; an unbound argument is an
+    # ERROR — the row drops even under negation
+    q = """
+      SELECT ?c WHERE { GRAPH <g> { ?c <acct> ?a } FILTER(isNumeric(?a)) }
+    """
+    assert _run(term_quads, q) == [("cust:1",)]
+    q2 = """
+      SELECT ?c WHERE { GRAPH <g> { ?c <name> ?n }
+        OPTIONAL { GRAPH <g> { ?c <acct> ?a } }
+        FILTER(!isNumeric(?a)) }
+    """
+    # cust:3's "n/a" is non-numeric (kept); cust:2/4 have ?a unbound
+    # (error -> dropped under negation too); cust:1 is numeric
+    assert _run(term_quads, q2) == [("cust:3",)]
+
+
+def test_lang_and_datatype_projections(term_quads):
+    q = """
+      SELECT ?c ?l ?dt WHERE { GRAPH <g> { ?c <name> ?n }
+        BIND(LANG(?n) AS ?l) BIND(DATATYPE(?n) AS ?dt) }
+    """
+    assert _run(term_quads, q) == [
+        ("cust:1", "en", "http://www.w3.org/1999/02/22-rdf-syntax-ns#langString"),
+        ("cust:2", "en-US", "http://www.w3.org/1999/02/22-rdf-syntax-ns#langString"),
+        ("cust:3", "", "http://www.w3.org/2001/XMLSchema#string"),
+        ("cust:4", "fr", "http://www.w3.org/1999/02/22-rdf-syntax-ns#langString"),
+    ]
+    # LANG/DATATYPE of a non-literal is an error: the BIND target is
+    # unbound and COALESCE recovers it (spec error-semantics)
+    q2 = """
+      SELECT ?r ?l WHERE { GRAPH <g> { ?c <ref> ?r }
+        BIND(COALESCE(LANG(?r), "none") AS ?l) }
+    """
+    assert _run(term_quads, q2) == [("_:b1", "none"), ("nation:7", "none")]
+
+
+def test_langmatches_basic_filtering(term_quads):
+    # RFC 4647 basic filtering: 'en' matches 'en' and 'en-US' (case-
+    # insensitive, '-'-prefix), not 'fr' or the empty tag; '*' matches
+    # any non-empty tag
+    q = """
+      SELECT ?c WHERE { GRAPH <g> { ?c <name> ?n }
+        FILTER(langMatches(LANG(?n), "EN")) }
+    """
+    assert _run(term_quads, q) == [("cust:1",), ("cust:2",)]
+    q2 = """
+      SELECT ?c WHERE { GRAPH <g> { ?c <name> ?n }
+        FILTER(!langMatches(LANG(?n), "*")) }
+    """
+    assert _run(term_quads, q2) == [("cust:3",)]
+
+
+def test_str_projection_by_term_kind(term_quads):
+    # STR: literal -> lexical form (suffixes stripped), IRI -> itself
+    # (bare convention), blank -> ERROR (unbound target)
+    q = """
+      SELECT ?o ?v WHERE { GRAPH <g> { ?c ?p ?o }
+        BIND(COALESCE(STR(?o), "!") AS ?v) FILTER(?p != "name") }
+    """
+    assert _run(term_quads, q) == [
+        ('"25"^^<http://www.w3.org/2001/XMLSchema#integer>', "25"),
+        ('"n/a"', "n/a"),
+        ("_:b1", "!"),
+        ("nation:7", "nation:7"),
+    ]
+
+
+def test_strlang_strdt_iri_constructors(term_quads):
+    q = """
+      SELECT ?t ?d ?i WHERE { GRAPH <g> { ?c <name> ?n }
+        FILTER(?c = "cust:3")
+        BIND(STRLANG(?n, "fr") AS ?t)
+        BIND(STRDT(?n, <http://www.w3.org/2001/XMLSchema#token>) AS ?d)
+        BIND(IRI(?n) AS ?i) }
+    """
+    assert _run(term_quads, q) == [(
+        '"Eve"@fr',
+        '"Eve"^^<http://www.w3.org/2001/XMLSchema#token>',
+        "Eve",
+    )]
+    # constructor round-trips recompose: DATATYPE(STRDT(...)) gives the
+    # datatype back, LANG(STRLANG(...)) the tag
+    q2 = """
+      SELECT ?dt ?l WHERE { GRAPH <g> { ?c <name> ?n }
+        FILTER(?c = "cust:3")
+        BIND(DATATYPE(STRDT(?n, <urn:t>)) AS ?dt)
+        BIND(LANG(STRLANG(?n, "de")) AS ?l) }
+    """
+    assert _run(term_quads, q2) == [("urn:t", "de")]
+
+
+def test_sameterm_no_numeric_switch(spark):
+    quads = spark.createDataFrame(
+        [("a", "v", "01", "g"), ("b", "v", "1", "g")],
+        "s string, p string, o string, g string",
+    )
+    # '=' against an integer constant takes the numeric switch ("01"
+    # compares equal to 1); sameTerm never does (raw lexemes differ)
+    q_eq = 'SELECT ?x WHERE { GRAPH <g> { ?x <v> ?o } FILTER(?o = 1) }'
+    assert _run(quads, q_eq) == [("a",), ("b",)]
+    q_st = """
+      SELECT ?x WHERE { GRAPH <g> { ?x <v> ?o }
+        FILTER(sameTerm(?o, "1")) }
+    """
+    assert _run(quads, q_st) == [("b",)]
+
+
+def test_multiplication_precedence_and_errors(spark):
+    quads = spark.createDataFrame(
+        [("a", "v", "4", "g"), ("b", "v", "x", "g")],
+        "s string, p string, o string, g string",
+    )
+    q = """
+      SELECT ?x ?m WHERE { GRAPH <g> { ?x <v> ?n }
+        BIND(COALESCE(2 + ?n * 10 - 1, "!") AS ?m) }
+    """
+    # precedence: 2 + (4*10) - 1 = 41; the non-integer lexeme errors
+    assert _run(quads, q) == [("a", "41"), ("b", "!")]
+    q2 = 'SELECT ?x WHERE { GRAPH <g> { ?x <v> ?n } FILTER(?n * 3 = 12) }'
+    assert _run(quads, q2) == [("a",)]
