@@ -136,7 +136,9 @@ Supported subset (documented contract, errors otherwise):
     "rep")`` (GLOBAL regex replace, Java flavor — the regex()
     divergence; pattern/replacement must be string literals), ``MD5`` /
     ``SHA1`` / ``SHA256`` / ``SHA384`` / ``SHA512`` (lowercase hex over
-    the UTF-8 bytes), ``ABS`` (the integer-lexeme numeric model),
+    the UTF-8 bytes), ``ABS`` / ``CEIL`` / ``FLOOR`` / ``ROUND`` (the
+    integer-lexeme numeric model — the latter three are the identity on
+    integral lexemes, an error otherwise),
     ``ENCODE_FOR_URI`` (RFC 3986 percent-encoding, uppercase hex —
     Java URLEncoder patched for the unreserved set), ``IF(cond, then,
     else)`` (cond is a FILTER boolean tree; an errored condition makes
@@ -1326,13 +1328,14 @@ class _Parser:
         "STRBEFORE", "STRAFTER", "REPLACE", "MD5", "SHA256",
         "ABS", "SHA1", "SHA384", "SHA512", "ENCODE_FOR_URI",
         "LANG", "DATATYPE", "IRI", "URI", "STRLANG", "STRDT",
+        "CEIL", "FLOOR", "ROUND",
         "IF",  # parsed by its own scalar_atom branch (boolean first arg);
         # listed here so SELECT items route (IF(...) AS ?v) to scalar_expr
     }
     _EXPR_UNARY = {
         "STR", "UCASE", "LCASE", "STRLEN", "MD5", "SHA256",
         "ABS", "SHA1", "SHA384", "SHA512", "ENCODE_FOR_URI",
-        "LANG", "DATATYPE", "IRI", "URI",
+        "LANG", "DATATYPE", "IRI", "URI", "CEIL", "FLOOR", "ROUND",
     }
     _EXPR_BINARY = {"STRBEFORE", "STRAFTER", "STRLANG", "STRDT"}
 
@@ -1760,6 +1763,12 @@ def _scalar_column(expr, bound: set, maybe: set, colf=F.col):
             # as the decimal lexeme. SQL twin
             # CAST(ABS(TRY_CAST(x AS BIGINT)) AS VARCHAR).
             return F.abs(s(e.args[0]).try_cast("long")).cast("string")
+        if e.name in ("CEIL", "FLOOR", "ROUND"):
+            # over the integer-lexeme model every argument is already
+            # integral, so these are the identity on valid inputs and an
+            # error (NULL) on non-integer lexemes — the normalizing
+            # round-trip also canonicalizes "+7"/"007" to "7"
+            return s(e.args[0]).try_cast("long").cast("string")
         if e.name == "ENCODE_FOR_URI":
             # spec §17.4.3.12: percent-encode everything outside RFC 3986
             # unreserved (ALPHA / DIGIT / '-' / '.' / '_' / '~'),
@@ -1792,7 +1801,7 @@ def _scalar_column(expr, bound: set, maybe: set, colf=F.col):
             return all(can_null(a) for a in e.args)
         if e.name == "SUBSTR":
             return can_null(e.args[0])
-        if e.name == "ABS":
+        if e.name in ("ABS", "CEIL", "FLOOR", "ROUND"):
             # the try_cast can null a NON-null input (non-integer
             # lexeme) — the same rule as arithmetic
             return num_can_null(e.args[0])

@@ -664,6 +664,34 @@ def main() -> None:
         )
     )
 
+    from rify_spark.sparql import sparql_term_funcs_gate
+
+    tf_df = sparql_term_funcs_gate(spark, SF_DIR)
+    tf_df.collect()  # finalize the AQE plan so codegen spans are visible
+    tf_exec = tf_df._jdf.queryExecution().executedPlan().toString()
+    sections.append(("sparql_term_funcs", tf_exec[:4000]))
+    checks.append(
+        (
+            "sparql_term_funcs",
+            "term-kind projections (isIRI/LANG/DATATYPE/STR/*) are JVM "
+            "when/regexp expressions — no Python eval, no cartesian",
+            not re.search(
+                r"(BatchEvalPython|ArrowEvalPython|CartesianProduct)",
+                tf_exec,
+            ),
+        )
+    )
+    checks.append(
+        (
+            "sparql_term_funcs",
+            "term filters + projections stay inside whole-stage codegen "
+            "over the scans (no interpreted-eval fallback; codegen "
+            "prints as the *(n) span prefix in the final AQE plan)",
+            bool(re.search(r"\*\(\d+\) Project", tf_exec))
+            and bool(re.search(r"\*\(\d+\) Filter", tf_exec)),
+        )
+    )
+
     lines = ["# PLANS — physical-plan audit", ""]
     lines.append("| query | property | status |")
     lines.append("|---|---|---|")

@@ -2089,3 +2089,18 @@ def test_multiplication_precedence_and_errors(spark):
     assert _run(quads, q) == [("a", "41"), ("b", "!")]
     q2 = 'SELECT ?x WHERE { GRAPH <g> { ?x <v> ?n } FILTER(?n * 3 = 12) }'
     assert _run(quads, q2) == [("a",)]
+
+
+def test_ceil_floor_round_integer_model(spark):
+    quads = spark.createDataFrame(
+        [("a", "v", "+007", "g"), ("b", "v", "x", "g")],
+        "s string, p string, o string, g string",
+    )
+    # identity on integral lexemes (canonicalized), error on non-integer
+    q = """
+      SELECT ?x ?c ?f ?r WHERE { GRAPH <g> { ?x <v> ?n }
+        BIND(COALESCE(CEIL(?n), "!") AS ?c)
+        BIND(COALESCE(FLOOR(?n), "!") AS ?f)
+        BIND(COALESCE(ROUND(?n), "!") AS ?r) }
+    """
+    assert _run(quads, q) == [("a", "7", "7", "7"), ("b", "!", "!", "!")]
