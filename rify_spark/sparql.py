@@ -176,9 +176,10 @@ some UNION branch) are first-class: they may appear in FILTERs and
 SELECT, and as later join / EXISTS / MINUS keys with SPARQL's
 compatible-mappings semantics (spec §18.5: an unbound variable is
 compatible with any value; the merged solution takes the bound one) —
-see ``_Eval._compat_join`` for the plan shapes. The one remaining
-restriction (raises rather than silently approximating): a
-possibly-unbound variable cannot instantiate a CONSTRUCT template.
+see ``_Eval._compat_join`` for the plan shapes. In CONSTRUCT / UPDATE
+templates they follow the spec's skip-incomplete-triple rule (§16.2,
+Update §3.1.3): a solution leaving a template variable unbound omits
+just the triples using it, compiled as per-signature null filters.
 Aggregate arguments may be any scalar expression from the BIND
 grammar (``SUM(?a - ?b)``, ``COUNT(DISTINCT CONCAT(?x, ?y))``,
 ``MIN(STRLEN(?v))`` ...) — the expression evaluates per input row
@@ -2953,10 +2954,11 @@ def sparql_construct(quads: DataFrame, query: str) -> DataFrame:
     same code path that materializes rule heads in the fixpoint — so a
     CONSTRUCT is exactly a one-shot rule application over the store
     (set semantics: duplicates collapse, as in ``Reasoner::insert``).
-    Template variables must be bound by the WHERE pattern (the range-
+    Template variables must appear in the WHERE pattern (the range-
     restriction check the rule validator applies, errors.UnboundImplied's
-    analog) and must not be possibly-unbound (OPTIONAL/partial-UNION) —
-    SPARQL's skip-incomplete-triple semantics is not implemented.
+    analog); possibly-unbound ones (OPTIONAL/partial-UNION) follow the
+    spec's skip-incomplete-triple rule (§16.2): a solution leaving the
+    variable unbound omits just the template triples that use it.
     """
     q = parse_select(query)
     if q.form != "CONSTRUCT":
@@ -2976,7 +2978,11 @@ def _template_quads(sol: _Sol, template: list, dtype, *, what: str):
     :func:`matcher.project_heads` — the same code path that materializes
     rule heads in the fixpoint (shared by CONSTRUCT and the UPDATE
     DELETE/INSERT templates). Returns a deduplicated ``(s, p, o, g)``
-    DataFrame. Template variables must be sure-bound by the pattern.
+    DataFrame. Template variables must appear in the pattern; a
+    possibly-unbound one skips just its own triples per solution
+    (skip-incomplete-triple, spec §16.2 / Update §3.1.3), via one head
+    projection per maybe-var signature over a null-filtered bindings
+    relation.
 
     CONSTRUCT templates may contain blank nodes (``_:label`` / ``[]``):
     each label mints one fresh node PER SOLUTION (spec §16.2.1) as
@@ -3029,6 +3035,7 @@ def _template_quads(sol: _Sol, template: list, dtype, *, what: str):
     head = []
     for quad in template:
         atom = []
+        maybe_used: set[str] = set()
         for t in quad:
             if isinstance(t, Path):
                 raise SparqlParseError(
@@ -3053,22 +3060,39 @@ def _template_quads(sol: _Sol, template: list, dtype, *, what: str):
                         f"template variable ?{t.name} not bound in WHERE"
                     )
                 if t.name in sol.maybe:
-                    raise SparqlParseError(
-                        f"template variable ?{t.name} is possibly unbound "
-                        "(OPTIONAL/UNION) — outside the supported subset"
-                    )
+                    # skip-incomplete-triple (spec §16.2 / Update
+                    # §3.1.3): a solution leaving this var unbound
+                    # omits THIS triple only — tracked per template
+                    # quad, compiled to a null filter below
+                    maybe_used.add(t.name)
                 atom.append(("v", slots[t.name]))
             else:
                 atom.append(("c", t.value))
-        head.append(atom)
-    lrule = LoweredRule(
-        index=0, body=[], head=head, n_vars=len(slots),
-        canon_vars=slot_names,
-    )
+        head.append((frozenset(maybe_used), atom))
     b = sol.df.select(
         *[F.col(n).alias(f"v{i}") for n, i in slots.items()]
     )
-    return project_heads(b, lrule, dtype).dropDuplicates(["s", "p", "o", "g"])
+    # group template quads by the set of possibly-unbound vars they use:
+    # one head projection per signature over a null-filtered bindings
+    # relation — quads with no maybe vars share the unfiltered pass, so
+    # the all-sure-bound case is exactly the old single-rule plan
+    by_sig: dict[frozenset, list] = {}
+    for sig, atom in head:
+        by_sig.setdefault(sig, []).append(atom)
+    parts = []
+    for sig in sorted(by_sig, key=sorted):
+        b_sig = b
+        for name in sorted(sig):
+            b_sig = b_sig.filter(F.col(f"v{slots[name]}").isNotNull())
+        lrule = LoweredRule(
+            index=0, body=[], head=by_sig[sig], n_vars=len(slots),
+            canon_vars=slot_names,
+        )
+        parts.append(project_heads(b_sig, lrule, dtype))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.dropDuplicates(["s", "p", "o", "g"])
 
 
 def sparql_describe(quads: DataFrame, query: str) -> DataFrame:

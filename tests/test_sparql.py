@@ -351,17 +351,40 @@ def test_minus_disjoint_domain_rows_survive(quads):
     assert got == [("a",), ("b",), ("c",)]
 
 
-def test_construct_rejects_optional_template_var(quads):
+def test_construct_skips_incomplete_triples(quads):
+    # spec §16.2: a solution leaving a template var unbound omits just
+    # the triples that use it — the sure-bound triple still instantiates
     from rify_spark.sparql import sparql_construct
 
     q = """
-      CONSTRUCT { ?x <aged> ?age } WHERE {
+      CONSTRUCT { ?x <aged> ?age . ?x <seen> "y" } WHERE {
         GRAPH ?g { ?x <knows> ?y }
         OPTIONAL { ?x <age> ?age }
       }
     """
-    with pytest.raises(SparqlParseError, match="possibly unbound"):
-        sparql_construct(quads, q)
+    got = sorted(tuple(r) for r in sparql_construct(quads, q).collect())
+    assert got == [
+        ("a", "aged", "3", "default_graph"),
+        ("a", "seen", "y", "default_graph"),
+        ("b", "seen", "y", "default_graph"),
+        ("c", "seen", "y", "default_graph"),
+    ]
+
+
+def test_construct_skip_incomplete_union_branch_var(quads):
+    # a var missing from one UNION branch is possibly-unbound: branch
+    # solutions without it skip only its triple
+    from rify_spark.sparql import sparql_construct
+
+    q = """
+      CONSTRUCT { ?x <aged> ?age } WHERE {
+        { GRAPH <g1> { ?x <knows> ?y } }
+        UNION
+        { ?x <age> ?age }
+      }
+    """
+    got = sorted(tuple(r) for r in sparql_construct(quads, q).collect())
+    assert got == [("a", "aged", "3", "default_graph")]
 
 
 def test_optional_without_shared_var_rejected(quads):

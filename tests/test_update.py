@@ -103,6 +103,22 @@ def test_where_matches_pre_operation_store_once(store):
     assert len(got) == len(BASE) + 2
 
 
+def test_insert_template_skips_incomplete_triples(store):
+    # Update §3.1.3: a solution leaving a template var unbound omits
+    # just the triples using it — the sure-bound triple still inserts
+    out = sparql_update(
+        store,
+        'INSERT { ?x <aged> ?age . ?x <seen> "y" } '
+        "WHERE { ?x <knows> ?y OPTIONAL { ?x <age> ?age } }",
+    )
+    got = _rows(out)
+    assert ("a", "aged", "3", G) in got
+    assert ("a", "seen", "y", G) in got and ("b", "seen", "y", G) in got
+    # b has no age: no aged-triple, and nothing null-ish either
+    assert not any(s == "b" and p == "aged" for s, p, o, g in got)
+    assert len(got) == len(BASE) + 3
+
+
 def test_sequence_applies_left_to_right(store):
     out = sparql_update(
         store,
