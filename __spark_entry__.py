@@ -657,6 +657,12 @@ def _q_sparql_construct_bnode(spark, sf_dir):
     return sparql_construct_bnode_gate(spark, sf_dir)
 
 
+def _q_sparql_construct_skip(spark, sf_dir):
+    from rify_spark.sparql import sparql_construct_skip_gate
+
+    return sparql_construct_skip_gate(spark, sf_dir)
+
+
 def _q_rdf_parse(spark, sf_dir):
     from rify_spark.rdf import rdf_nquads_parse
 
@@ -795,6 +801,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_update": _q_sparql_update,
         # CONSTRUCT-template blank nodes (fresh per solution)
         "sparql_construct_bnode": _q_sparql_construct_bnode,
+        "sparql_construct_skip": _q_sparql_construct_skip,
         # aggregate arguments as scalar expressions (SUM/COUNT-DISTINCT/MIN)
         "sparql_agg_expr": _q_sparql_agg_expr,
         # ORDER BY expression keys (numeric top-k with tie-break)
@@ -984,6 +991,7 @@ def oracle_sql() -> dict[str, str]:
         "sparql_avg": _sparql_sql("sparql_avg_sql"),
         "sparql_update": _update_sql(),
         "sparql_construct_bnode": _sparql_sql("sparql_construct_bnode_sql"),
+        "sparql_construct_skip": _sparql_sql("sparql_construct_skip_sql"),
         "sparql_agg_expr": _sparql_sql("sparql_agg_expr_sql"),
         "sparql_order_expr": _sparql_sql("sparql_order_expr_sql"),
         "sparql_group_expr": _sparql_sql("sparql_group_expr_sql"),

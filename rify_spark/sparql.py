@@ -3360,6 +3360,44 @@ def sparql_construct_sql() -> str:
     """
 
 
+# skip-incomplete-triple (spec §16.2): every customer keeps its marker
+# triple, but only customers with a low-key order (an OPTIONAL that
+# misses elsewhere) emit the <early_order> triple — the template quads
+# split by maybe-var signature into two null-filtered head projections
+GATE_CONSTRUCT_SKIP = """
+  CONSTRUCT {
+    GRAPH <graph://derived> {
+      ?cust <early_order> ?order .
+      ?cust <kept> "y"
+    }
+  } WHERE {
+    GRAPH <graph://tpch> { ?cust <in_nation> ?nation }
+    OPTIONAL {
+      GRAPH <graph://tpch> { ?order <placed_by> ?cust }
+      FILTER (regex(?order, "^order:[0-9]{1,3}$"))
+    }
+  }
+"""
+
+
+def sparql_construct_skip_gate(spark, sf_dir: str) -> DataFrame:
+    from .ops.quads import tpch_quads
+
+    return sparql_construct(tpch_quads(spark, sf_dir), GATE_CONSTRUCT_SKIP)
+
+
+def sparql_construct_skip_sql() -> str:
+    # independent derivation: the regex is "order key has <= 3 digits"
+    return """
+      SELECT DISTINCT 'cust:' || o_custkey AS s, 'early_order' AS p,
+             'order:' || o_orderkey AS o, 'graph://derived' AS g
+      FROM orders WHERE o_orderkey BETWEEN 0 AND 999
+      UNION
+      SELECT DISTINCT 'cust:' || c_custkey, 'kept', 'y', 'graph://derived'
+      FROM customer
+    """
+
+
 # path expression without a closure: inverse + sequence — region swept to
 # its customers through two reversed edges, one equi-join chain, no fixpoint
 GATE_PATH_EXPR = """
