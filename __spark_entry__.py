@@ -603,6 +603,12 @@ def _q_sparql_term_funcs(spark, sf_dir):
     return sparql_term_funcs_gate(spark, sf_dir)
 
 
+def _q_sparql_datetime(spark, sf_dir):
+    from rify_spark.sparql import sparql_datetime_gate
+
+    return sparql_datetime_gate(spark, sf_dir)
+
+
 def _q_sparql_numeric_funcs(spark, sf_dir):
     from rify_spark.sparql import sparql_numeric_funcs_gate
 
@@ -793,6 +799,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_optional_cond": _q_sparql_optional_cond,
         # term-kind built-ins (isIRI/LANG/DATATYPE/...) + '*' arithmetic
         "sparql_term_funcs": _q_sparql_term_funcs,
+        "sparql_datetime": _q_sparql_datetime,
         # negated property sets !(p | ^q)
         "sparql_nps": _q_sparql_nps,
         # AVG aggregate (double output, cross-engine deterministic)
@@ -987,6 +994,7 @@ def oracle_sql() -> dict[str, str]:
         "sparql_numeric_funcs": _sparql_sql("sparql_numeric_funcs_sql"),
         "sparql_optional_cond": _sparql_sql("sparql_optional_cond_sql"),
         "sparql_term_funcs": _sparql_sql("sparql_term_funcs_sql"),
+        "sparql_datetime": _sparql_sql("sparql_datetime_sql"),
         "sparql_nps": _sparql_sql("sparql_nps_sql"),
         "sparql_avg": _sparql_sql("sparql_avg_sql"),
         "sparql_update": _update_sql(),

@@ -139,6 +139,15 @@ Supported subset (documented contract, errors otherwise):
     the UTF-8 bytes), ``ABS`` / ``CEIL`` / ``FLOOR`` / ``ROUND`` (the
     integer-lexeme numeric model — the latter three are the identity on
     integral lexemes, an error otherwise),
+    xsd:dateTime accessors ``YEAR`` / ``MONTH`` / ``DAY`` / ``HOURS`` /
+    ``MINUTES`` / ``SECONDS`` / ``TZ`` / ``TIMEZONE`` (§17.4.5) over
+    typed ``"..."^^<xsd:dateTime>`` literals — pure regexp field
+    extraction from the lexical form (integer fields as bare decimal
+    lexemes; SECONDS keeps the lexical fraction, zero-padding
+    stripped; TZ is the designator as written or ``""``; TIMEZONE
+    renders the raw ``xsd:dayTimeDuration`` typed literal and errors
+    on a timezone-less lexeme; any wrong-kind or unparseable input
+    errors),
     ``ENCODE_FOR_URI`` (RFC 3986 percent-encoding, uppercase hex —
     Java URLEncoder patched for the unreserved set), ``IF(cond, then,
     else)`` (cond is a FILTER boolean tree; an errored condition makes
@@ -256,10 +265,21 @@ _UNESC = {"\\\\": "\\", '\\"': '"', "\\n": "\n", "\\r": "\r", "\\t": "\t"}
 
 XSD_STRING = "http://www.w3.org/2001/XMLSchema#string"
 RDF_LANG_STRING = "http://www.w3.org/1999/02/22-rdf-syntax-ns#langString"
+XSD_DATETIME = "http://www.w3.org/2001/XMLSchema#dateTime"
+XSD_DAYTIMEDURATION = "http://www.w3.org/2001/XMLSchema#dayTimeDuration"
 
 _LIT_VALUE_RE = r'^"((?:[^"\\]|\\.)*)"'
 _LIT_LANG_RE = r'^"(?:[^"\\]|\\.)*"@([A-Za-z][A-Za-z0-9-]*)$'
 _LIT_DT_RE = r"\^\^<([^<>]*)>$"
+
+#: the xsd:dateTime lexical space (XSD 1.1 §3.3.7), capture groups
+#: 1=year 2=month 3=day 4=hours 5=minutes 6=seconds(with fraction) 7=tz;
+#: shared verbatim with the DuckDB twin (both Java regex and RE2 read it
+#: identically, incl. the non-capturing fraction group)
+_DT_LEX_RE = (
+    r"^(-?\d{4,})-(\d{2})-(\d{2})T(\d{2}):(\d{2}):(\d{2}(?:\.\d+)?)"
+    r"(Z|[+-]\d{2}:\d{2})?$"
+)
 
 
 def _t_is_literal(c):
@@ -296,6 +316,23 @@ def _t_datatype(c):
         F.when(dt != "", dt)
         .when(lang != "", F.lit(RDF_LANG_STRING))
         .otherwise(F.lit(XSD_STRING)),
+    )
+
+
+def _t_datetime_part(c, group: int):
+    """Capture ``group`` of the xsd:dateTime lexical pattern over a
+    term column — NULL (a SPARQL error) unless the term is a literal
+    typed ``xsd:dateTime`` whose lexical form matches the dateTime
+    grammar. The year capture of a matching lexeme is never empty, so
+    it doubles as the did-it-match gate (``regexp_extract`` answers
+    ``""`` both for a failed match and for a non-participating
+    optional group — in Spark and DuckDB alike, verified)."""
+    lex = F.regexp_extract(c, _LIT_VALUE_RE, 1)
+    return F.when(
+        c.startswith('"')
+        & (F.regexp_extract(c, _LIT_DT_RE, 1) == XSD_DATETIME)
+        & (F.regexp_extract(lex, _DT_LEX_RE, 1) != ""),
+        F.regexp_extract(lex, _DT_LEX_RE, group),
     )
 
 
@@ -1330,6 +1367,8 @@ class _Parser:
         "ABS", "SHA1", "SHA384", "SHA512", "ENCODE_FOR_URI",
         "LANG", "DATATYPE", "IRI", "URI", "STRLANG", "STRDT",
         "CEIL", "FLOOR", "ROUND",
+        "YEAR", "MONTH", "DAY", "HOURS", "MINUTES", "SECONDS",
+        "TZ", "TIMEZONE",
         "IF",  # parsed by its own scalar_atom branch (boolean first arg);
         # listed here so SELECT items route (IF(...) AS ?v) to scalar_expr
     }
@@ -1337,6 +1376,8 @@ class _Parser:
         "STR", "UCASE", "LCASE", "STRLEN", "MD5", "SHA256",
         "ABS", "SHA1", "SHA384", "SHA512", "ENCODE_FOR_URI",
         "LANG", "DATATYPE", "IRI", "URI", "CEIL", "FLOOR", "ROUND",
+        "YEAR", "MONTH", "DAY", "HOURS", "MINUTES", "SECONDS",
+        "TZ", "TIMEZONE",
     }
     _EXPR_BINARY = {"STRBEFORE", "STRAFTER", "STRLANG", "STRDT"}
 
@@ -1770,6 +1811,59 @@ def _scalar_column(expr, bound: set, maybe: set, colf=F.col):
             # error (NULL) on non-integer lexemes — the normalizing
             # round-trip also canonicalizes "+7"/"007" to "7"
             return s(e.args[0]).try_cast("long").cast("string")
+        if e.name in ("YEAR", "MONTH", "DAY", "HOURS", "MINUTES"):
+            # §17.4.5: integer field accessors over xsd:dateTime typed
+            # literals, rendered as bare decimal lexemes (the integer
+            # model) — the long round-trip strips the lexical zero
+            # padding ("03" -> "3"); wrong-kind / unparseable input
+            # errors (NULL). SQL twin: the same regexp_extract +
+            # TRY_CAST over the shared _DT_LEX_RE.
+            grp = {
+                "YEAR": 1, "MONTH": 2, "DAY": 3, "HOURS": 4, "MINUTES": 5,
+            }[e.name]
+            part = _t_datetime_part(s(e.args[0]), grp)
+            return part.try_cast("long").cast("string")
+        if e.name == "SECONDS":
+            # §17.4.5.6 returns xsd:decimal; the opaque-lexeme model
+            # keeps the lexical seconds field (fraction preserved as
+            # written) with the zero padding stripped — "07.25" ->
+            # "7.25" — so both engines agree bit-for-bit without a
+            # decimal type. regexp_replace backreference syntax differs
+            # ($1 Java, \1 RE2) but the twin owns its own spelling.
+            fld = _t_datetime_part(s(e.args[0]), 6)
+            return F.regexp_replace(fld, r"^0(\d)", r"$1")
+        if e.name == "TZ":
+            # §17.4.5.8: the timezone designator as a simple literal —
+            # "Z", "+05:30", ... or "" when the lexeme carries none
+            return _t_datetime_part(s(e.args[0]), 7)
+        if e.name == "TIMEZONE":
+            # §17.4.5.7: the timezone as an xsd:dayTimeDuration typed
+            # literal in the raw convention ('"PT0S"^^<...>'); a lexeme
+            # WITHOUT a timezone is an error (NULL) — F.concat
+            # propagates the NULL through the wrapper
+            tz = _t_datetime_part(s(e.args[0]), 7)
+            hh = F.substring(tz, 2, 2).try_cast("long")
+            mm = F.substring(tz, 5, 2).try_cast("long")
+            dur = F.when(
+                (tz == "Z") | ((hh == 0) & (mm == 0)), F.lit("PT0S")
+            ).when(
+                tz != "",
+                F.concat(
+                    F.when(tz.startswith("-"), F.lit("-")).otherwise(
+                        F.lit("")
+                    ),
+                    F.lit("PT"),
+                    F.when(
+                        hh > 0, F.concat(hh.cast("string"), F.lit("H"))
+                    ).otherwise(F.lit("")),
+                    F.when(
+                        mm > 0, F.concat(mm.cast("string"), F.lit("M"))
+                    ).otherwise(F.lit("")),
+                ),
+            )
+            return F.concat(
+                F.lit('"'), dur, F.lit('"^^<' + XSD_DAYTIMEDURATION + ">")
+            )
         if e.name == "ENCODE_FOR_URI":
             # spec §17.4.3.12: percent-encode everything outside RFC 3986
             # unreserved (ALPHA / DIGIT / '-' / '.' / '_' / '~'),
@@ -1807,7 +1901,8 @@ def _scalar_column(expr, bound: set, maybe: set, colf=F.col):
             # lexeme) — the same rule as arithmetic
             return num_can_null(e.args[0])
         if e.name in ("STR", "IRI", "URI", "LANG", "DATATYPE",
-                      "STRLANG", "STRDT"):
+                      "STRLANG", "STRDT", "YEAR", "MONTH", "DAY",
+                      "HOURS", "MINUTES", "SECONDS", "TZ", "TIMEZONE"):
             # term projections error (NULL) on the wrong term kind —
             # STR/IRI on blanks, LANG/DATATYPE on non-literals — even
             # over a sure-bound input
@@ -4217,4 +4312,84 @@ def sparql_term_funcs_sql() -> str:
              CAST(CAST(FLOOR(c_acctbal * 100) AS BIGINT) * 2 AS VARCHAR)
                AS bal2
       FROM customer
+    """
+
+
+# ---------------------------------------------------------------------------
+# datetime gate: a typed xsd:dateTime store built from TPC-H orders — the
+# date from o_orderdate, a synthesized time-of-day / fractional second /
+# timezone keyed deterministically off o_orderkey so every accessor
+# branch (Z vs ±hh:mm vs half-hour offsets, padded vs fraction seconds)
+# is exercised. The whole family is pure JVM regexp/when expressions;
+# the DuckDB twin recomputes each field in closed form from the same
+# key arithmetic, so a hash mismatch pins the accessor machinery.
+# ---------------------------------------------------------------------------
+
+GATE_DATETIME = """
+  SELECT ?ord ?y ?mo ?d ?h ?mi ?s ?tz ?dur WHERE {
+    GRAPH <graph://dt> { ?ord <placed_at> ?t . }
+    BIND(YEAR(?t) AS ?y)    BIND(MONTH(?t) AS ?mo)
+    BIND(DAY(?t) AS ?d)     BIND(HOURS(?t) AS ?h)
+    BIND(MINUTES(?t) AS ?mi) BIND(SECONDS(?t) AS ?s)
+    BIND(TZ(?t) AS ?tz)
+    BIND(COALESCE(TIMEZONE(?t), "tz-error") AS ?dur)
+    FILTER(MONTH(?t) >= 1 && DAY(?t) <= 31 && YEAR(?t) > 1900)
+  }
+"""
+
+
+def _datetime_quads(spark, sf_dir: str) -> DataFrame:
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    k = F.col("o_orderkey")
+    hh = F.lpad((k % 24).cast("string"), 2, "0")
+    mi = F.lpad((k % 60).cast("string"), 2, "0")
+    ss = F.concat(
+        F.lpad(((k * 7) % 60).cast("string"), 2, "0"),
+        F.when(k % 5 == 0, F.lit(".25")).otherwise(F.lit("")),
+    )
+    tz = (
+        F.when(k % 3 == 0, F.lit("Z"))
+        .when(k % 3 == 1, F.lit("+05:30"))
+        .otherwise(F.lit("-08:00"))
+    )
+    lex = F.concat(
+        F.date_format("o_orderdate", "yyyy-MM-dd"),
+        F.lit("T"), hh, F.lit(":"), mi, F.lit(":"), ss, tz,
+    )
+    return orders.select(
+        F.concat(F.lit("order:"), k).alias("s"),
+        F.lit("placed_at").alias("p"),
+        F.concat(
+            F.lit('"'), lex, F.lit('"^^<' + XSD_DATETIME + ">")
+        ).alias("o"),
+        F.lit("graph://dt").alias("g"),
+    )
+
+
+def sparql_datetime_gate(spark, sf_dir: str) -> DataFrame:
+    return sparql_select(_datetime_quads(spark, sf_dir), GATE_DATETIME)
+
+
+def sparql_datetime_sql() -> str:
+    # closed form: every order passes the FILTER by construction (TPC-H
+    # dates are 1992-1998); the twin re-derives each accessor from the
+    # same o_orderkey arithmetic the store builder used
+    return """
+      SELECT 'order:' || o_orderkey AS ord,
+             CAST(year(o_orderdate) AS VARCHAR) AS y,
+             CAST(month(o_orderdate) AS VARCHAR) AS mo,
+             CAST(day(o_orderdate) AS VARCHAR) AS d,
+             CAST(o_orderkey % 24 AS VARCHAR) AS h,
+             CAST(o_orderkey % 60 AS VARCHAR) AS mi,
+             CAST((o_orderkey * 7) % 60 AS VARCHAR)
+               || CASE WHEN o_orderkey % 5 = 0 THEN '.25' ELSE '' END AS s,
+             CASE o_orderkey % 3 WHEN 0 THEN 'Z'
+                  WHEN 1 THEN '+05:30' ELSE '-08:00' END AS tz,
+             CASE o_orderkey % 3
+                  WHEN 0 THEN '"PT0S"'
+                  WHEN 1 THEN '"PT5H30M"'
+                  ELSE '"-PT8H"' END
+               || '^^<http://www.w3.org/2001/XMLSchema#dayTimeDuration>'
+               AS dur
+      FROM orders
     """

@@ -2127,3 +2127,98 @@ def test_ceil_floor_round_integer_model(spark):
         BIND(COALESCE(ROUND(?n), "!") AS ?r) }
     """
     assert _run(quads, q) == [("a", "7", "7", "7"), ("b", "!", "!", "!")]
+
+
+# --------------------------------------------------------------------------
+# xsd:dateTime accessors (spec §17.4.5) over the raw-lexeme convention
+# --------------------------------------------------------------------------
+
+_XDT = '^^<http://www.w3.org/2001/XMLSchema#dateTime>'
+DT_QUADS = [
+    ("e1", "at", '"2024-03-07T09:05:07Z"' + _XDT, "g"),
+    ("e2", "at", '"1999-12-31T23:59:58.250+05:30"' + _XDT, "g"),
+    ("e3", "at", '"2001-01-02T00:00:00-08:00"' + _XDT, "g"),
+    ("e4", "at", '"2010-06-15T12:30:00-00:30"' + _XDT, "g"),
+    ("e5", "at", '"2010-06-15T12:30:00+00:00"' + _XDT, "g"),
+    ("e6", "at", '"2010-06-15T12:30:00"' + _XDT, "g"),  # no timezone
+    ("e7", "at", '"-0044-03-15T00:00:01Z"' + _XDT, "g"),  # negative year
+    ("e8", "at", '"not-a-date"' + _XDT, "g"),  # unparseable lexeme
+    ("e9", "at", '"2024-03-07"', "g"),  # plain literal, wrong kind
+    ("e10", "at", "some:iri", "g"),  # IRI, wrong kind
+]
+
+
+@pytest.fixture(scope="module")
+def dt_quads(spark):
+    return spark.createDataFrame(
+        DT_QUADS, "s string, p string, o string, g string"
+    )
+
+
+def test_datetime_field_accessors(dt_quads):
+    q = """
+      SELECT ?e ?y ?mo ?d ?h ?mi ?s WHERE { GRAPH <g> { ?e <at> ?t }
+        BIND(YEAR(?t) AS ?y) BIND(MONTH(?t) AS ?mo) BIND(DAY(?t) AS ?d)
+        BIND(HOURS(?t) AS ?h) BIND(MINUTES(?t) AS ?mi)
+        BIND(SECONDS(?t) AS ?s)
+        FILTER(?e = "e1" || ?e = "e2" || ?e = "e7") }
+    """
+    assert _run(dt_quads, q) == [
+        ("e1", "2024", "3", "7", "9", "5", "7"),
+        ("e2", "1999", "12", "31", "23", "59", "58.250"),
+        ("e7", "-44", "3", "15", "0", "0", "1"),
+    ]
+
+
+def test_datetime_tz_and_timezone(dt_quads):
+    # TZ: the designator as written, "" when absent; TIMEZONE: an
+    # xsd:dayTimeDuration typed literal, ERROR when absent
+    dur = '^^<http://www.w3.org/2001/XMLSchema#dayTimeDuration>'
+    q = """
+      SELECT ?e ?tz ?dur WHERE { GRAPH <g> { ?e <at> ?t }
+        BIND(TZ(?t) AS ?tz)
+        BIND(COALESCE(TIMEZONE(?t), "!err") AS ?dur)
+        FILTER(?e != "e8" && ?e != "e9" && ?e != "e10") }
+    """
+    assert _run(dt_quads, q) == [
+        ("e1", "Z", '"PT0S"' + dur),
+        ("e2", "+05:30", '"PT5H30M"' + dur),
+        ("e3", "-08:00", '"-PT8H"' + dur),
+        ("e4", "-00:30", '"-PT30M"' + dur),
+        ("e5", "+00:00", '"PT0S"' + dur),
+        ("e6", "", "!err"),
+        ("e7", "Z", '"PT0S"' + dur),
+    ]
+
+
+def test_datetime_wrong_kind_errors(dt_quads):
+    # a non-dateTime term (plain literal / IRI / unparseable lexeme)
+    # errors: the BIND target is unbound, and a FILTER comparison on it
+    # drops the row (error-semantics)
+    q = """
+      SELECT ?e ?y WHERE { GRAPH <g> { ?e <at> ?t }
+        BIND(COALESCE(YEAR(?t), "!err") AS ?y)
+        FILTER(?e = "e8" || ?e = "e9" || ?e = "e10") }
+    """
+    assert _run(dt_quads, q) == [
+        ("e10", "!err"), ("e8", "!err"), ("e9", "!err"),
+    ]
+    q2 = """
+      SELECT ?e WHERE { GRAPH <g> { ?e <at> ?t }
+        FILTER(YEAR(?t) >= 1999) }
+    """
+    assert _run(dt_quads, q2) == [
+        ("e1",), ("e2",), ("e3",), ("e4",), ("e5",), ("e6",),
+    ]
+
+
+def test_datetime_numeric_order_and_group(dt_quads):
+    # accessors are bare integer lexemes: the numeric ORDER BY switch
+    # and GROUP BY both apply
+    q = """
+      SELECT ?e ?y WHERE { GRAPH <g> { ?e <at> ?t }
+        BIND(YEAR(?t) AS ?y) FILTER(bound(?y)) }
+      ORDER BY DESC(?y + 0) ?e LIMIT 2
+    """
+    got = [tuple(r) for r in sparql_select(dt_quads, q).collect()]
+    assert got == [("e1", "2024"), ("e4", "2010")]
