@@ -609,6 +609,12 @@ def _q_sparql_datetime(spark, sf_dir):
     return sparql_datetime_gate(spark, sf_dir)
 
 
+def _q_sparql_literal_terms(spark, sf_dir):
+    from rify_spark.sparql import sparql_literal_terms_gate
+
+    return sparql_literal_terms_gate(spark, sf_dir)
+
+
 def _q_sparql_numeric_funcs(spark, sf_dir):
     from rify_spark.sparql import sparql_numeric_funcs_gate
 
@@ -800,6 +806,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # term-kind built-ins (isIRI/LANG/DATATYPE/...) + '*' arithmetic
         "sparql_term_funcs": _q_sparql_term_funcs,
         "sparql_datetime": _q_sparql_datetime,
+        # RDF literal term grammar (lang/typed/numeric constants) + BASE
+        "sparql_literal_terms": _q_sparql_literal_terms,
         # negated property sets !(p | ^q)
         "sparql_nps": _q_sparql_nps,
         # AVG aggregate (double output, cross-engine deterministic)
@@ -995,6 +1003,7 @@ def oracle_sql() -> dict[str, str]:
         "sparql_optional_cond": _sparql_sql("sparql_optional_cond_sql"),
         "sparql_term_funcs": _sparql_sql("sparql_term_funcs_sql"),
         "sparql_datetime": _sparql_sql("sparql_datetime_sql"),
+        "sparql_literal_terms": _sparql_sql("sparql_literal_terms_sql"),
         "sparql_nps": _sparql_sql("sparql_nps_sql"),
         "sparql_avg": _sparql_sql("sparql_avg_sql"),
         "sparql_update": _update_sql(),

@@ -13,6 +13,10 @@ second code path.
 Supported subset (documented contract, errors otherwise):
 
   * ``PREFIX`` declarations and prefixed names; ``a`` == ``rdf:type``;
+    ``BASE <iri>`` — relative ``<refs>`` (every slot, PREFIX values
+    included) resolve by full RFC 3986 reference resolution (dot
+    segments and all; scheme-independent), declarations may interleave
+    and a later BASE re-binds against the previous one;
   * ``SELECT [DISTINCT] ?v ... | *`` over one group pattern; ``ASK``
     (existence, a 1-row boolean); ``CONSTRUCT { template } WHERE { ... }``
     — the template instantiates through the SAME head-projection the rule
@@ -25,7 +29,16 @@ Supported subset (documented contract, errors otherwise):
     leaves the description form implementation-defined, §16.4);
   * triple blocks with ``;`` (shared subject) and ``,`` (shared object
     list) separators; terms: ``<iri>``, ``prefix:local``, ``"literal"``
-    (with ``\\ \" \n \r \t`` escapes), ``?var`` / ``$var``, and blank
+    (with ``\\ \" \n \r \t`` escapes), lang-tagged ``"lit"@tag`` and
+    typed ``"lit"^^<dt>`` / ``"lit"^^pfx:local`` literals (they compile
+    to the RAW-lexeme convention — the decoded value re-wrapped as
+    ``'"v"@tag'`` / ``'"v"^^<dt>'`` — while a bare ``"v"`` stays the
+    legacy plain-value constant matching bare-lexeme stores), numeric
+    (``30``, ``3.14``) and boolean (``true`` / ``false``) constants as
+    plain decimal/boolean lexemes (integers canonicalized, a documented
+    divergence from SPARQL's typed-literal reading — consistent with
+    the opaque string term space whose arithmetic/accessors emit bare
+    lexemes), ``?var`` / ``$var``, and blank
     nodes ``_:label`` / bare ``[]`` in subject/object position —
     nondistinguished variables (spec §4.1.4): they join like variables
     (one query-wide scope for a label; each ``[]`` is fresh) but are
@@ -204,6 +217,7 @@ from __future__ import annotations
 
 import re
 from dataclasses import dataclass
+from urllib.parse import urljoin
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -228,9 +242,11 @@ _TOKEN_RE = re.compile(
       (?P<ws>\s+|\#[^\n]*)
     | (?P<iri><[^<>\s]*>)
     | (?P<string>"(?:[^"\\]|\\.)*")
+    | (?P<langtag>@[A-Za-z]+(?:-[A-Za-z0-9]+)*)
     | (?P<var>[?$][A-Za-z_][A-Za-z0-9_]*)
     | (?P<pname>(?:[A-Za-z_][A-Za-z0-9_-]*)?:[A-Za-z0-9_.-]*)
     | (?P<kw>[A-Za-z_][A-Za-z0-9_]*)
+    | (?P<dec>[0-9]+\.[0-9]+)
     | (?P<num>[0-9]+)
     | (?P<op><=|>=|!=|&&|\|\||[{}.;,()=<>*:!+^/|?\[\]-])
     """,
@@ -238,6 +254,10 @@ _TOKEN_RE = re.compile(
 )
 
 _UNESC = {"\\\\": "\\", '\\"': '"', "\\n": "\n", "\\r": "\r", "\\t": "\t"}
+
+#: an IRI reference that already carries a scheme is absolute — never
+#: resolved against BASE (RFC 3986 §4.1)
+_SCHEME_RE = re.compile(r"^[A-Za-z][A-Za-z0-9+.-]*:")
 
 
 # ---------------------------------------------------------------------------
@@ -601,6 +621,7 @@ class _Parser:
         self.toks = _tokenize(text)
         self.i = 0
         self.prefixes: dict = {}
+        self.base: str | None = None  # BASE <iri> for relative refs
         self.form = "SELECT"  # SELECT | ASK | CONSTRUCT | DESCRIBE
         self.root: Group | None = None  # the WHERE group
         self.template: list = []  # CONSTRUCT head quads
@@ -679,7 +700,7 @@ class _Parser:
         if kind == "var":
             return Var(tok[1:])
         if kind == "iri":
-            return Const(tok[1:-1])
+            return Const(self._resolve_iri(tok[1:-1]))
         if kind == "string":
             if as_pred:
                 raise SparqlParseError("literal in predicate position")
@@ -687,7 +708,45 @@ class _Parser:
             val = re.sub(
                 r"\\.", lambda m: _UNESC.get(m.group(), m.group()), val
             )
+            # RDF literal suffixes compile to the RAW-lexeme convention
+            # (the convention block above _t_str): '"v"@tag' /
+            # '"v"^^<dt>' — the decoded value re-wrapped, exactly the
+            # form the term-kind store builders emit. A bare "v" stays
+            # the legacy plain-value constant (back-compat: it matches
+            # a bare-lexeme store).
+            k2, t2 = self.peek()
+            if k2 == "langtag":
+                self.next()
+                return Const('"' + val + '"' + t2)
+            if (
+                k2 == "op"
+                and t2 == "^"
+                and self.toks[self.i + 1] == ("op", "^")
+            ):
+                self.next()
+                self.next()
+                dt = self.term(as_pred=True)
+                if not isinstance(dt, Const):
+                    raise SparqlParseError(
+                        "a ^^ datatype must be an IRI or prefixed name"
+                    )
+                return Const('"' + val + '"^^<' + dt.value + ">")
             return Const(val)
+        if kind in ("num", "dec"):
+            # numeric term constants match the engine's bare-lexeme
+            # convention (the same form the accessors/arithmetic emit):
+            # integers canonicalized to their decimal lexeme, decimals
+            # kept as written — a documented divergence from SPARQL's
+            # typed xsd:integer/xsd:decimal literals, consistent with
+            # the opaque string term space
+            if as_pred:
+                raise SparqlParseError("literal in predicate position")
+            return Const(str(int(tok)) if kind == "num" else tok)
+        if kind == "kw" and tok in ("true", "false"):
+            # boolean term constants, bare-lexeme like numerics
+            if as_pred:
+                raise SparqlParseError("literal in predicate position")
+            return Const(tok)
         if kind == "pname":
             pfx, local = tok.split(":", 1)
             if pfx == "_":
@@ -766,10 +825,39 @@ class _Parser:
             return Const(RDF_TYPE)
         raise SparqlParseError(f"expected term, got {tok!r}")
 
+    def _resolve_iri(self, iri: str) -> str:
+        """Resolve a relative IRI reference against the BASE declaration
+        (RFC 3986 reference resolution via ``urllib.parse.urljoin`` —
+        dot segments and all). An IRI with a scheme, or any IRI when no
+        BASE is declared, passes through untouched, so the engine's
+        scheme-less bare-name convention (``cust:1`` style identifiers
+        arrive as pnames, not ``<...>`` refs) is unaffected."""
+        if self.base is None or _SCHEME_RE.match(iri):
+            return iri
+        m = _SCHEME_RE.match(self.base)
+        if not m or m.group(0)[:-1].lower() in ("http", "https", "file"):
+            return urljoin(self.base, iri)
+        # urljoin applies relative resolution only to schemes it knows,
+        # but RFC 3986 §5 resolution is scheme-independent — route any
+        # other scheme through a placeholder and restore it
+        scheme = m.group(0)[:-1]
+        out = urljoin("http" + self.base[len(scheme):], iri)
+        return scheme + out[len("http"):]
+
     # --- grammar ---
     def parse_prologue(self):
-        """The PREFIX declaration block (shared by queries and updates)."""
-        while self.kw("PREFIX"):
+        """The BASE / PREFIX declaration block (shared by queries and
+        updates, spec §4.1.1-2; declarations may interleave and a later
+        BASE re-binds — each resolves against the one before it)."""
+        while True:
+            if self.kw("BASE"):
+                kind, iri = self.next()
+                if kind != "iri":
+                    raise SparqlParseError("BASE needs an <iri>")
+                self.base = self._resolve_iri(iri[1:-1])
+                continue
+            if not self.kw("PREFIX"):
+                break
             kind, tok = self.next()
             if kind == "pname" and tok.endswith(":"):
                 name = tok[:-1]
@@ -780,7 +868,7 @@ class _Parser:
             kind, iri = self.next()
             if kind != "iri":
                 raise SparqlParseError("PREFIX needs an <iri>")
-            self.prefixes[name] = iri[1:-1]
+            self.prefixes[name] = self._resolve_iri(iri[1:-1])
 
     def parse(self):
         self.parse_prologue()
@@ -848,7 +936,10 @@ class _Parser:
         WHERE group, and solution modifiers (shared by the top-level
         query and ``{ SELECT ... }`` subqueries)."""
         self.form = "SELECT"
-        self.distinct = self.kw("DISTINCT")
+        # REDUCED permits any duplicate elimination between none and all
+        # (spec §15.6) — the engine's set-semantics output is a legal
+        # REDUCED answer, so it parses as DISTINCT
+        self.distinct = self.kw("DISTINCT") or self.kw("REDUCED")
         kind, tok = self.peek()
         if kind == "op" and tok == "*":
             self.next()
@@ -4392,4 +4483,80 @@ def sparql_datetime_sql() -> str:
                || '^^<http://www.w3.org/2001/XMLSchema#dayTimeDuration>'
                AS dur
       FROM orders
+    """
+
+
+# ---------------------------------------------------------------------------
+# literal-term gate: RDF literal constants in query text — lang-tagged /
+# ^^-typed forms compile to the raw-lexeme convention, bare numerics to
+# the engine's plain decimal lexeme — matched as constant-slot pushed
+# filters over a mixed store built from TPC-H customers. The DuckDB twin
+# re-derives the selected population in closed form from the same key
+# arithmetic, so a mismatch pins the term-grammar compilation.
+# ---------------------------------------------------------------------------
+
+GATE_LITERAL_TERMS = """
+  BASE <http://g/>
+  PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>
+  SELECT REDUCED ?c ?band WHERE {
+    GRAPH <lit> {
+      ?c <flag> "yes"@en .
+      ?c <nkids> 3 .
+      ?c <band> ?band .
+    }
+    FILTER(?band = "2"^^xsd:integer || ?band = "0"^^xsd:integer)
+  }
+"""
+
+
+def _literal_terms_quads(spark, sf_dir: str) -> DataFrame:
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    k = F.col("c_custkey")
+    s = F.concat(F.lit("cust:"), k)
+    # under BASE <http://g/> every relative <...> in the query resolves
+    # (predicates included, per RFC 3986) — the store carries the
+    # resolved forms
+    g = F.lit("http://g/lit")
+
+    def q(p, o):
+        return customer.select(
+            s.alias("s"),
+            F.lit("http://g/" + p).alias("p"),
+            o.alias("o"),
+            g.alias("g"),
+        )
+
+    flag = q(
+        "flag",
+        F.when(k % 2 == 0, F.lit('"yes"@en')).otherwise(F.lit('"non"@fr')),
+    )
+    nkids = q("nkids", (k % 5).cast("string"))
+    band = q(
+        "band",
+        F.concat(
+            F.lit('"'),
+            (k % 4).cast("string"),
+            F.lit('"^^<http://www.w3.org/2001/XMLSchema#integer>'),
+        ),
+    )
+    return flag.unionByName(nkids).unionByName(band)
+
+
+def sparql_literal_terms_gate(spark, sf_dir: str) -> DataFrame:
+    return sparql_select(
+        _literal_terms_quads(spark, sf_dir), GATE_LITERAL_TERMS
+    )
+
+
+def sparql_literal_terms_sql() -> str:
+    # closed form: even custkey (flag "yes"@en), custkey%5=3 (nkids 3),
+    # custkey%4 in (0,2) — even already implied — band re-rendered as
+    # the raw typed lexeme
+    return """
+      SELECT 'cust:' || c_custkey AS c,
+             '"' || CAST(c_custkey % 4 AS VARCHAR)
+                 || '"^^<http://www.w3.org/2001/XMLSchema#integer>' AS band
+      FROM customer
+      WHERE c_custkey % 2 = 0 AND c_custkey % 5 = 3
+        AND c_custkey % 4 IN (0, 2)
     """

@@ -2222,3 +2222,98 @@ def test_datetime_numeric_order_and_group(dt_quads):
     """
     got = [tuple(r) for r in sparql_select(dt_quads, q).collect()]
     assert got == [("e1", "2024"), ("e4", "2010")]
+
+
+# --------------------------------------------------------------------------
+# RDF literal term grammar: lang-tagged / ^^-typed / numeric / boolean
+# constants, BASE resolution, REDUCED
+# --------------------------------------------------------------------------
+
+LIT_QUADS = [
+    ("a", "name", '"Alice"@en', "g"),
+    ("b", "name", '"Alicia"@es', "g"),
+    ("a", "age", '"30"^^<http://www.w3.org/2001/XMLSchema#integer>', "g"),
+    ("b", "age", "30", "g"),       # legacy bare lexeme
+    ("a", "pi", "3.14", "g"),
+    ("a", "ok", "true", "g"),
+    ("b", "ok", "false", "g"),
+]
+
+
+@pytest.fixture(scope="module")
+def lit_quads(spark):
+    return spark.createDataFrame(
+        LIT_QUADS, "s string, p string, o string, g string"
+    )
+
+
+def test_lang_and_typed_literal_constants(lit_quads):
+    # suffixed literal constants compile to the RAW form; plain "30"
+    # stays the legacy bare constant — the two age rows are told apart
+    q = 'SELECT ?x WHERE { GRAPH <g> { ?x <name> "Alice"@en } }'
+    assert _run(lit_quads, q) == [("a",)]
+    q2 = """PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>
+      SELECT ?x WHERE { GRAPH <g> { ?x <age> "30"^^xsd:integer } }"""
+    assert _run(lit_quads, q2) == [("a",)]
+    q3 = 'SELECT ?x WHERE { GRAPH <g> { ?x <age> "30" } }'
+    assert _run(lit_quads, q3) == [("b",)]
+    # and in FILTERs: raw-form equality
+    q4 = """
+      SELECT ?x WHERE { GRAPH <g> { ?x <name> ?n }
+        FILTER(?n = "Alicia"@es) }
+    """
+    assert _run(lit_quads, q4) == [("b",)]
+
+
+def test_numeric_and_boolean_term_constants(lit_quads):
+    # bare numerics/booleans match the engine's plain-lexeme convention;
+    # integers canonicalize ("007" == "7"-lexeme semantics)
+    assert _run(
+        lit_quads, "SELECT ?x WHERE { GRAPH <g> { ?x <age> 30 } }"
+    ) == [("b",)]
+    assert _run(
+        lit_quads, "SELECT ?x WHERE { GRAPH <g> { ?x <pi> 3.14 } }"
+    ) == [("a",)]
+    assert _run(
+        lit_quads, "SELECT ?x WHERE { GRAPH <g> { ?x <ok> true } }"
+    ) == [("a",)]
+    assert _run(
+        lit_quads, "SELECT ?x WHERE { GRAPH <g> { ?x <ok> false } }"
+    ) == [("b",)]
+
+
+def test_base_resolution(lit_quads, spark):
+    # BASE resolves relative <refs> in every slot (RFC 3986, dot
+    # segments included) and in PREFIX declarations; absolute IRIs
+    # pass through
+    iri_quads = spark.createDataFrame(
+        [("http://ex.org/s/1", "http://ex.org/p/knows",
+          "http://ex.org/s/2", "http://ex.org/g")],
+        "s string, p string, o string, g string",
+    )
+    q = """
+      BASE <http://ex.org/s/>
+      PREFIX p: <../p/>
+      SELECT ?o WHERE { GRAPH <../g> { <1> p:knows ?o } }
+    """
+    got = sorted(tuple(r) for r in sparql_select(iri_quads, q).collect())
+    assert got == [("http://ex.org/s/2",)]
+
+
+def test_base_non_http_scheme(spark):
+    # RFC resolution is scheme-independent even where urljoin alone
+    # is not (it only resolves schemes it knows)
+    from rify_spark.sparql import _Parser
+
+    p = _Parser(
+        "BASE <graph://tpch/a/> SELECT ?x WHERE { ?x <p> ?y . "
+        "FILTER(?y != <../lit>) }"
+    )
+    p.parse()
+    pat = p.root.elems[0].patterns[0]
+    assert pat[1].value == "graph://tpch/a/p"
+
+
+def test_reduced_parses_as_set_output(lit_quads):
+    q = "SELECT REDUCED ?p WHERE { GRAPH <g> { ?x ?p ?o } }"
+    assert _run(lit_quads, q) == [("age",), ("name",), ("ok",), ("pi",)]
