@@ -609,6 +609,12 @@ def _q_sparql_datetime(spark, sf_dir):
     return sparql_datetime_gate(spark, sf_dir)
 
 
+def _q_sparql_construct_where(spark, sf_dir):
+    from rify_spark.sparql import sparql_construct_where_gate
+
+    return sparql_construct_where_gate(spark, sf_dir)
+
+
 def _q_sparql_literal_terms(spark, sf_dir):
     from rify_spark.sparql import sparql_literal_terms_gate
 
@@ -808,6 +814,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_datetime": _q_sparql_datetime,
         # RDF literal term grammar (lang/typed/numeric constants) + BASE
         "sparql_literal_terms": _q_sparql_literal_terms,
+        # CONSTRUCT WHERE shorthand (template == pattern)
+        "sparql_construct_where": _q_sparql_construct_where,
         # negated property sets !(p | ^q)
         "sparql_nps": _q_sparql_nps,
         # AVG aggregate (double output, cross-engine deterministic)
@@ -1004,6 +1012,7 @@ def oracle_sql() -> dict[str, str]:
         "sparql_term_funcs": _sparql_sql("sparql_term_funcs_sql"),
         "sparql_datetime": _sparql_sql("sparql_datetime_sql"),
         "sparql_literal_terms": _sparql_sql("sparql_literal_terms_sql"),
+        "sparql_construct_where": _sparql_sql("sparql_construct_where_sql"),
         "sparql_nps": _sparql_sql("sparql_nps_sql"),
         "sparql_avg": _sparql_sql("sparql_avg_sql"),
         "sparql_update": _update_sql(),

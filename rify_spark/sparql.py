@@ -23,7 +23,10 @@ Supported subset (documented contract, errors otherwise):
     engine uses (``matcher.project_heads``), so a CONSTRUCT is literally a
     one-shot rule application; ``GRAPH`` blocks are allowed in the
     template (an extension — the engine's quads are graph-scoped,
-    src/common.rs), defaulting to the default graph; ``DESCRIBE <r> ...
+    src/common.rs), defaulting to the default graph; the
+    ``CONSTRUCT WHERE { triples }`` shorthand (§16.2.3: template ==
+    pattern, plain triples only, no blank nodes) mirrors the matched
+    subgraph; ``DESCRIBE <r> ...
     ?v ... [WHERE { ... }]`` — the one-hop forward description (every
     quad whose subject is a described resource, all graphs; the spec
     leaves the description form implementation-defined, §16.4);
@@ -881,20 +884,53 @@ class _Parser:
             self.root = self.group_node(Const(DEFAULT_GRAPH))
         elif self.kw("CONSTRUCT"):
             self.form = "CONSTRUCT"
-            tmpl = self.group_node(
-                Const(DEFAULT_GRAPH), allow_filter=False
-            )
-            if tmpl.filters or any(
-                not isinstance(e, Bgp) for e in tmpl.elems
-            ):
-                raise SparqlParseError(
-                    "CONSTRUCT template must be plain triples"
+            if self.peek() != ("op", "{"):
+                # §16.2.3 shorthand: CONSTRUCT [FROM ...] WHERE { t... }
+                # — template and pattern are the same plain triple block
+                self.dataset_clause()
+                if not self.kw("WHERE"):
+                    raise SparqlParseError(
+                        "CONSTRUCT needs a template or WHERE pattern"
+                    )
+                self.root = self.group_node(Const(DEFAULT_GRAPH))
+                if self.root.filters or any(
+                    not isinstance(e, Bgp) for e in self.root.elems
+                ):
+                    raise SparqlParseError(
+                        "CONSTRUCT WHERE takes plain triples only "
+                        "(spec §16.2.3 — no FILTER/OPTIONAL/UNION/...)"
+                    )
+                self.template = [
+                    p for e in self.root.elems for p in e.patterns
+                ]
+                for quad in self.template:
+                    for t in quad:
+                        if isinstance(t, Var) and t.name.startswith(
+                            BNODE_PREFIX
+                        ):
+                            raise SparqlParseError(
+                                "blank nodes are not allowed in "
+                                "CONSTRUCT WHERE (spec §16.2.3)"
+                            )
+            else:
+                tmpl = self.group_node(
+                    Const(DEFAULT_GRAPH), allow_filter=False
                 )
-            self.template = [p for e in tmpl.elems for p in e.patterns]
-            self.dataset_clause()
-            if not self.kw("WHERE"):
-                raise SparqlParseError("CONSTRUCT needs a WHERE pattern")
-            self.root = self.group_node(Const(DEFAULT_GRAPH))
+                if tmpl.filters or any(
+                    not isinstance(e, Bgp) for e in tmpl.elems
+                ):
+                    raise SparqlParseError(
+                        "CONSTRUCT template must be plain triples"
+                    )
+                self.template = [
+                    p for e in tmpl.elems for p in e.patterns
+                ]
+                self.dataset_clause()
+                if not self.kw("WHERE"):
+                    raise SparqlParseError(
+                        "CONSTRUCT needs a WHERE pattern"
+                    )
+                self.root = self.group_node(Const(DEFAULT_GRAPH))
         elif self.kw("DESCRIBE"):
             self.form = "DESCRIBE"
             while True:
@@ -4559,4 +4595,43 @@ def sparql_literal_terms_sql() -> str:
       FROM customer
       WHERE c_custkey % 2 = 0 AND c_custkey % 5 = 3
         AND c_custkey % 4 IN (0, 2)
+    """
+
+
+# ---------------------------------------------------------------------------
+# CONSTRUCT WHERE shorthand gate (spec §16.2.3): template == pattern —
+# the result mirrors the matched subgraph (both triples of each
+# two-hop solution, set semantics). The engine's GRAPH-in-template
+# extension carries the matched graph through.
+# ---------------------------------------------------------------------------
+
+GATE_CONSTRUCT_WHERE = """
+  CONSTRUCT WHERE {
+    GRAPH <graph://tpch> {
+      ?cust <in_nation> ?nation .
+      ?nation <in_region> ?region
+    }
+  }
+"""
+
+
+def sparql_construct_where_gate(spark, sf_dir: str) -> DataFrame:
+    from .ops.quads import tpch_quads
+
+    return sparql_construct(tpch_quads(spark, sf_dir), GATE_CONSTRUCT_WHERE)
+
+
+def sparql_construct_where_sql() -> str:
+    # the mirrored subgraph: every customer's in_nation triple plus the
+    # in_region triple of every nation that has a customer (UNION
+    # dedups; predicates are disjoint across branches)
+    return """
+      SELECT 'cust:' || c_custkey AS s, 'in_nation' AS p,
+             'nation:' || c_nationkey AS o, 'graph://tpch' AS g
+      FROM customer
+      UNION
+      SELECT 'nation:' || n_nationkey, 'in_region',
+             'region:' || n_regionkey, 'graph://tpch'
+      FROM nation
+      WHERE n_nationkey IN (SELECT c_nationkey FROM customer)
     """

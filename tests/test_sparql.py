@@ -2317,3 +2317,31 @@ def test_base_non_http_scheme(spark):
 def test_reduced_parses_as_set_output(lit_quads):
     q = "SELECT REDUCED ?p WHERE { GRAPH <g> { ?x ?p ?o } }"
     assert _run(lit_quads, q) == [("age",), ("name",), ("ok",), ("pi",)]
+
+
+def test_construct_where_shorthand(quads):
+    # §16.2.3: template == pattern; the result mirrors the matched
+    # subgraph under the engine's GRAPH-in-template extension
+    from rify_spark.sparql import sparql_construct
+
+    q = "CONSTRUCT WHERE { GRAPH <g1> { ?x <knows> ?y } }"
+    got = sorted(tuple(r) for r in sparql_construct(quads, q).collect())
+    assert got == [
+        ("a", "knows", "b", "g1"),
+        ("b", "knows", "c", "g1"),
+    ]
+
+
+def test_construct_where_rejects_non_bgp(quads):
+    from rify_spark.sparql import sparql_construct
+
+    with pytest.raises(SparqlParseError):
+        sparql_construct(
+            quads,
+            'CONSTRUCT WHERE { GRAPH <g1> { ?x <knows> ?y } '
+            'FILTER(?x != "a") }',
+        )
+    with pytest.raises(SparqlParseError):
+        sparql_construct(
+            quads, "CONSTRUCT WHERE { GRAPH <g1> { [] <knows> ?y } }"
+        )
