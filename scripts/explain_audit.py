@@ -692,6 +692,78 @@ def main() -> None:
         )
     )
 
+    from rify_spark.sparql import sparql_datetime_gate
+
+    dt_df = sparql_datetime_gate(spark, SF_DIR)
+    dt_df.collect()
+    dt_exec = dt_df._jdf.queryExecution().executedPlan().toString()
+    sections.append(("sparql_datetime", dt_exec[:4000]))
+    checks.append(
+        (
+            "sparql_datetime",
+            "dateTime accessors (YEAR..TIMEZONE) are JVM regexp/when "
+            "expressions — no Python eval, no cartesian",
+            not re.search(
+                r"(BatchEvalPython|ArrowEvalPython|CartesianProduct)",
+                dt_exec,
+            ),
+        )
+    )
+    checks.append(
+        (
+            "sparql_datetime",
+            "accessor projection + numeric FILTER run inside "
+            "whole-stage codegen over the scan",
+            bool(re.search(r"\*\(\d+\) Project", dt_exec))
+            and bool(re.search(r"\*\(\d+\) Filter", dt_exec)),
+        )
+    )
+
+    from rify_spark.sparql import sparql_literal_terms_gate
+
+    lt_df = sparql_literal_terms_gate(spark, SF_DIR)
+    lt_df.collect()
+    lt_exec = lt_df._jdf.queryExecution().executedPlan().toString()
+    sections.append(("sparql_literal_terms", lt_exec[:4000]))
+    checks.append(
+        (
+            "sparql_literal_terms",
+            "raw-form literal constants compile to JVM constant-slot "
+            "equality filters and hash joins — no Python eval, no "
+            "cartesian/nested-loop join",
+            not re.search(
+                r"(BatchEvalPython|ArrowEvalPython|CartesianProduct"
+                r"|BroadcastNestedLoop)",
+                lt_exec,
+            )
+            and bool(
+                re.search(
+                    r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)",
+                    lt_exec,
+                )
+            ),
+        )
+    )
+
+    from rify_spark.sparql import sparql_construct_where_gate
+
+    cw_df = sparql_construct_where_gate(spark, SF_DIR)
+    cw_df.collect()
+    cw_exec = cw_df._jdf.queryExecution().executedPlan().toString()
+    sections.append(("sparql_construct_where", cw_exec[:4000]))
+    checks.append(
+        (
+            "sparql_construct_where",
+            "CONSTRUCT WHERE = hash join + one distinct aggregate "
+            "(set semantics), no Python eval, no cartesian",
+            not re.search(
+                r"(BatchEvalPython|ArrowEvalPython|CartesianProduct)",
+                cw_exec,
+            )
+            and "HashAggregate" in cw_exec,
+        )
+    )
+
     lines = ["# PLANS — physical-plan audit", ""]
     lines.append("| query | property | status |")
     lines.append("|---|---|---|")
