@@ -32,14 +32,29 @@ Supported operations (spec §3), separated by ``;``:
     UPDATE template is exactly a one-shot rule head. Template variables
     must be sure-bound (the CONSTRUCT restriction); template blank
     nodes stay out of subset.
-  * Graph management: ``CLEAR GRAPH <g> | DEFAULT | ALL`` (``DROP`` is
+  * Graph management: ``CLEAR GRAPH <g> | DEFAULT | NAMED | ALL``
+    (``NAMED`` empties every graph except the default; ``DROP`` is
     an alias — without empty-graph bookkeeping the two coincide, a
     documented divergence), ``ADD | COPY | MOVE (GRAPH <g> | DEFAULT)
     TO (GRAPH <g> | DEFAULT)`` — all pure column filters/unions, no
-    shuffle.
+    shuffle. ``CREATE GRAPH <g>`` parses and is a no-op (spec §3.2.1
+    sanctions this for stores without empty-graph records — this store
+    is a quad set). ``SILENT`` is accepted on all of the above and is
+    equally moot: none of these operations can error here (a missing
+    source graph is just empty).
 
-Out of subset (raise): ``WITH``, ``USING``, ``LOAD``, ``CREATE``,
-``SILENT``, ``CLEAR NAMED``, blank nodes in DATA blocks or templates.
+  * ``WITH <g>`` on the modify form (spec §3.1.3): unscoped template
+    AND pattern triples target/match ``<g>`` instead of the engine
+    default graph (``GRAPH`` blocks still win); not applicable to DATA
+    or ``DELETE WHERE`` (the spec grammar's own restriction).
+  * ``USING <g>`` / ``USING NAMED <g>`` (§3.1.3.2): FROM / FROM NAMED
+    for the modify's WHERE — the match-side dataset is reconstructed
+    (default = set-union of the USING graphs, GRAPH sees only USING
+    NAMED) while templates keep instantiating against the real store
+    graphs; any USING clause overrides WITH for the WHERE side.
+
+Out of subset (raise): ``LOAD`` (an external document fetch — by
+design), blank nodes in DATA blocks or templates.
 
 Set semantics throughout: the store is a set of quads (the engine's
 ``Reasoner::insert`` contract, reference src/reasoner.rs:33-41), so
@@ -96,27 +111,56 @@ def _quad_data(p: _Parser) -> list:
     return [tuple(t.value for t in q) for q in quads]
 
 
-def _template(p: _Parser) -> list:
+def _template(p: _Parser, default_g: str = DEFAULT_GRAPH) -> list:
     """A DELETE/INSERT template block: plain (possibly GRAPH-scoped)
-    triples; variable binding is checked at instantiation time."""
-    grp = p.group_node(Const(DEFAULT_GRAPH), allow_filter=False)
+    triples; unscoped triples target ``default_g`` (the WITH graph when
+    declared); variable binding is checked at instantiation time."""
+    grp = p.group_node(Const(default_g), allow_filter=False)
     if grp.filters or any(not isinstance(e, Bgp) for e in grp.elems):
         raise SparqlParseError("UPDATE templates take plain triples")
     return [q for e in grp.elems for q in e.patterns]
 
 
+# sentinel for the NAMED graph-ref scope — not a legal IRI token, so it
+# can never collide with a parsed <graph> name
+NAMED_SCOPE = "::named::"
+
+
 def _graph_ref(p: _Parser) -> str | None:
     """``GRAPH <iri>`` or ``DEFAULT`` -> graph name (DEFAULT -> the
-    engine default graph); ``ALL`` -> None (every graph)."""
+    engine default graph); ``ALL`` -> None (every graph); ``NAMED`` ->
+    the NAMED_SCOPE sentinel (every graph except the default)."""
     if p.kw("DEFAULT"):
         return DEFAULT_GRAPH
     if p.kw("ALL"):
         return None
+    if p.kw("NAMED"):
+        return NAMED_SCOPE
     p.expect("GRAPH")
     t = p.term()
     if not isinstance(t, Const):
         raise SparqlParseError("graph management needs a constant graph")
     return t.value
+
+
+def _using_clauses(p: _Parser) -> tuple:
+    """``USING <g>`` / ``USING NAMED <g>`` clauses of a modify (spec
+    §3.1.3.2) — FROM / FROM NAMED for the WHERE pattern."""
+    frm, named = [], []
+    while p.kw("USING"):
+        named_one = p.kw("NAMED")
+        t = p.term()
+        if not isinstance(t, Const) or not t.value:
+            raise SparqlParseError("USING needs a graph IRI")
+        (named if named_one else frm).append(t.value)
+    return frm, named
+
+
+def _modify_where(p: _Parser, with_g: str, uf: list, un: list):
+    """The WHERE group of a modify: under USING the unscoped pattern
+    triples match the constructed default graph; otherwise WITH's graph
+    (the spec's fallback target for WHERE too, §3.1.3)."""
+    return p.group_node(Const(DEFAULT_GRAPH if (uf or un) else with_g))
 
 
 def parse_update(text: str) -> list:
@@ -129,23 +173,57 @@ def parse_update(text: str) -> list:
         if kind != "kw":
             raise SparqlParseError(f"expected an update operation, got {tok!r}")
         word = tok.upper()
-        if word in ("WITH", "USING", "LOAD", "CREATE", "SILENT"):
-            raise SparqlParseError(f"{word} is outside the UPDATE subset")
+        if word == "LOAD":
+            # needs an external document fetch — out of subset by design
+            raise SparqlParseError("LOAD is outside the UPDATE subset")
+        with_g = DEFAULT_GRAPH
+        if word == "WITH":
+            # spec §3.1.3: WITH names the graph that unscoped template
+            # and pattern triples use; only the modify form takes it
+            p.next()
+            t = p.term()
+            if not isinstance(t, Const) or not t.value:
+                raise SparqlParseError("WITH needs a graph IRI")
+            with_g = t.value
+            kind, tok = p.peek()
+            word = tok.upper() if kind == "kw" else ""
+            if word not in ("INSERT", "DELETE"):
+                raise SparqlParseError(
+                    "WITH applies to DELETE/INSERT ... WHERE modify "
+                    "operations only"
+                )
         if word == "INSERT":
             p.next()
             if p.kw("DATA"):
+                if with_g != DEFAULT_GRAPH:
+                    raise SparqlParseError("WITH does not apply to DATA")
                 ops.append(("insert_data", _quad_data(p)))
             else:
-                tmpl = _template(p)
+                tmpl = _template(p, with_g)
+                uf, un = _using_clauses(p)
                 p.expect("WHERE")
                 ops.append(
-                    ("modify", None, tmpl, p.group_node(Const(DEFAULT_GRAPH)))
+                    (
+                        "modify", None, tmpl,
+                        _modify_where(p, with_g, uf, un), uf, un,
+                    )
                 )
         elif word == "DELETE":
             p.next()
             if p.kw("DATA"):
+                if with_g != DEFAULT_GRAPH:
+                    raise SparqlParseError("WITH does not apply to DATA")
                 ops.append(("delete_data", _quad_data(p)))
-            elif p.kw("WHERE"):
+            elif (
+                p.peek()[0] == "kw" and p.peek()[1].upper() == "WHERE"
+            ):
+                if with_g != DEFAULT_GRAPH:
+                    # spec grammar: DeleteWhere has no WITH prefix
+                    raise SparqlParseError(
+                        "WITH does not apply to DELETE WHERE (use the "
+                        "modify form: WITH <g> DELETE { t } WHERE { t })"
+                    )
+                p.next()
                 # the pattern doubles as its own delete template
                 grp = p.group_node(
                     Const(DEFAULT_GRAPH), allow_filter=False
@@ -157,30 +235,46 @@ def parse_update(text: str) -> list:
                         "DELETE WHERE takes a plain quad pattern"
                     )
                 tmpl = _walk_patterns(grp)
-                ops.append(("modify", tmpl, None, grp))
+                ops.append(("modify", tmpl, None, grp, [], []))
             else:
-                dtmpl = _template(p)
+                dtmpl = _template(p, with_g)
                 itmpl = None
                 if p.kw("INSERT"):
-                    itmpl = _template(p)
+                    itmpl = _template(p, with_g)
+                uf, un = _using_clauses(p)
                 p.expect("WHERE")
                 ops.append(
                     (
                         "modify",
                         dtmpl,
                         itmpl,
-                        p.group_node(Const(DEFAULT_GRAPH)),
+                        _modify_where(p, with_g, uf, un),
+                        uf,
+                        un,
                     )
                 )
         elif word in ("CLEAR", "DROP"):
             p.next()
+            p.kw("SILENT")  # our CLEAR/DROP never error: SILENT is moot
             ops.append(("clear", _graph_ref(p)))
+        elif word == "CREATE":
+            # spec §3.2.1: a store that does not record empty graphs MAY
+            # treat CREATE as a no-op — this store is a quad set, so it
+            # does (and with no "already exists" error, SILENT is moot)
+            p.next()
+            p.kw("SILENT")
+            p.expect("GRAPH")
+            t = p.term()
+            if not isinstance(t, Const) or not t.value:
+                raise SparqlParseError("CREATE needs a graph IRI")
+            ops.append(("create", t.value))
         elif word in ("ADD", "COPY", "MOVE"):
             p.next()
+            p.kw("SILENT")  # missing sources are empty here, never errors
             src = _graph_ref(p)
             p.expect("TO")
             dst = _graph_ref(p)
-            if src is None or dst is None:
+            if src is None or dst is None or NAMED_SCOPE in (src, dst):
                 raise SparqlParseError(f"{word} needs two specific graphs")
             ops.append((word.lower(), src, dst))
         else:
@@ -241,10 +335,25 @@ def sparql_update(store: DataFrame, update: str) -> DataFrame:
             dels = _const_df(cur, op[1])
             cur = cur.join(F.broadcast(dels), _COLS, "left_anti")
         elif op[0] == "modify":
-            _, dtmpl, itmpl, root = op
+            _, dtmpl, itmpl, root, uf, un = op
             # the WHERE matches ONCE against the pre-operation store;
-            # deletes apply before inserts (spec §3.1.3)
-            sol = _Eval(cur).group(root)
+            # deletes apply before inserts (spec §3.1.3). USING clauses
+            # re-dataset the MATCH side only (templates always
+            # instantiate against the real store graphs) — the same
+            # construction as FROM / FROM NAMED.
+            src = cur
+            if uf or un:
+                from types import SimpleNamespace
+
+                from .sparql import _dataset_view
+
+                src = _dataset_view(
+                    cur,
+                    SimpleNamespace(dataset_from=uf, dataset_named=un),
+                )
+            sol = _Eval(src, graph_var_hides_default=bool(uf or un)).group(
+                root
+            )
             if dtmpl:
                 dels = _template_quads(sol, dtmpl, dtype, what="DELETE")
                 nxt = cur.join(dels, _COLS, "left_anti")
@@ -256,7 +365,14 @@ def sparql_update(store: DataFrame, update: str) -> DataFrame:
             cur = nxt
         elif op[0] == "clear":
             g = op[1]
-            cur = cur.filter(F.col("g") != g) if g is not None else cur.limit(0)
+            if g is None:  # ALL
+                cur = cur.limit(0)
+            elif g == NAMED_SCOPE:  # every graph except the default
+                cur = cur.filter(F.col("g") == DEFAULT_GRAPH)
+            else:
+                cur = cur.filter(F.col("g") != g)
+        elif op[0] == "create":
+            pass  # documented no-op (spec-sanctioned for set stores)
         else:
             verb, src, dst = op
             if src == dst:
@@ -320,4 +436,38 @@ def sparql_update_sql() -> str:
       WHERE n_regionkey = 0
       UNION ALL
       SELECT 'admin:root', 'member_of', 'nation:manual', 'graph://derived'
+    """
+
+
+# WITH / USING gate: op 1 matches in_region triples through a USING-
+# constructed dataset (graph://tpch as the match default) and inserts
+# the unscoped template into the WITH graph; op 2 (no USING) shows WITH
+# doubling as the WHERE default — it matches and deletes the region-0
+# labels just inserted into graph://derived. Final store closed-form.
+GATE_UPDATE_WITH = """
+  WITH <graph://derived>
+  INSERT { ?n <region_label> ?r }
+  USING <graph://tpch>
+  WHERE { ?n <in_region> ?r } ;
+  WITH <graph://derived>
+  DELETE { ?n <region_label> <region:0> }
+  WHERE { ?n <region_label> <region:0> }
+"""
+
+
+def sparql_update_with_gate(spark, sf_dir: str) -> DataFrame:
+    from .ops.quads import tpch_quads
+
+    return sparql_update(tpch_quads(spark, sf_dir), GATE_UPDATE_WITH)
+
+
+def sparql_update_with_sql() -> str:
+    from .ops.quads import TPCH_QUADS_SQL
+
+    return f"""
+      {TPCH_QUADS_SQL}
+      UNION ALL
+      SELECT 'nation:' || n_nationkey, 'region_label',
+             'region:' || n_regionkey, 'graph://derived'
+      FROM nation WHERE n_regionkey <> 0
     """

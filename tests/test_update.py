@@ -171,7 +171,7 @@ def test_update_error_contract(store):
         "DELETE DATA { [] <p> <o> }",  # bnode in DATA
         "INSERT { ?x <p> ?y } WHERE { ?x <q> ?z } ",  # unbound template var
         "DELETE { ?x <p> _:b } WHERE { ?x <p> ?y }",  # bnode in template
-        "WITH <g> DELETE { ?x <p> ?y } WHERE { ?x <p> ?y }",  # WITH
+        "WITH <g> INSERT DATA { <a> <b> <c> }",  # WITH on non-modify
         "LOAD <file:x>",  # LOAD
         "ADD ALL TO DEFAULT",  # ALL where a graph is needed
         "CLEAR",  # missing graph ref
@@ -188,3 +188,100 @@ def test_parse_update_shapes():
     )
     assert ops[0] == ("insert_data", [("base/s", "base/p", "base/o", G)])
     assert ops[1] == ("clear", G)
+
+
+# --------------------------------------------------------------------------
+# WITH / USING (spec §3.1.3, §3.1.3.2)
+# --------------------------------------------------------------------------
+
+
+def test_with_sets_template_and_pattern_default(store):
+    # WITH <g2>: the unscoped pattern matches in g2 and the unscoped
+    # insert template targets g2
+    out = sparql_update(
+        store,
+        "WITH <g2> INSERT { ?s <p2> ?o } WHERE { ?s <p> ?o }",
+    )
+    assert _rows(out) == sorted(_rows(store) + [("x", "p2", "y", "g2")])
+    # the default graph is untouched by the WITH-scoped match
+    out2 = sparql_update(
+        store,
+        "WITH <g2> DELETE { ?s <knows> ?o } WHERE { ?s <knows> ?o }",
+    )
+    assert _rows(out2) == _rows(store)  # no knows-triples live in g2
+
+
+def test_using_redatasets_the_match_side(store):
+    # USING <g2>: the WHERE's default graph becomes g2's content while
+    # the unscoped template still targets the WITH graph
+    out = sparql_update(
+        store,
+        "WITH <derived> INSERT { ?s <from_g2> ?o } "
+        "USING <g2> WHERE { ?s <p> ?o }",
+    )
+    assert _rows(out) == sorted(
+        _rows(store) + [("x", "from_g2", "y", "derived")]
+    )
+    # USING NAMED: GRAPH patterns range over the named graphs only
+    out2 = sparql_update(
+        store,
+        "INSERT { ?s <seen_in> ?g } USING NAMED <g2> "
+        "WHERE { GRAPH ?g { ?s <p> ?o } }",
+    )
+    assert _rows(out2) == sorted(_rows(store) + [("x", "seen_in", "g2", G)])
+    # ... and the USING default side is empty (no plain USING given)
+    out3 = sparql_update(
+        store,
+        "INSERT { ?s <q> ?o } USING NAMED <g2> WHERE { ?s <knows> ?o }",
+    )
+    assert _rows(out3) == _rows(store)
+
+
+def test_with_error_contract(store):
+    for bad in [
+        "WITH <g2> INSERT DATA { <a> <b> <c> }",
+        "WITH <g2> DELETE WHERE { ?s <p> ?o }",
+        "WITH <g2> CLEAR GRAPH <g2>",
+    ]:
+        with pytest.raises(SparqlParseError):
+            parse_update(bad)
+
+
+# --------------------------------------------------------------------------
+# CLEAR NAMED / CREATE / SILENT (spec §3.2)
+# --------------------------------------------------------------------------
+
+
+def test_clear_named_keeps_only_the_default_graph(store):
+    out = sparql_update(store, "CLEAR NAMED")
+    assert _rows(out) == sorted(r for r in BASE if r[3] == G)
+    # DROP is the documented alias
+    out2 = sparql_update(store, "DROP NAMED")
+    assert _rows(out2) == _rows(out)
+
+
+def test_create_is_a_noop_and_silent_parses(store):
+    assert _rows(sparql_update(store, "CREATE GRAPH <g9>")) == sorted(BASE)
+    assert parse_update("CREATE SILENT GRAPH <g9>") == [("create", "g9")]
+    # SILENT on the other graph-management forms
+    out = sparql_update(
+        store,
+        "CLEAR SILENT GRAPH <g2> ; ADD SILENT GRAPH <missing> TO DEFAULT",
+    )
+    assert _rows(out) == sorted(r for r in BASE if r[3] == G)
+    out2 = sparql_update(store, "COPY SILENT DEFAULT TO GRAPH <g2>")
+    assert _rows(out2) == sorted(
+        [r for r in BASE if r[3] == G]
+        + [(s, p, o, "g2") for (s, p, o, g) in BASE if g == G]
+    )
+
+
+def test_graph_management_error_contract(store):
+    for bad in [
+        "CREATE GRAPH",  # missing IRI
+        "ADD NAMED TO DEFAULT",  # NAMED is not a specific graph
+        "MOVE DEFAULT TO NAMED",
+        "LOAD SILENT <http://x/doc>",  # LOAD stays out of subset
+    ]:
+        with pytest.raises(SparqlParseError):
+            parse_update(bad)
