@@ -1062,6 +1062,14 @@ class _Parser:
                 node.elems.append(Bgp([]))
             return node.elems[-1]
 
+        def opt_dot():
+            # GroupGraphPatternSub: GraphPatternNotTriples '.'? — the
+            # separator after a GRAPH/OPTIONAL/MINUS/VALUES/{...} block
+            # is optional but legal
+            k2, t2 = self.peek()
+            if k2 == "op" and t2 == ".":
+                self.next()
+
         while True:
             kind, tok = self.peek()
             if kind == "op" and tok == "}":
@@ -1082,15 +1090,19 @@ class _Parser:
                     bgp().patterns.extend(sub.elems[0].patterns)
                 else:
                     node.elems.append(sub)
+                opt_dot()
             elif kind == "kw" and tok.upper() == "OPTIONAL":
                 self.next()
                 node.elems.append(Opt(self.group_node(graph)))
+                opt_dot()
             elif kind == "kw" and tok.upper() == "MINUS":
                 self.next()
                 node.elems.append(Minus(self.group_node(graph)))
+                opt_dot()
             elif kind == "kw" and tok.upper() == "VALUES":
                 self.next()
                 node.elems.append(self.values_block())
+                opt_dot()
             elif kind == "kw" and tok.upper() == "BIND":
                 self.next()
                 self.expect("(")
@@ -1135,9 +1147,7 @@ class _Parser:
                     self.next()
                     self.next()
                     node.elems.append(self.sub_select())
-                    k2, t2 = self.peek()
-                    if k2 == "op" and t2 == ".":
-                        self.next()
+                    opt_dot()
                     continue
                 branches = [self.group_node(graph)]
                 while self.kw("UNION"):
@@ -1145,10 +1155,7 @@ class _Parser:
                 node.elems.append(
                     UnionNode(branches) if len(branches) > 1 else branches[0]
                 )
-                # an optional '.' may separate the group from what follows
-                k2, t2 = self.peek()
-                if k2 == "op" and t2 == ".":
-                    self.next()
+                opt_dot()
             else:
                 self.triples_block(graph, bgp().patterns)
 
