@@ -64,6 +64,11 @@ def main() -> None:
             spark, n_repos=KG_REPOS, n_modules=KG_MODULES, partitions=2 * CPUS
         ).write.mode("overwrite").parquet(corpus_path)
 
+    def _sparql_agg(s, d):
+        from rify_spark.sparql import sparql_agg_count_gate
+
+        return sparql_agg_count_gate(s, d)
+
     kg_stage_walls: dict = {}
 
     def kg_pipeline(s, d):
@@ -85,6 +90,10 @@ def main() -> None:
         # clustering — totals before/after r5 differ by this query's wall
         "dedup_clusters": lambda s, d: dedup.neardup_clusters(docs),
         "text_quality": lambda s, d: text.quality_score(docs),
+        # added round 5: the SPARQL layer's aggregate gate (join + grouped
+        # COUNT/COUNT DISTINCT over the TPC-H quad view) — not in the
+        # round-1 baseline table
+        "sparql_agg": _sparql_agg,
         "knn_bruteforce": lambda s, d: similarity.knn_bruteforce(emb),
         "knn_lsh": lambda s, d: similarity.knn_lsh(emb),
     }
@@ -194,6 +203,13 @@ def main() -> None:
         )),
         ("RETRACT_SCALING_2M.json", "scaling_retract", retract_keys),
         ("RETRACT_CONTROL.json", "retract_control", ("store_rows", "cpus_lo", "cpus_hi", "control_scaling_efficiency")),
+        # round 5: the SPARQL query layer's own two-parallelism pair with a
+        # raw-DataFrame control twin (scripts/sparql_scale.py)
+        ("SPARQL_SCALING.json", "scaling_sparql", (
+            "entities", "quads", "cpu_lo", "cpu_hi",
+            "best_quads_per_sec", "scaling_efficiency",
+            "control_best_quads_per_sec", "control_scaling_efficiency",
+        )),
     ):
         p = os.path.join(REPO, fname)
         if os.path.exists(p):

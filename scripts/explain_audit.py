@@ -764,6 +764,33 @@ def main() -> None:
         )
     )
 
+    from rify_spark.update import sparql_update_with_gate
+
+    uw_df = sparql_update_with_gate(spark, SF_DIR)
+    uw_df.collect()
+    uw_exec = uw_df._jdf.queryExecution().executedPlan().toString()
+    sections.append(("sparql_update_with", uw_exec[:4000]))
+    checks.append(
+        (
+            "sparql_update_with",
+            "WITH/USING modify sequence: USING dataset + matches are "
+            "hash joins, the WITH-graph delete is a left-anti join — "
+            "no Python eval, no cartesian/nested-loop join",
+            not re.search(
+                r"(BatchEvalPython|ArrowEvalPython|CartesianProduct"
+                r"|BroadcastNestedLoop)",
+                uw_exec,
+            )
+            and "LeftAnti" in uw_exec
+            and bool(
+                re.search(
+                    r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)",
+                    uw_exec,
+                )
+            ),
+        )
+    )
+
     lines = ["# PLANS — physical-plan audit", ""]
     lines.append("| query | property | status |")
     lines.append("|---|---|---|")

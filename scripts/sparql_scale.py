@@ -96,7 +96,7 @@ def materialize_store(path: str) -> None:
     spark.stop()
 
 
-def run_one(cpus: int, store: str) -> dict:
+def run_one(cpus: int, store: str, ctl_first: bool = False) -> dict:
     mem = f"{max(4, cpus * HEAP_PER_CORE)}g"
     env = dict(
         os.environ,
@@ -104,6 +104,7 @@ def run_one(cpus: int, store: str) -> dict:
         RIFY_SPARQL_STORE=store,
         RIFY_DRIVER_MEMORY=mem,
         PYTHONPATH=REPO,
+        RIFY_SPARQL_CTL_FIRST="1" if ctl_first else "0",
     )
     job = os.path.join(REPO, "scripts", "sparql_scale_job.py")
     proc = subprocess.run(
@@ -136,7 +137,9 @@ def main() -> None:
     for rep in range(REPEATS):
         for cpus in (CPU_LO, CPU_HI):
             s0 = _steal_jiffies()
-            r = run_one(cpus, store)
+            # engine/control order alternates per repeat so neither side
+            # systematically inherits the other's warmed JVM/page cache
+            r = run_one(cpus, store, ctl_first=rep % 2 == 1)
             r["steal_jiffies_during_run"] = _steal_jiffies() - s0
             samples[cpus].append(r)
             print(json.dumps({"rep": rep, **r}), file=sys.stderr)
@@ -151,9 +154,22 @@ def main() -> None:
     if mismatched:
         raise RuntimeError(f"result cardinality mismatch: {mismatched}")
 
+    # engine vs control: identical result cardinalities (the raw twin
+    # computes the same answer) — a second independent correctness check
+    for c in samples:
+        for s in samples[c]:
+            for name, rec in s.get("control", {}).items():
+                if rec["rows"] != s["queries"][name]["rows"]:
+                    raise RuntimeError(
+                        f"engine/control row mismatch on {name}: "
+                        f"{s['queries'][name]['rows']} vs {rec['rows']}"
+                    )
+
     ratio = CPU_HI / CPU_LO
     best_lo = max(s["quads_per_sec"] for s in samples[CPU_LO])
     best_hi = max(s["quads_per_sec"] for s in samples[CPU_HI])
+    ctl_lo = max(s["control_quads_per_sec"] for s in samples[CPU_LO])
+    ctl_hi = max(s["control_quads_per_sec"] for s in samples[CPU_HI])
     out = {
         "entities": N_ENTITIES,
         "quads": samples[CPU_LO][0]["quads"],
@@ -163,6 +179,8 @@ def main() -> None:
         "rows_per_query": {k: sorted(v)[0] for k, v in counts.items()},
         "best_quads_per_sec": {CPU_LO: best_lo, CPU_HI: best_hi},
         "scaling_efficiency": round((best_hi / best_lo) / ratio, 3),
+        "control_best_quads_per_sec": {CPU_LO: ctl_lo, CPU_HI: ctl_hi},
+        "control_scaling_efficiency": round((ctl_hi / ctl_lo) / ratio, 3),
         "per_query_best_wall_s": {
             name: {
                 c: min(s["queries"][name]["wall_s"] for s in samples[c])
