@@ -507,6 +507,12 @@ def _q_sparql_not_exists(spark, sf_dir):
     return sparql_not_exists_gate(spark, sf_dir)
 
 
+def _q_sparql_exists_expr(spark, sf_dir):
+    from rify_spark.sparql import sparql_exists_expr_gate
+
+    return sparql_exists_expr_gate(spark, sf_dir)
+
+
 def _q_sparql_path(spark, sf_dir):
     from rify_spark.sparql import sparql_path_gate
 
@@ -779,6 +785,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_union": _q_sparql_union,
         # negation: FILTER NOT EXISTS compiled to an anti join
         "sparql_not_exists": _q_sparql_not_exists,
+        # EXISTS as a boolean operand inside a FILTER expression tree
+        "sparql_exists_expr": _q_sparql_exists_expr,
         # property path <p>+ executed by the engine's smart-TC fixpoint
         "sparql_path": _q_sparql_path,
         # path expressions: ^/sequence composition (pure join chain) and
@@ -1007,6 +1015,7 @@ def oracle_sql() -> dict[str, str]:
         "sparql_optional": _sparql_sql("sparql_optional_sql"),
         "sparql_union": _sparql_sql("sparql_union_sql"),
         "sparql_not_exists": _sparql_sql("sparql_not_exists_sql"),
+        "sparql_exists_expr": _sparql_sql("sparql_exists_expr_sql"),
         "sparql_path": _sparql_sql("sparql_path_sql"),
         "sparql_path_expr": _sparql_sql("sparql_path_expr_sql"),
         "sparql_path_star": _sparql_sql("sparql_path_star_sql"),

@@ -1140,7 +1140,7 @@ class _Parser:
                         )
                     )
                 else:
-                    self.filter_expr(node)
+                    self.filter_expr(node, graph)
             elif kind == "op" and tok == "{":
                 k2, t2 = self.toks[self.i + 1]
                 if k2 == "kw" and t2.upper() == "SELECT":
@@ -1365,34 +1365,60 @@ class _Parser:
 
     _OPS = {"=", "!=", "<", "<=", ">", ">="}
 
-    def filter_expr(self, node: Group):
+    def filter_expr(self, node: Group, graph=None):
         """``FILTER ( boolean-expression )``: ``||`` (lowest precedence)
         over ``&&`` over atoms — comparisons, bound()/regex(), string
-        tests, ``IN``/``NOT IN`` lists, and parenthesised boolean
-        sub-expressions (negatable with ``!``, three-valued: ``!error``
-        stays error, spec §17.2). An opening ``(`` is ambiguous between
-        a boolean group and a scalar operand (``(?a + 1) > 2``); the
-        parser tries the boolean reading first and backtracks."""
+        tests, ``IN``/``NOT IN`` lists, ``[NOT] EXISTS { pattern }``
+        operands (spec §17.4.1.4 — evaluated as a boolean membership
+        column; only in FILTERs, where the enclosing graph context is
+        known), and parenthesised boolean sub-expressions (negatable
+        with ``!``, three-valued: ``!error`` stays error, spec §17.2).
+        An opening ``(`` is ambiguous between a boolean group and a
+        scalar operand (``(?a + 1) > 2``); the parser tries the boolean
+        reading first and backtracks."""
         self.expect("(")
-        node.filters.append(self._filter_or())
+        node.filters.append(self._filter_or(graph))
         self.expect(")")
 
-    def _filter_or(self):
-        parts = [self._filter_and()]
+    def _filter_or(self, graph=None):
+        parts = [self._filter_and(graph)]
         while self.peek() == ("op", "||"):
             self.next()
-            parts.append(self._filter_and())
+            parts.append(self._filter_and(graph))
         return parts[0] if len(parts) == 1 else ("or", parts, None)
 
-    def _filter_and(self):
-        parts = [self._filter_atom()]
+    def _filter_and(self, graph=None):
+        parts = [self._filter_atom(graph)]
         while self.peek() == ("op", "&&"):
             self.next()
-            parts.append(self._filter_atom())
+            parts.append(self._filter_atom(graph))
         return parts[0] if len(parts) == 1 else ("and", parts, None)
 
-    def _filter_atom(self):
+    def _filter_atom(self, graph=None):
         kind, tok = self.peek()
+        if kind == "kw" and tok.upper() in ("EXISTS", "NOT"):
+            neg = tok.upper() == "NOT"
+            nxt = self.toks[self.i + 1]
+            if (not neg and nxt == ("op", "{")) or (
+                neg
+                and nxt[0] == "kw"
+                and nxt[1].upper() == "EXISTS"
+                and self.toks[self.i + 2] == ("op", "{")
+            ):
+                # EXISTS as a boolean OPERAND (spec §17.4.1.4): compiled
+                # to a membership marker joined on the shared variables
+                # (see _Eval._materialize_exists). EXISTS never errors,
+                # so plain negation is exact.
+                if graph is None:
+                    raise SparqlParseError(
+                        "EXISTS is only supported inside FILTER "
+                        "expressions"
+                    )
+                self.next()
+                if neg:
+                    self.next()
+                e = ("exists_expr", self.group_node(graph), None)
+                return ("not", e, None) if neg else e
         if kind == "op" and tok == "!":
             self.next()
             k2, t2 = self.peek()
@@ -1400,7 +1426,7 @@ class _Parser:
                 # !( boolean-group ): three-valued negation (~null stays
                 # null in Spark == SPARQL's !error = error, row dropped)
                 self.next()
-                e = self._filter_or()
+                e = self._filter_or(graph)
                 self.expect(")")
                 return ("not", e, None)
             if not (
@@ -1424,7 +1450,7 @@ class _Parser:
             save = self.i
             try:
                 self.next()
-                e = self._filter_or()
+                e = self._filter_or(graph)
                 self.expect(")")
                 return e
             except SparqlParseError:
@@ -2615,6 +2641,22 @@ class _Eval:
                     minus=False,
                 )
                 continue
+            # a FILTER that is nothing but one (negated) EXISTS operand
+            # reduces to the same semi/anti plan as the keyword form
+            if entry[0] == "exists_expr":
+                acc = self.semi(
+                    acc, self.group(entry[1]), anti=False, minus=False
+                )
+                continue
+            if (
+                entry[0] == "not"
+                and isinstance(entry[1], tuple)
+                and entry[1][0] == "exists_expr"
+            ):
+                acc = self.semi(
+                    acc, self.group(entry[1][1]), anti=True, minus=False
+                )
+                continue
             if defer is not None:
                 fv = _cond_vars(entry)
                 # stay in-group ONLY when every filter var is SURELY
@@ -2625,9 +2667,67 @@ class _Eval:
                 if fv is not None and not fv <= (acc.bound - acc.maybe):
                     defer.append(entry)
                     continue
+            entry, acc, markers = self._materialize_exists(entry, acc)
             cond = self._filter_condition(entry, acc)
             acc = _Sol(acc.df.filter(cond), acc.bound, acc.maybe)
+            if markers:
+                acc = _Sol(acc.df.drop(*markers), acc.bound, acc.maybe)
         return acc
+
+    def _materialize_exists(self, entry, acc: _Sol):
+        """Replace each EXISTS operand (spec §17.4.1.4) inside a FILTER
+        boolean tree with a membership marker column: the sub-pattern's
+        solutions are projected to the shared variables, deduplicated,
+        tagged TRUE, and LEFT-joined onto the solution relation — the
+        marker is then an ordinary boolean atom composable with ``&&`` /
+        ``||`` / ``!``. The distinct-before-join keeps the left join
+        1:0/1 (no row multiplication) and hash-planned. With no shared
+        variables the marker is a broadcast 1-row gate (EXISTS == "the
+        pattern has any match at all"). Subset restriction: shared
+        variables must be SURELY bound on both sides — the compatible-
+        mappings form stays with the top-level ``FILTER [NOT] EXISTS``
+        semi/anti join. Returns (rewritten tree, widened acc, marker
+        column names to drop after the filter)."""
+        op, a, b = entry
+        if op == "exists_expr":
+            sub = self.group(a)
+            shared = sorted(acc.bound & sub.bound)
+            if any(v in acc.maybe or v in sub.maybe for v in shared):
+                raise SparqlParseError(
+                    "an EXISTS operand sharing possibly-unbound "
+                    "variables with its group is out of subset — use "
+                    "a top-level FILTER [NOT] EXISTS"
+                )
+            self._ex_n = getattr(self, "_ex_n", 0) + 1
+            name = f"__ex{self._ex_n}"
+            if shared:
+                acc2 = self._lexeme_cast(acc, set(shared))
+                sub2 = self._lexeme_cast(sub, set(shared))
+                right = (
+                    sub2.df.select(*shared)
+                    .distinct()
+                    .withColumn(name, F.lit(True))
+                )
+                df = acc2.df.join(right, shared, "left")
+            else:
+                right = sub.df.limit(1).select(F.lit(True).alias(name))
+                df = acc.df.join(F.broadcast(right), F.lit(True), "left")
+            return (
+                ("marker", name, None),
+                _Sol(df, acc.bound, acc.maybe),
+                [name],
+            )
+        if op in ("and", "or"):
+            parts, marks = [], []
+            for c in a:
+                c2, acc, m = self._materialize_exists(c, acc)
+                parts.append(c2)
+                marks += m
+            return (op, parts, b), acc, marks
+        if op == "not":
+            a2, acc, marks = self._materialize_exists(a, acc)
+            return ("not", a2, b), acc, marks
+        return entry, acc, []
 
     def _filter_condition(self, entry, acc: _Sol):
         """One FILTER tree node -> a boolean Column over ``acc``."""
@@ -2640,6 +2740,10 @@ def _condition_column(entry, bound: set, maybe: set, colf=F.col):
     sets (shared by FILTER evaluation and the scalar IF() condition).
     ``colf`` resolves variable names to Columns (see _scalar_column)."""
     op, a, b = entry
+    if op == "marker":
+        # a materialized EXISTS membership column (never-null boolean
+        # after the coalesce — EXISTS never errors, spec §17.4.1.4)
+        return F.coalesce(colf(a), F.lit(False))
     if op in ("and", "or"):
         conds = [_condition_column(c, bound, maybe, colf) for c in a]
         out = conds[0]
@@ -2792,7 +2896,7 @@ def _cond_vars(entry):
     the tree contains an (NOT) EXISTS — those evaluate as joins against
     their own group and are never deferred into a LeftJoin condition."""
     op = entry[0]
-    if op in ("exists", "not_exists"):
+    if op in ("exists", "not_exists", "exists_expr"):
         return None
     _, a, b = entry
     if op in ("and", "or"):
@@ -3526,6 +3630,46 @@ def sparql_not_exists_sql() -> str:
       WHERE c_custkey NOT IN (
         SELECT o_custkey FROM orders WHERE o_orderkey BETWEEN 0 AND 999
       )
+    """
+
+
+# EXISTS as a boolean OPERAND (§17.4.1.4): a disjunction and a negated
+# conjunct in ONE filter tree — inexpressible as plain semi/anti joins.
+# Customers that either placed an order while outside nation:3, or whose
+# nation is not in region:0.
+GATE_EXISTS_EXPR = """
+  SELECT ?cust ?nation WHERE {
+    GRAPH <graph://tpch> { ?cust <in_nation> ?nation }
+    FILTER (
+      (EXISTS { GRAPH <graph://tpch> { ?order <placed_by> ?cust }
+                FILTER (regex(?order, "^order:[0-9]{1,3}$")) }
+        && ?nation != <nation:3>)
+      || NOT EXISTS {
+        GRAPH <graph://tpch> { ?nation <in_region> <region:0> }
+      }
+    )
+  }
+"""
+
+
+def sparql_exists_expr_gate(spark, sf_dir: str) -> DataFrame:
+    from .ops.quads import tpch_quads
+
+    return sparql_select(tpch_quads(spark, sf_dir), GATE_EXISTS_EXPR)
+
+
+def sparql_exists_expr_sql() -> str:
+    return """
+      SELECT 'cust:' || c_custkey AS cust,
+             'nation:' || c_nationkey AS nation
+      FROM customer c
+      WHERE (EXISTS (SELECT 1 FROM orders o
+                     WHERE o.o_custkey = c.c_custkey
+                       AND o.o_orderkey BETWEEN 0 AND 999)
+             AND c.c_nationkey <> 3)
+         OR NOT EXISTS (SELECT 1 FROM nation n
+                        WHERE n.n_nationkey = c.c_nationkey
+                          AND n.n_regionkey = 0)
     """
 
 

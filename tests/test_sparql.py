@@ -465,6 +465,58 @@ def test_filter_exists(quads):
     assert _run(quads, q) == []
 
 
+def test_exists_as_boolean_operand(quads):
+    # spec §17.4.1.4: EXISTS inside the filter expression tree —
+    # disjunctions/conjunctions no semi-join alone can express
+    q = """
+      SELECT ?x ?y WHERE {
+        GRAPH ?g { ?x <knows> ?y }
+        FILTER (EXISTS { ?x <age> ?n } || ?y = <a>)
+      }
+    """
+    assert _run(quads, q) == [("a", "b"), ("c", "a")]
+    q = """
+      SELECT ?x WHERE {
+        GRAPH ?g { ?x <knows> ?y }
+        FILTER (NOT EXISTS { ?x <age> ?n } && ?x != <c>)
+      }
+    """
+    assert _run(quads, q) == [("b",)]
+    # !( ... EXISTS ... ) group negation
+    q = """
+      SELECT ?x WHERE {
+        GRAPH ?g { ?x <knows> ?y }
+        FILTER (!(EXISTS { ?x <age> ?n } || ?x = <b>))
+      }
+    """
+    assert _run(quads, q) == [("c",)]
+    # a bare parenthesised EXISTS keeps the semi-join plan
+    q = """
+      SELECT ?x WHERE {
+        GRAPH ?g { ?x <knows> ?y } FILTER (EXISTS { ?x <age> ?n })
+      }
+    """
+    df = sparql_select(quads, q)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan
+    assert _run(quads, q) == [("a",)]
+    # no shared vars: a broadcast one-row gate
+    q = """
+      SELECT ?x WHERE {
+        GRAPH <g2> { ?x <knows> ?y }
+        FILTER (EXISTS { <a> <age> ?n } && ?x = <c>)
+      }
+    """
+    assert _run(quads, q) == [("c",)]
+    # EXISTS stays FILTER-only: IF() conditions reject it
+    with pytest.raises(SparqlParseError):
+        _run(
+            quads,
+            'SELECT (IF(EXISTS { ?x <p> ?y }, "t", "f") AS ?z) '
+            "WHERE { GRAPH ?g { ?x <knows> ?y } }",
+        )
+
+
 def test_minus(quads):
     q = """
       SELECT ?x ?y WHERE {
