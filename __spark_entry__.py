@@ -513,6 +513,12 @@ def _q_sparql_exists_expr(spark, sf_dir):
     return sparql_exists_expr_gate(spark, sf_dir)
 
 
+def _q_sparql_trailing_values(spark, sf_dir):
+    from rify_spark.sparql import sparql_trailing_values_gate
+
+    return sparql_trailing_values_gate(spark, sf_dir)
+
+
 def _q_sparql_path(spark, sf_dir):
     from rify_spark.sparql import sparql_path_gate
 
@@ -787,6 +793,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_not_exists": _q_sparql_not_exists,
         # EXISTS as a boolean operand inside a FILTER expression tree
         "sparql_exists_expr": _q_sparql_exists_expr,
+        # query-final VALUES clause joined after aggregation (§18.2.4.2)
+        "sparql_trailing_values": _q_sparql_trailing_values,
         # property path <p>+ executed by the engine's smart-TC fixpoint
         "sparql_path": _q_sparql_path,
         # path expressions: ^/sequence composition (pure join chain) and
@@ -1016,6 +1024,7 @@ def oracle_sql() -> dict[str, str]:
         "sparql_union": _sparql_sql("sparql_union_sql"),
         "sparql_not_exists": _sparql_sql("sparql_not_exists_sql"),
         "sparql_exists_expr": _sparql_sql("sparql_exists_expr_sql"),
+        "sparql_trailing_values": _sparql_sql("sparql_trailing_values_sql"),
         "sparql_path": _sparql_sql("sparql_path_sql"),
         "sparql_path_expr": _sparql_sql("sparql_path_expr_sql"),
         "sparql_path_star": _sparql_sql("sparql_path_star_sql"),

@@ -97,7 +97,11 @@ Supported subset (documented contract, errors otherwise):
     their variables (missing vars null/unbound) and unioned;
   * ``VALUES ?x { ... }`` / ``VALUES (?x ?y) { (..) .. }`` inline
     bindings with ``UNDEF`` (an UNDEF column is possibly-unbound and
-    follows the same subset restriction as OPTIONAL vars);
+    follows the same subset restriction as OPTIONAL vars); the
+    query-final ``VALUES`` clause (§7.2.3) on every query form, joined
+    per §18.2.4.2's modifier order — after aggregation + HAVING,
+    before SELECT expressions / ORDER / LIMIT (top-level queries;
+    subqueries keep VALUES as a group element);
   * nested ``{ }`` groups; each contiguous triple block compiles through
     ``matcher.bindings`` as ONE join chain, and group elements combine
     with DataFrame joins;
@@ -642,6 +646,7 @@ class _Parser:
         self.order: list = []  # (Var, descending)
         self.limit: int | None = None
         self.offset: int | None = None
+        self.trailing_values: ValuesBlock | None = None  # query-final VALUES
 
     @property
     def is_aggregate(self) -> bool:
@@ -961,6 +966,11 @@ class _Parser:
                 "only SELECT / ASK / CONSTRUCT / DESCRIBE queries are "
                 "supported"
             )
+        if self.kw("VALUES"):
+            # query-final ValuesClause (§7.2.3 / §18.2.4.2): joined with
+            # the query's solutions after aggregation+HAVING and before
+            # SELECT expressions / ORDER / LIMIT
+            self.trailing_values = self.values_block()
         if self.peek()[0] != "eof":
             raise SparqlParseError(
                 f"trailing input at {self.peek()[1]!r}"
@@ -2490,6 +2500,23 @@ class _Eval:
         maybe = set().union(*[s.maybe for s in sols]) | (set(allv) - common)
         return _Sol(df, set(allv), maybe)
 
+    def values_sol(self, vb: ValuesBlock) -> _Sol:
+        """A VALUES block as a solution relation: a driver-local constant
+        table (broadcastable by size); an UNDEF cell is a null —
+        possibly-unbound, so later joins use compatible-mappings."""
+        df = self.spark.createDataFrame(
+            vb.rows, ", ".join(f"{n} string" for n in vb.names)
+        )
+        return _Sol(
+            df,
+            set(vb.names),
+            {
+                n
+                for i, n in enumerate(vb.names)
+                if any(r[i] is None for r in vb.rows)
+            },
+        )
+
     def semi(self, acc: _Sol, s: _Sol, anti: bool, minus: bool) -> _Sol:
         """EXISTS / NOT EXISTS / MINUS: a semi or anti join that adds no
         columns. MINUS over disjoint variable domains removes nothing
@@ -2609,18 +2636,7 @@ class _Eval:
             elif isinstance(e, SubSelect):
                 s = _select_solution(self, e.q)
             elif isinstance(e, ValuesBlock):
-                df = self.spark.createDataFrame(
-                    e.rows, ", ".join(f"{n} string" for n in e.names)
-                )
-                s = _Sol(
-                    df,
-                    set(e.names),
-                    {
-                        n
-                        for i, n in enumerate(e.names)
-                        if any(r[i] is None for r in e.rows)
-                    },
-                )
+                s = self.values_sol(e)
             else:
                 s = self.group(e)
             acc = s if acc is None else self.join(acc, s, "inner")
@@ -3176,7 +3192,13 @@ def _select_solution(ev: _Eval, q: _Parser) -> _Sol:
     subqueries (which then join with their enclosing group on shared
     projected variables, SPARQL's bottom-up subquery semantics)."""
     sol = ev.group(q.root)
+    if q.trailing_values is not None and not q.is_aggregate:
+        # §18.2.4.2: the final VALUES joins the pattern solutions before
+        # SELECT expressions / ORDER / slice (aggregates: see below)
+        sol = ev.join(sol, ev.values_sol(q.trailing_values), "inner")
     names = [v for v in _var_order(q) if v in sol.bound]
+    if q.trailing_values is not None:
+        names += [n for n in q.trailing_values.names if n not in names]
     if q.is_aggregate:
         # (expr AS ?alias) GROUP BY keys: materialize the expression
         # column pre-aggregation (exactly BIND-then-GROUP-BY), with the
@@ -3203,6 +3225,17 @@ def _select_solution(ev: _Eval, q: _Parser) -> _Sol:
             for it in q.projection
             if isinstance(it, Agg) and it.func != "COUNT"
         } | (set(q.group_by) & sol.maybe)
+        if q.trailing_values is not None:
+            # aggregate form: VALUES joins AFTER Aggregation+HAVING
+            # (§18.2.4.2's modifier order); values-only variables are
+            # dropped back to the SELECT list after the join
+            joined = ev.join(
+                _Sol(df, set(out_names), maybe),
+                ev.values_sol(q.trailing_values),
+                "inner",
+            )
+            df = joined.df.select(*out_names)
+            maybe = set(out_names) & joined.maybe
     elif q.select is not None:
         df, bound, sol_maybe = sol.df, set(sol.bound), set(sol.maybe)
         for it in q.projection:
@@ -3270,10 +3303,14 @@ def sparql_ask(quads: DataFrame, query: str) -> DataFrame:
     q = parse_select(query)
     if q.form != "ASK":
         raise SparqlParseError("sparql_ask needs an ASK query")
-    found = _Eval(
+    ev = _Eval(
         _dataset_view(quads, q),
         graph_var_hides_default=bool(q.dataset_from or q.dataset_named),
-    ).group(q.root).df.limit(1)
+    )
+    sol = ev.group(q.root)
+    if q.trailing_values is not None:
+        sol = ev.join(sol, ev.values_sol(q.trailing_values), "inner")
+    found = sol.df.limit(1)
     spark = quads.sparkSession
     return spark.createDataFrame(
         [(bool(found.take(1)),)], "ask boolean"
@@ -3298,10 +3335,13 @@ def sparql_construct(quads: DataFrame, query: str) -> DataFrame:
         raise SparqlParseError("sparql_construct needs a CONSTRUCT query")
     if not q.template:
         raise SparqlParseError("empty CONSTRUCT template")
-    sol = _Eval(
+    ev = _Eval(
         _dataset_view(quads, q),
         graph_var_hides_default=bool(q.dataset_from or q.dataset_named),
-    ).group(q.root)
+    )
+    sol = ev.group(q.root)
+    if q.trailing_values is not None:
+        sol = ev.join(sol, ev.values_sol(q.trailing_values), "inner")
     dtype = quads.schema["s"].dataType
     return _template_quads(sol, q.template, dtype, what="CONSTRUCT")
 
@@ -3454,9 +3494,10 @@ def sparql_describe(quads: DataFrame, query: str) -> DataFrame:
         )
     dvars = [t.name for t in q.described if isinstance(t, Var)]
     if dvars:
-        sol = _Eval(
-            quads, graph_var_hides_default=has_dataset
-        ).group(q.root)
+        ev = _Eval(quads, graph_var_hides_default=has_dataset)
+        sol = ev.group(q.root)
+        if q.trailing_values is not None:
+            sol = ev.join(sol, ev.values_sol(q.trailing_values), "inner")
         for name in dvars:
             if name not in sol.bound:
                 raise SparqlParseError(
@@ -3670,6 +3711,33 @@ def sparql_exists_expr_sql() -> str:
          OR NOT EXISTS (SELECT 1 FROM nation n
                         WHERE n.n_nationkey = c.c_nationkey
                           AND n.n_regionkey = 0)
+    """
+
+
+# query-final VALUES clause (§7.2.3), joined after Aggregation+HAVING
+# (§18.2.4.2): restrict the per-nation customer counts to a pinned
+# nation list (one absent member proves the join, not a filter pushdown)
+GATE_TRAILING_VALUES = """
+  SELECT ?nation (COUNT(*) AS ?n_cust) WHERE {
+    GRAPH <graph://tpch> { ?cust <in_nation> ?nation }
+  } GROUP BY ?nation
+  VALUES ?nation { <nation:0> <nation:7> <nation:19> <nation:99> }
+"""
+
+
+def sparql_trailing_values_gate(spark, sf_dir: str) -> DataFrame:
+    from .ops.quads import tpch_quads
+
+    return sparql_select(tpch_quads(spark, sf_dir), GATE_TRAILING_VALUES)
+
+
+def sparql_trailing_values_sql() -> str:
+    return """
+      SELECT nation, n_cust FROM (
+        SELECT 'nation:' || c_nationkey AS nation,
+               COUNT(*) AS n_cust
+        FROM customer GROUP BY 1
+      ) WHERE nation IN ('nation:0', 'nation:7', 'nation:19', 'nation:99')
     """
 
 

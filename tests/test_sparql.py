@@ -618,6 +618,62 @@ def test_values_errors(quads):
         sparql_select(quads, "SELECT ?v WHERE { VALUES ?v { } }")
 
 
+def test_trailing_values_clause(quads):
+    # §7.2.3 query-final VALUES: restricts the pattern solutions
+    q = """
+      SELECT ?x ?y WHERE { GRAPH ?g { ?x <knows> ?y } }
+      VALUES ?x { <a> <c> }
+    """
+    assert _run(quads, q) == [("a", "b"), ("c", "a")]
+    # UNDEF rides compatible-mappings; a values-only var joins in
+    q = """
+      SELECT ?x ?tag WHERE { GRAPH <g1> { ?x <knows> ?y } }
+      VALUES (?x ?tag) { (<a> "first") (UNDEF "any") }
+    """
+    assert _run(quads, q) == [
+        ("a", "any"), ("a", "first"), ("b", "any"),
+    ]
+    # grammar: the clause comes after all solution modifiers
+    q = """
+      SELECT ?x WHERE { GRAPH ?g { ?x <knows> ?y } }
+      ORDER BY DESC(?x) LIMIT 2 VALUES ?x { <a> <b> <c> }
+    """
+    assert _run(quads, q) == [("b",), ("c",)]
+
+
+def test_trailing_values_joins_after_aggregation(quads):
+    # §18.2.4.2 modifier order: Aggregation -> HAVING -> VALUES — the
+    # values restrict the GROUPED solutions, not the input rows
+    q = """
+      SELECT ?g (COUNT(*) AS ?n) WHERE { GRAPH ?g { ?x <knows> ?y } }
+      GROUP BY ?g VALUES ?g { <g1> <g9> }
+    """
+    assert _run(quads, q) == [("g1", 2)]
+    # joining ON an aggregate alias re-enters the opaque string term
+    # space (the documented _lexeme_cast contract, as in subqueries)
+    q = """
+      SELECT ?g (COUNT(*) AS ?n) WHERE { GRAPH ?g { ?x <knows> ?y } }
+      GROUP BY ?g VALUES ?n { "1" }
+    """
+    assert _run(quads, q) == [("g2", "1")]
+    # ASK and CONSTRUCT take the clause too
+    from rify_spark.sparql import sparql_ask, sparql_construct
+
+    got = sparql_ask(
+        quads, 'ASK { GRAPH ?g { ?x <knows> ?y } } VALUES ?x { <zz> }'
+    ).collect()
+    assert [tuple(r) for r in got] == [(False,)]
+    got = sorted(
+        tuple(r)
+        for r in sparql_construct(
+            quads,
+            "CONSTRUCT { ?x <met> ?y } WHERE { GRAPH ?g { ?x <knows> ?y } } "
+            "VALUES ?x { <c> }",
+        ).collect()
+    )
+    assert got == [("c", "met", "a", "default_graph")]
+
+
 # --- aggregates: GROUP BY / COUNT / SUM / MIN / MAX / HAVING -----------------
 
 def test_group_by_count(quads):
