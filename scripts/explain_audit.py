@@ -791,6 +791,54 @@ def main() -> None:
         )
     )
 
+    from rify_spark.sparql import (
+        sparql_exists_expr_gate,
+        sparql_trailing_values_gate,
+    )
+
+    ee_df = sparql_exists_expr_gate(spark, SF_DIR)
+    ee_df.collect()
+    ee_exec = ee_df._jdf.queryExecution().executedPlan().toString()
+    sections.append(("sparql_exists_expr", ee_exec[:4000]))
+    checks.append(
+        (
+            "sparql_exists_expr",
+            "EXISTS operands compile to 1:0/1 marker LEFT joins over "
+            "distinct key sets — hash-planned, no Python eval, no "
+            "cartesian",
+            not re.search(
+                r"(BatchEvalPython|ArrowEvalPython|CartesianProduct)",
+                ee_exec,
+            )
+            and "LeftOuter" in ee_exec
+            and bool(
+                re.search(
+                    r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)",
+                    ee_exec,
+                )
+            ),
+        )
+    )
+
+    tv_df = sparql_trailing_values_gate(spark, SF_DIR)
+    tv_df.collect()
+    tv_exec = tv_df._jdf.queryExecution().executedPlan().toString()
+    sections.append(("sparql_trailing_values", tv_exec[:4000]))
+    checks.append(
+        (
+            "sparql_trailing_values",
+            "trailing VALUES joins the aggregated solutions as a "
+            "broadcast of the driver-local constant table — one "
+            "partial-aggregating exchange, no Python eval",
+            not re.search(
+                r"(BatchEvalPython|ArrowEvalPython|CartesianProduct)",
+                tv_exec,
+            )
+            and "BroadcastHashJoin" in tv_exec
+            and "HashAggregate" in tv_exec,
+        )
+    )
+
     lines = ["# PLANS — physical-plan audit", ""]
     lines.append("| query | property | status |")
     lines.append("|---|---|---|")
