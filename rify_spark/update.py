@@ -53,8 +53,18 @@ Supported operations (spec §3), separated by ``;``:
     NAMED) while templates keep instantiating against the real store
     graphs; any USING clause overrides WITH for the WHERE side.
 
-Out of subset (raise): ``LOAD`` (an external document fetch — by
-design), blank nodes in DATA blocks or templates.
+  * ``LOAD [SILENT] <doc> [INTO GRAPH <g>]`` (spec §3.1.4): the
+    document IRI goes verbatim to ``spark.read.text`` + the
+    distributed N-Quads parser (``rdf.read_nquads``), so any
+    Hadoop-mounted scheme works (``file://``, ``hdfs://``,
+    ``s3a://``...) and a single 100 GB document still parallelizes;
+    graph labels in the document are honored, ``INTO GRAPH``
+    retargets every statement. A non-SILENT LOAD fails on the first
+    malformed statement (one validation probe); ``SILENT`` drops
+    malformed lines and treats a missing document as a no-op.
+    HTTP fetches are out by design (no external data).
+
+Out of subset (raise): blank nodes in DATA blocks or templates.
 
 Set semantics throughout: the store is a set of quads (the engine's
 ``Reasoner::insert`` contract, reference src/reasoner.rs:33-41), so
@@ -174,8 +184,29 @@ def parse_update(text: str) -> list:
             raise SparqlParseError(f"expected an update operation, got {tok!r}")
         word = tok.upper()
         if word == "LOAD":
-            # needs an external document fetch — out of subset by design
-            raise SparqlParseError("LOAD is outside the UPDATE subset")
+            # spec §3.1.4: LOAD [SILENT] <doc> [INTO GRAPH <g>] — the
+            # document IRI goes VERBATIM to spark.read.text, so any
+            # Hadoop-FS scheme the cluster mounts works (file://,
+            # hdfs://, s3a://...); http fetches are out by design
+            p.next()
+            silent = bool(p.kw("SILENT"))
+            t = p.term()
+            if not isinstance(t, Const) or not t.value:
+                raise SparqlParseError("LOAD needs a document IRI")
+            into = None
+            if p.kw("INTO"):
+                p.expect("GRAPH")
+                t2 = p.term()
+                if not isinstance(t2, Const) or not t2.value:
+                    raise SparqlParseError("INTO GRAPH needs an IRI")
+                into = t2.value
+            ops.append(("load", t.value, into, silent))
+            if p.peek() == ("op", ";"):
+                p.next()
+                if p.peek()[0] == "eof":
+                    break
+                continue
+            break
         with_g = DEFAULT_GRAPH
         if word == "WITH":
             # spec §3.1.3: WITH names the graph that unscoped template
@@ -373,6 +404,35 @@ def sparql_update(store: DataFrame, update: str) -> DataFrame:
                 cur = cur.filter(F.col("g") != g)
         elif op[0] == "create":
             pass  # documented no-op (spec-sanctioned for set stores)
+        elif op[0] == "load":
+            _, doc, into, silent = op
+            from .rdf import read_nquads
+
+            try:
+                loaded = read_nquads(
+                    cur.sparkSession, doc,
+                    default_graph=into or DEFAULT_GRAPH,
+                )
+                if not silent:
+                    # one validation pass: a non-SILENT LOAD fails on any
+                    # malformed statement (spec: operation failure);
+                    # SILENT quarantines them (drops) and proceeds
+                    bad = loaded.filter(F.col("malformed")).limit(1)
+                    if bad.take(1):
+                        raise SparqlParseError(
+                            f"LOAD <{doc}>: malformed N-Quads statement"
+                        )
+                ins = loaded.filter(~F.col("malformed")).select(*_COLS)
+                if into is not None:
+                    # INTO GRAPH retargets every statement (spec §3.1.4)
+                    ins = ins.withColumn("g", F.lit(into))
+                cur = _union_novel(cur, ins, tiny=False)
+            except SparqlParseError:
+                raise
+            except Exception:
+                if not silent:
+                    raise
+                # SILENT: a missing/unreadable document is a no-op
         else:
             verb, src, dst = op
             if src == dst:
@@ -469,5 +529,64 @@ def sparql_update_with_sql() -> str:
       UNION ALL
       SELECT 'nation:' || n_nationkey, 'region_label',
              'region:' || n_regionkey, 'graph://derived'
+      FROM nation WHERE n_regionkey <> 0
+    """
+
+
+# LOAD gate: serialize a deterministic nation-derived N-Quads document
+# (distributed write_nquads -> part files), then LOAD it twice — once
+# honoring its graph labels, once retargeted INTO GRAPH — and modify on
+# top of the loaded triples. Final store closed-form from the parquet.
+def _load_gate_doc(spark, sf_dir: str) -> str:
+    import os
+    import tempfile
+
+    from .rdf import write_nquads
+
+    nation = spark.read.parquet(f"{sf_dir.rstrip('/')}/nation.parquet")
+    doc = nation.select(
+        F.concat(F.lit("nation:"), F.col("n_nationkey")).alias("s"),
+        F.lit("named").alias("p"),
+        F.concat(F.lit("region:"), F.col("n_regionkey")).alias("o"),
+        F.concat(
+            F.lit("graph://src/"), F.col("n_nationkey") % 2
+        ).alias("g"),
+    )
+    path = os.path.join(
+        tempfile.gettempdir(),
+        "rify_load_gate_" + os.path.basename(sf_dir.rstrip("/")),
+    )
+    write_nquads(doc, path)
+    return path
+
+
+def sparql_update_load_gate(spark, sf_dir: str) -> DataFrame:
+    from .ops.quads import tpch_quads
+
+    path = _load_gate_doc(spark, sf_dir)
+    return sparql_update(
+        tpch_quads(spark, sf_dir),
+        f"""
+          LOAD <file://{path}> ;
+          LOAD SILENT <file://{path}> INTO GRAPH <graph://loaded> ;
+          DELETE WHERE {{ GRAPH <graph://loaded> {{
+            ?n <named> <region:0>
+          }} }}
+        """,
+    )
+
+
+def sparql_update_load_sql() -> str:
+    from .ops.quads import TPCH_QUADS_SQL
+
+    return f"""
+      {TPCH_QUADS_SQL}
+      UNION ALL
+      SELECT 'nation:' || n_nationkey, 'named',
+             'region:' || n_regionkey, 'graph://src/' || (n_nationkey % 2)
+      FROM nation
+      UNION ALL
+      SELECT 'nation:' || n_nationkey, 'named',
+             'region:' || n_regionkey, 'graph://loaded'
       FROM nation WHERE n_regionkey <> 0
     """

@@ -172,7 +172,7 @@ def test_update_error_contract(store):
         "INSERT { ?x <p> ?y } WHERE { ?x <q> ?z } ",  # unbound template var
         "DELETE { ?x <p> _:b } WHERE { ?x <p> ?y }",  # bnode in template
         "WITH <g> INSERT DATA { <a> <b> <c> }",  # WITH on non-modify
-        "LOAD <file:x>",  # LOAD
+        "LOAD",  # missing document IRI
         "ADD ALL TO DEFAULT",  # ALL where a graph is needed
         "CLEAR",  # missing graph ref
         "SELECT ?x WHERE { ?x <p> ?y }",  # a query, not an update
@@ -281,7 +281,46 @@ def test_graph_management_error_contract(store):
         "CREATE GRAPH",  # missing IRI
         "ADD NAMED TO DEFAULT",  # NAMED is not a specific graph
         "MOVE DEFAULT TO NAMED",
-        "LOAD SILENT <http://x/doc>",  # LOAD stays out of subset
+        "LOAD <doc> INTO <g>",  # INTO needs the GRAPH keyword
     ]:
         with pytest.raises(SparqlParseError):
             parse_update(bad)
+
+
+# --------------------------------------------------------------------------
+# LOAD (spec §3.1.4) over the distributed N-Quads reader
+# --------------------------------------------------------------------------
+
+
+def test_load_document(store, tmp_path):
+    from rify_spark.update import parse_update as _pu
+
+    assert _pu("LOAD SILENT <file:///x> INTO GRAPH <g>") == [
+        ("load", "file:///x", "g", True)
+    ]
+    doc = tmp_path / "doc.nq"
+    doc.write_text(
+        "<n1> <p> <n2> .\n"
+        "# a comment\n"
+        "<n3> <p> <n4> <gx> .\n"
+    )
+    out = sparql_update(store, f"LOAD <file://{doc}>")
+    got = _rows(out)
+    # graph labels honored; label-less statements land in the default
+    assert ("n1", "p", "n2", G) in got and ("n3", "p", "n4", "gx") in got
+    # INTO GRAPH retargets everything
+    out = sparql_update(store, f"LOAD <file://{doc}> INTO GRAPH <dst>")
+    got = _rows(out)
+    assert ("n1", "p", "n2", "dst") in got and ("n3", "p", "n4", "dst") in got
+    # a malformed line fails a plain LOAD and is dropped by SILENT
+    bad = tmp_path / "bad.nq"
+    bad.write_text("<n1> <p> <n2> .\nthis is not a statement\n")
+    with pytest.raises(SparqlParseError, match="malformed"):
+        sparql_update(store, f"LOAD <file://{bad}>")
+    out = sparql_update(store, f"LOAD SILENT <file://{bad}>")
+    assert ("n1", "p", "n2", G) in _rows(out)
+    # SILENT: a missing document is a no-op; non-SILENT raises
+    out = sparql_update(store, "LOAD SILENT <file:///nonexistent-doc.nq>")
+    assert _rows(out) == sorted(BASE)
+    with pytest.raises(Exception):
+        _rows(sparql_update(store, "LOAD <file:///nonexistent-doc.nq>"))
