@@ -519,6 +519,12 @@ def _q_sparql_trailing_values(spark, sf_dir):
     return sparql_trailing_values_gate(spark, sf_dir)
 
 
+def _q_sparql_agg_arith(spark, sf_dir):
+    from rify_spark.sparql import sparql_agg_arith_gate
+
+    return sparql_agg_arith_gate(spark, sf_dir)
+
+
 def _q_sparql_path(spark, sf_dir):
     from rify_spark.sparql import sparql_path_gate
 
@@ -801,6 +807,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_exists_expr": _q_sparql_exists_expr,
         # query-final VALUES clause joined after aggregation (§18.2.4.2)
         "sparql_trailing_values": _q_sparql_trailing_values,
+        # aggregates as operands of projection expressions (§18.2.4.1)
+        "sparql_agg_arith": _q_sparql_agg_arith,
         # property path <p>+ executed by the engine's smart-TC fixpoint
         "sparql_path": _q_sparql_path,
         # path expressions: ^/sequence composition (pure join chain) and
@@ -1039,6 +1047,7 @@ def oracle_sql() -> dict[str, str]:
         "sparql_not_exists": _sparql_sql("sparql_not_exists_sql"),
         "sparql_exists_expr": _sparql_sql("sparql_exists_expr_sql"),
         "sparql_trailing_values": _sparql_sql("sparql_trailing_values_sql"),
+        "sparql_agg_arith": _sparql_sql("sparql_agg_arith_sql"),
         "sparql_path": _sparql_sql("sparql_path_sql"),
         "sparql_path_expr": _sparql_sql("sparql_path_expr_sql"),
         "sparql_path_star": _sparql_sql("sparql_path_star_sql"),

@@ -478,6 +478,23 @@ class EIf:
 
 
 @dataclass(frozen=True)
+class EAggRef:
+    """An aggregate call used as an OPERAND inside a SELECT expression
+    (``(SUM(?t) - MIN(?t) * COUNT(*) AS ?x)``, spec §18.2.4.1's
+    aggregate projections). Evaluation computes the aggregate into a
+    hidden grouped column and reads it back here as its decimal lexeme
+    (the opaque-string term space), so the surrounding arithmetic keeps
+    the integer-lexeme contract; AVG reads back as its double lexeme
+    and only survives where a numeric lexeme is legal."""
+
+    agg: Agg
+
+    @property
+    def key(self):
+        return self.agg.key
+
+
+@dataclass(frozen=True)
 class PPred:
     """Path leaf: one constant predicate's edge set."""
 
@@ -653,7 +670,11 @@ class _Parser:
         return (
             bool(self.group_by)
             or bool(self.having)
-            or any(isinstance(it, Agg) for it in self.projection)
+            or any(
+                isinstance(it, Agg)
+                or (isinstance(it, tuple) and it[0] == "aggexpr")
+                for it in self.projection
+            )
         )
 
     @property
@@ -1004,17 +1025,24 @@ class _Parser:
                     # an unknown keyword applied to an argument list is
                     # an unsupported aggregate/function: route it to
                     # agg_expr for the informative error (e.g. VARIANCE)
-                    is_agg = k2 == "kw" and (
-                        t2.upper() in self._AGG_FUNCS
-                        or (
-                            t2.upper() not in self._EXPR_FUNCS
-                            and t2 != "a"
-                            and self.toks[self.i + 1] == ("op", "(")
+                    unknown_call = k2 == "kw" and (
+                        t2.upper() not in self._EXPR_FUNCS
+                        and t2.upper() not in self._AGG_FUNCS
+                        and t2 != "a"
+                        and self.toks[self.i + 1] == ("op", "(")
+                    )
+                    # aggregates may appear as OPERANDS of the
+                    # projection expression (spec §18.2.4.1) — _agg_mode
+                    # lets the scalar grammar parse them into EAggRef
+                    self._agg_mode = True
+                    try:
+                        item = (
+                            self.agg_expr()
+                            if unknown_call
+                            else self.scalar_expr()
                         )
-                    )
-                    item = (
-                        self.agg_expr() if is_agg else self.scalar_expr()
-                    )
+                    finally:
+                        self._agg_mode = False
                     self.expect("AS")
                     k2, t2 = self.next()
                     if k2 != "var":
@@ -1024,14 +1052,20 @@ class _Parser:
                     self.expect(")")
                     alias = t2[1:]
                     self.select.append(alias)
-                    self.projection.append(
-                        Agg(
-                            item.func, item.var, item.distinct,
-                            alias, item.sep, item.expr,
+                    if isinstance(item, EAggRef):
+                        # a bare aggregate keeps the legacy Agg item
+                        # (fast path + HAVING column reuse)
+                        a = item.agg
+                        self.projection.append(
+                            Agg(
+                                a.func, a.var, a.distinct,
+                                alias, a.sep, a.expr,
+                            )
                         )
-                        if is_agg
-                        else ("expr", alias, item)
-                    )
+                    elif _expr_aggs(item):
+                        self.projection.append(("aggexpr", alias, item))
+                    else:
+                        self.projection.append(("expr", alias, item))
                 else:
                     break
             if not self.select:
@@ -1607,6 +1641,14 @@ class _Parser:
             other = self.scalar_expr()
             self.expect(")")
             return EIf(cond, then, other)
+        if (
+            kind == "kw"
+            and getattr(self, "_agg_mode", False)
+            and tok.upper() in self._AGG_FUNCS
+        ):
+            # aggregate-as-operand (SELECT projection expressions only;
+            # _agg_mode is set while parsing a projection item)
+            return EAggRef(self.agg_expr())
         if kind == "kw" and tok.upper() in self._EXPR_FUNCS:
             self.next()
             name = tok.upper()
@@ -2884,13 +2926,55 @@ def _condition_column(entry, bound: set, maybe: set, colf=F.col):
     }[op]
 
 
+def _expr_aggs(e) -> list:
+    """The EAggRef nodes of a projection expression, in syntactic order
+    (duplicates by ``key`` are deduplicated at evaluation)."""
+    if isinstance(e, EAggRef):
+        return [e]
+    if isinstance(e, (Var, Const, NumConst)):
+        return []
+    if isinstance(e, EIf):
+        # aggregates inside an IF *condition* stay out of subset — the
+        # boolean grammar has no aggregate operand form
+        return _expr_aggs(e.then) + _expr_aggs(e.other)
+    if isinstance(e, EArith):
+        return _expr_aggs(e.lhs) + _expr_aggs(e.rhs)
+    assert isinstance(e, EFunc), e
+    return [a for arg in e.args for a in _expr_aggs(arg)]
+
+
+def _expr_sub_aggs(e, names: dict):
+    """Rewrite EAggRef leaves to plain Vars over their hidden grouped
+    columns (``names``: agg key -> column name) so the standard scalar
+    compiler evaluates the expression post-aggregation."""
+    if isinstance(e, EAggRef):
+        return Var(names[e.key])
+    if isinstance(e, (Var, Const, NumConst)):
+        return e
+    if isinstance(e, EIf):
+        return EIf(
+            e.cond,
+            _expr_sub_aggs(e.then, names),
+            _expr_sub_aggs(e.other, names),
+        )
+    if isinstance(e, EArith):
+        return EArith(
+            e.op,
+            _expr_sub_aggs(e.lhs, names),
+            _expr_sub_aggs(e.rhs, names),
+        )
+    assert isinstance(e, EFunc), e
+    return EFunc(e.name, tuple(_expr_sub_aggs(a, names) for a in e.args))
+
+
 def _expr_vars(e):
     """Variable names a scalar expression references; ``None`` when an
     embedded IF() condition contains an (NOT) EXISTS (not deferrable —
     see _cond_vars)."""
     if isinstance(e, Var):
         return {e.name}
-    if isinstance(e, (Const, NumConst)):
+    if isinstance(e, (Const, NumConst, EAggRef)):
+        # an EAggRef's inner variables are aggregate-scoped, not free
         return set()
     if isinstance(e, EIf):
         parts = [_cond_vars(e.cond), _expr_vars(e.then), _expr_vars(e.other)]
@@ -3087,6 +3171,17 @@ def _aggregate(sol: _Sol, q: _Parser) -> DataFrame:
     for it in q.projection:
         if isinstance(it, Agg):
             continue
+        if it[0] == "aggexpr":
+            # free (non-aggregate-scoped) variables must be group keys
+            # (spec §18.2.4.1's projection restriction)
+            free = _expr_vars(it[2]) or set()
+            bad = sorted(free - grouped)
+            if bad:
+                raise SparqlParseError(
+                    f"?{bad[0]} appears outside aggregates in a "
+                    "projection expression — it must be GROUPed BY"
+                )
+            continue
         if it[0] == "expr":
             raise SparqlParseError(
                 "expression SELECT items cannot be combined with "
@@ -3103,7 +3198,7 @@ def _aggregate(sol: _Sol, q: _Parser) -> DataFrame:
                 f"selected variable ?{n} must appear in GROUP BY when "
                 "the query aggregates"
             )
-    exprs, by_key = [], {}
+    exprs, by_key, ax_names = [], {}, {}
     for it in q.projection:
         if isinstance(it, Agg):
             if it.alias in grouped:
@@ -3115,6 +3210,18 @@ def _aggregate(sol: _Sol, q: _Parser) -> DataFrame:
                 _agg_column(it, sol, it.alias, not q.group_by)
             )
             by_key[it.key] = it.alias
+        elif isinstance(it, tuple) and it[0] == "aggexpr":
+            # hidden grouped columns for the expression's aggregates —
+            # kept separate from selected aggregates (those keep their
+            # native BIGINT/DOUBLE output dtype; these re-enter the
+            # string term space for the scalar compiler)
+            for ref in _expr_aggs(it[2]):
+                if ref.key not in ax_names:
+                    name = f"__ax{len(ax_names)}"
+                    exprs.append(
+                        _agg_column(ref.agg, sol, name, not q.group_by)
+                    )
+                    ax_names[ref.key] = name
     hidden = []
     for agg, _op, _val in q.having:
         if agg.key not in by_key:
@@ -3135,6 +3242,24 @@ def _aggregate(sol: _Sol, q: _Parser) -> DataFrame:
                 "<=": c <= lv, ">": c > lv, ">=": c >= lv,
             }[op]
         )
+    agg_items = [
+        it
+        for it in q.projection
+        if isinstance(it, tuple) and it[0] == "aggexpr"
+    ]
+    if agg_items:
+        # aggregate-operand projection expressions: read the hidden
+        # grouped columns back as decimal lexemes (the opaque-string
+        # term space) and run the standard scalar compiler over them
+        hidden = sorted(set(ax_names.values()))
+        for h in hidden:
+            gdf = gdf.withColumn(h, F.col(h).cast("string"))
+        scope = set(q.group_by) | set(hidden)
+        for _, alias, ast in agg_items:
+            col, _nullable = _scalar_column(
+                _expr_sub_aggs(ast, ax_names), scope, set()
+            )
+            gdf = gdf.withColumn(alias, col)
     return gdf.select(*q.select)
 
 
@@ -3220,11 +3345,19 @@ def _select_solution(ev: _Eval, q: _Parser) -> _Sol:
         out_names = list(q.select)
         # a COUNT is never null; SUM/MIN/MAX are null on all-null groups,
         # and a grouped-by variable keeps its possibly-unbound status
-        maybe = {
-            it.alias
-            for it in q.projection
-            if isinstance(it, Agg) and it.func != "COUNT"
-        } | (set(q.group_by) & sol.maybe)
+        maybe = (
+            {
+                it.alias
+                for it in q.projection
+                if isinstance(it, Agg) and it.func != "COUNT"
+            }
+            | {
+                it[1]
+                for it in q.projection
+                if isinstance(it, tuple) and it[0] == "aggexpr"
+            }
+            | (set(q.group_by) & sol.maybe)
+        )
         if q.trailing_values is not None:
             # aggregate form: VALUES joins AFTER Aggregation+HAVING
             # (§18.2.4.2's modifier order); values-only variables are
@@ -4427,6 +4560,39 @@ def sparql_agg_expr_sql() -> str:
       GROUP BY c.c_nationkey
       HAVING SUM(CAST(FLOOR(o.o_totalprice * 100) AS BIGINT) - 1000000)
              > 0
+    """
+
+
+# aggregates as OPERANDS of projection expressions (§18.2.4.1):
+# integer arithmetic over SUM/COUNT hidden columns plus a string
+# function over a COUNT DISTINCT, next to the group key
+GATE_AGG_ARITH = """
+  SELECT ?nation ((SUM(?t) - 1000 * COUNT(*)) AS ?adj_cents)
+         (CONCAT(?nation, "#", STR(COUNT(DISTINCT ?cust))) AS ?tag)
+  WHERE {
+    GRAPH <graph://tpch> {
+      ?o <placed_by> ?cust .
+      ?cust <in_nation> ?nation .
+      ?o <total_cents> ?t
+    }
+  }
+  GROUP BY ?nation
+"""
+
+
+def sparql_agg_arith_gate(spark, sf_dir: str) -> DataFrame:
+    return sparql_select(_order_total_quads(spark, sf_dir), GATE_AGG_ARITH)
+
+
+def sparql_agg_arith_sql() -> str:
+    return """
+      SELECT 'nation:' || c.c_nationkey AS nation,
+             CAST(SUM(CAST(FLOOR(o.o_totalprice * 100) AS BIGINT))
+                  - 1000 * COUNT(*) AS VARCHAR) AS adj_cents,
+             'nation:' || c.c_nationkey || '#' ||
+               CAST(COUNT(DISTINCT c.c_custkey) AS VARCHAR) AS tag
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_nationkey
     """
 
 

@@ -102,7 +102,10 @@ def main() -> None:
         "failing": bad,
         "all_green": not bad,
     }
-    with open(os.path.join(REPO, "SELFCHECK_GATE.json"), "w") as f:
+    out_path = os.environ.get(
+        "RIFY_SELFCHECK_OUT", os.path.join(REPO, "SELFCHECK_GATE.json")
+    )
+    with open(out_path, "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps({"all_green": out["all_green"], "failing": bad}))
 

@@ -676,6 +676,57 @@ def test_trailing_values_joins_after_aggregation(quads):
 
 # --- aggregates: GROUP BY / COUNT / SUM / MIN / MAX / HAVING -----------------
 
+
+def test_aggregates_as_expression_operands(spark):
+    # §18.2.4.1: aggregates inside projection expressions — hidden
+    # grouped columns read back as lexemes, standard scalar compiler
+    store = spark.createDataFrame(
+        [
+            ("a", "v", "10", "default_graph"),
+            ("a", "v", "30", "default_graph"),
+            ("b", "v", "5", "default_graph"),
+            ("b", "v", "7", "default_graph"),
+            ("b", "v", "9", "default_graph"),
+        ],
+        "s string, p string, o string, g string",
+    )
+
+    def run(q):
+        return sorted(tuple(r) for r in sparql_select(store, q).collect())
+
+    q = (
+        "SELECT ?s ((SUM(?o) - MIN(?o) * COUNT(*)) AS ?spread) "
+        "WHERE { ?s <v> ?o } GROUP BY ?s"
+    )
+    # a: 40 - 10*2 = 20; b: 21 - 5*3 = 6 (MIN here is also numeric-min)
+    assert run(q) == [("a", "20"), ("b", "6")]
+    # group key + string function over an aggregate; dedup'd agg reuse
+    q = (
+        'SELECT ?s (CONCAT(?s, ":", STR(SUM(?o))) AS ?tag) '
+        "((SUM(?o) + SUM(?o)) AS ?dbl) "
+        "WHERE { ?s <v> ?o } GROUP BY ?s"
+    )
+    assert run(q) == [("a", "a:40", "80"), ("b", "b:21", "42")]
+    # a selected PURE aggregate keeps its native BIGINT dtype alongside
+    q = (
+        "SELECT ?s (SUM(?o) AS ?sum) ((SUM(?o) - 1) AS ?m1) "
+        "WHERE { ?s <v> ?o } GROUP BY ?s"
+    )
+    assert run(q) == [("a", 40, "39"), ("b", 21, "20")]
+    # implicit group; HAVING composes
+    q = "SELECT ((MAX(?o) - MIN(?o)) AS ?r) WHERE { ?s <v> ?o }"
+    # MIN/MAX compare lexicographically: max '9', min '10' -> -1
+    assert run(q) == [("-1",)]
+    q = (
+        "SELECT ?s ((SUM(?o) - 20) AS ?e) WHERE { ?s <v> ?o } "
+        "GROUP BY ?s HAVING (COUNT(*) > 2)"
+    )
+    assert run(q) == [("b", "1")]
+    # a free variable outside the aggregates must be a group key
+    with pytest.raises(SparqlParseError, match="GROUPed BY"):
+        run("SELECT ((SUM(?o) + ?s) AS ?x) WHERE { ?s <v> ?o }")
+
+
 def test_group_by_count(quads):
     q = """
       SELECT ?x (COUNT(?y) AS ?n) WHERE { GRAPH <g1> { ?x <knows> ?y } }
