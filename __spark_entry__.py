@@ -525,6 +525,12 @@ def _q_sparql_agg_arith(spark, sf_dir):
     return sparql_agg_arith_gate(spark, sf_dir)
 
 
+def _q_sparql_having_expr(spark, sf_dir):
+    from rify_spark.sparql import sparql_having_expr_gate
+
+    return sparql_having_expr_gate(spark, sf_dir)
+
+
 def _q_sparql_path(spark, sf_dir):
     from rify_spark.sparql import sparql_path_gate
 
@@ -809,6 +815,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_trailing_values": _q_sparql_trailing_values,
         # aggregates as operands of projection expressions (§18.2.4.1)
         "sparql_agg_arith": _q_sparql_agg_arith,
+        # general HAVING constraint trees (agg-vs-agg, group keys, ||/!)
+        "sparql_having_expr": _q_sparql_having_expr,
         # property path <p>+ executed by the engine's smart-TC fixpoint
         "sparql_path": _q_sparql_path,
         # path expressions: ^/sequence composition (pure join chain) and
@@ -1048,6 +1056,7 @@ def oracle_sql() -> dict[str, str]:
         "sparql_exists_expr": _sparql_sql("sparql_exists_expr_sql"),
         "sparql_trailing_values": _sparql_sql("sparql_trailing_values_sql"),
         "sparql_agg_arith": _sparql_sql("sparql_agg_arith_sql"),
+        "sparql_having_expr": _sparql_sql("sparql_having_expr_sql"),
         "sparql_path": _sparql_sql("sparql_path_sql"),
         "sparql_path_expr": _sparql_sql("sparql_path_expr_sql"),
         "sparql_path_star": _sparql_sql("sparql_path_star_sql"),

@@ -659,6 +659,7 @@ class _Parser:
         self.group_by: list = []  # variable names (incl. expr aliases)
         self.group_exprs: list = []  # (alias, scalar AST) GROUP BY keys
         self.having: list = []  # (Agg, op, py-literal)
+        self.having_tree = None  # general HAVING: a filter tree w/ EAggRefs
         self.distinct = False
         self.order: list = []  # (Var, descending)
         self.limit: int | None = None
@@ -670,6 +671,7 @@ class _Parser:
         return (
             bool(self.group_by)
             or bool(self.having)
+            or self.having_tree is not None
             or any(
                 isinstance(it, Agg)
                 or (isinstance(it, tuple) and it[0] == "aggexpr")
@@ -1768,48 +1770,74 @@ class _Parser:
             if not self.group_by:
                 raise SparqlParseError("GROUP BY needs ?variables")
         if self.kw("HAVING"):
-            self.expect("(")
-            while True:
-                agg = self.agg_expr()
-                kind, op = self.next()
-                if op not in self._OPS:
-                    raise SparqlParseError(
-                        f"unsupported HAVING operator {op!r}"
-                    )
+            save = self.i
+            try:
+                self._having_legacy()
+            except SparqlParseError:
+                # general constraint (§18.5's HAVING is any expression
+                # over aggregates + group keys): a FILTER boolean tree
+                # whose scalar operands may be aggregate calls, compiled
+                # post-aggregation over the hidden lexeme columns — the
+                # FILTER numeric-switch contract applies (so AVG stays
+                # with the legacy integer-compare form)
+                self.i = save
+                self.having = []
+                self._agg_mode = True
+                try:
+                    self.expect("(")
+                    self.having_tree = self._filter_or()
+                    self.expect(")")
+                finally:
+                    self._agg_mode = False
+        self._order_limit()
+
+    def _having_legacy(self):
+        """The original HAVING subset: ``(AGG op const [&& ...])`` —
+        native-dtype comparisons reusing selected aggregate columns."""
+        self.expect("(")
+        while True:
+            agg = self.agg_expr()
+            kind, op = self.next()
+            if op not in self._OPS:
+                raise SparqlParseError(
+                    f"unsupported HAVING operator {op!r}"
+                )
+            kind, tok = self.next()
+            if kind == "op" and tok == "-":
                 kind, tok = self.next()
-                if kind == "op" and tok == "-":
-                    kind, tok = self.next()
-                    if kind != "num":
-                        raise SparqlParseError(
-                            "unary '-' is supported on integer "
-                            "literals only"
-                        )
-                    kind, tok = "num", f"-{tok}"
-                if kind == "num":
-                    val = int(tok)
-                    if agg.func not in ("COUNT", "SUM", "AVG"):
-                        raise SparqlParseError(
-                            f"HAVING {agg.func} compares string terms — "
-                            "use a quoted constant"
-                        )
-                elif kind == "string":
-                    val = tok[1:-1]
-                    if agg.func in ("COUNT", "SUM", "AVG"):
-                        raise SparqlParseError(
-                            f"HAVING {agg.func} compares integers — "
-                            "use a numeric constant"
-                        )
-                else:
+                if kind != "num":
                     raise SparqlParseError(
-                        "HAVING compares an aggregate to a constant"
+                        "unary '-' is supported on integer "
+                        "literals only"
                     )
-                self.having.append((agg, op, val))
-                kind, tok = self.peek()
-                if kind == "op" and tok == "&&":
-                    self.next()
-                    continue
-                break
-            self.expect(")")
+                kind, tok = "num", f"-{tok}"
+            if kind == "num":
+                val = int(tok)
+                if agg.func not in ("COUNT", "SUM", "AVG"):
+                    raise SparqlParseError(
+                        f"HAVING {agg.func} compares string terms — "
+                        "use a quoted constant"
+                    )
+            elif kind == "string":
+                val = tok[1:-1]
+                if agg.func in ("COUNT", "SUM", "AVG"):
+                    raise SparqlParseError(
+                        f"HAVING {agg.func} compares integers — "
+                        "use a numeric constant"
+                    )
+            else:
+                raise SparqlParseError(
+                    "HAVING compares an aggregate to a constant"
+                )
+            self.having.append((agg, op, val))
+            kind, tok = self.peek()
+            if kind == "op" and tok == "&&":
+                self.next()
+                continue
+            break
+        self.expect(")")
+
+    def _order_limit(self):
         if self.kw("ORDER"):
             self.expect("BY")
             # keys: ?var | [ASC|DESC]( scalar-expr ) | ( scalar-expr );
@@ -2934,9 +2962,9 @@ def _expr_aggs(e) -> list:
     if isinstance(e, (Var, Const, NumConst)):
         return []
     if isinstance(e, EIf):
-        # aggregates inside an IF *condition* stay out of subset — the
-        # boolean grammar has no aggregate operand form
-        return _expr_aggs(e.then) + _expr_aggs(e.other)
+        return (
+            _cond_aggs(e.cond) + _expr_aggs(e.then) + _expr_aggs(e.other)
+        )
     if isinstance(e, EArith):
         return _expr_aggs(e.lhs) + _expr_aggs(e.rhs)
     assert isinstance(e, EFunc), e
@@ -2953,7 +2981,7 @@ def _expr_sub_aggs(e, names: dict):
         return e
     if isinstance(e, EIf):
         return EIf(
-            e.cond,
+            _cond_sub_aggs(e.cond, names),
             _expr_sub_aggs(e.then, names),
             _expr_sub_aggs(e.other, names),
         )
@@ -2965,6 +2993,40 @@ def _expr_sub_aggs(e, names: dict):
         )
     assert isinstance(e, EFunc), e
     return EFunc(e.name, tuple(_expr_sub_aggs(a, names) for a in e.args))
+
+
+_EXPR_TYPES = (Var, Const, NumConst, EFunc, EArith, EIf, EAggRef)
+
+
+def _cond_aggs(entry) -> list:
+    """EAggRef nodes inside a FILTER boolean tree (general HAVING)."""
+    op, a, b = entry
+    if op in ("and", "or"):
+        return [r for c in a for r in _cond_aggs(c)]
+    if op == "not":
+        return _cond_aggs(a)
+    out = []
+    operands = [a] + (list(b) if op in ("in", "!in") else [b])
+    for t in operands:
+        if isinstance(t, _EXPR_TYPES):
+            out.extend(_expr_aggs(t))
+    return out
+
+
+def _cond_sub_aggs(entry, names: dict):
+    """Rewrite the EAggRef leaves of a FILTER boolean tree to Vars over
+    their hidden grouped lexeme columns (see _expr_sub_aggs)."""
+    op, a, b = entry
+    if op in ("and", "or"):
+        return (op, [_cond_sub_aggs(c, names) for c in a], b)
+    if op == "not":
+        return ("not", _cond_sub_aggs(a, names), b)
+    sub = lambda t: (  # noqa: E731
+        _expr_sub_aggs(t, names) if isinstance(t, _EXPR_TYPES) else t
+    )
+    if op in ("in", "!in"):
+        return (op, sub(a), [sub(x) for x in b])
+    return (op, sub(a), sub(b))
 
 
 def _expr_vars(e):
@@ -3229,6 +3291,14 @@ def _aggregate(sol: _Sol, q: _Parser) -> DataFrame:
             exprs.append(_agg_column(agg, sol, name, not q.group_by))
             by_key[agg.key] = name
             hidden.append(name)
+    if q.having_tree is not None:
+        for ref in _cond_aggs(q.having_tree):
+            if ref.key not in ax_names:
+                name = f"__ax{len(ax_names)}"
+                exprs.append(
+                    _agg_column(ref.agg, sol, name, not q.group_by)
+                )
+                ax_names[ref.key] = name
     if exprs:
         gdf = sol.df.groupBy(*[F.col(g) for g in q.group_by]).agg(*exprs)
     else:
@@ -3247,14 +3317,21 @@ def _aggregate(sol: _Sol, q: _Parser) -> DataFrame:
         for it in q.projection
         if isinstance(it, tuple) and it[0] == "aggexpr"
     ]
-    if agg_items:
-        # aggregate-operand projection expressions: read the hidden
-        # grouped columns back as decimal lexemes (the opaque-string
-        # term space) and run the standard scalar compiler over them
-        hidden = sorted(set(ax_names.values()))
-        for h in hidden:
+    if agg_items or q.having_tree is not None:
+        # aggregate-operand expressions (projection and general HAVING):
+        # read the hidden grouped columns back as decimal lexemes (the
+        # opaque-string term space) and run the standard scalar /
+        # boolean compilers over them
+        ax_hidden = sorted(set(ax_names.values()))
+        for h in ax_hidden:
             gdf = gdf.withColumn(h, F.col(h).cast("string"))
-        scope = set(q.group_by) | set(hidden)
+        scope = set(q.group_by) | set(ax_hidden)
+        if q.having_tree is not None:
+            gdf = gdf.filter(
+                _condition_column(
+                    _cond_sub_aggs(q.having_tree, ax_names), scope, set()
+                )
+            )
         for _, alias, ast in agg_items:
             col, _nullable = _scalar_column(
                 _expr_sub_aggs(ast, ax_names), scope, set()
@@ -4593,6 +4670,38 @@ def sparql_agg_arith_sql() -> str:
                CAST(COUNT(DISTINCT c.c_custkey) AS VARCHAR) AS tag
       FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
       GROUP BY c.c_nationkey
+    """
+
+
+# general HAVING constraint trees: aggregate-vs-aggregate arithmetic
+# disjoined with a group-key comparison — beyond the legacy
+# aggregate-vs-constant subset
+GATE_HAVING_EXPR = """
+  SELECT ?nation (COUNT(*) AS ?n) WHERE {
+    GRAPH <graph://tpch> {
+      ?o <placed_by> ?cust .
+      ?cust <in_nation> ?nation .
+      ?o <total_cents> ?t
+    }
+  }
+  GROUP BY ?nation
+  HAVING (SUM(?t) - 24900000 * COUNT(*) > 0 || ?nation = <nation:0>)
+"""
+
+
+def sparql_having_expr_gate(spark, sf_dir: str) -> DataFrame:
+    return sparql_select(_order_total_quads(spark, sf_dir), GATE_HAVING_EXPR)
+
+
+def sparql_having_expr_sql() -> str:
+    return """
+      SELECT 'nation:' || c.c_nationkey AS nation,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_nationkey
+      HAVING SUM(CAST(FLOOR(o.o_totalprice * 100) AS BIGINT))
+             - 24900000 * COUNT(*) > 0
+          OR 'nation:' || c.c_nationkey = 'nation:0'
     """
 
 

@@ -725,6 +725,29 @@ def test_aggregates_as_expression_operands(spark):
     # a free variable outside the aggregates must be a group key
     with pytest.raises(SparqlParseError, match="GROUPed BY"):
         run("SELECT ((SUM(?o) + ?s) AS ?x) WHERE { ?s <v> ?o }")
+    # --- general HAVING constraint trees (beyond agg-vs-const) ---
+    q = (
+        "SELECT ?s WHERE { ?s <v> ?o } GROUP BY ?s "
+        "HAVING (SUM(?o) - MIN(?o) * COUNT(*) > 5)"
+    )
+    assert run(q) == [("a",), ("b",)]  # a: 20, b: 6, vs > 5
+    q = (
+        "SELECT ?s WHERE { ?s <v> ?o } GROUP BY ?s "
+        'HAVING (COUNT(*) >= 3 || ?s = "a")'
+    )
+    assert run(q) == [("a",), ("b",)]
+    q = (
+        "SELECT ?s WHERE { ?s <v> ?o } GROUP BY ?s "
+        "HAVING (!(SUM(?o) > 30))"
+    )
+    assert run(q) == [("b",)]
+    # the legacy native-dtype path is still taken for agg-vs-const
+    # (COUNT compares as BIGINT, reusing the selected column)
+    q = (
+        "SELECT ?s (COUNT(*) AS ?n) WHERE { ?s <v> ?o } GROUP BY ?s "
+        "HAVING (COUNT(*) > 2)"
+    )
+    assert run(q) == [("b", 3)]
 
 
 def test_group_by_count(quads):
