@@ -989,10 +989,10 @@ class _Parser:
                 "only SELECT / ASK / CONSTRUCT / DESCRIBE queries are "
                 "supported"
             )
-        if self.kw("VALUES"):
-            # query-final ValuesClause (§7.2.3 / §18.2.4.2): joined with
-            # the query's solutions after aggregation+HAVING and before
-            # SELECT expressions / ORDER / LIMIT
+        if self.form != "SELECT" and self.kw("VALUES"):
+            # query-final ValuesClause (§7.2.3 / §18.2.4.2) for the
+            # non-SELECT forms; SELECT (top-level and subqueries) parses
+            # it inside select_query
             self.trailing_values = self.values_block()
         if self.peek()[0] != "eof":
             raise SparqlParseError(
@@ -1080,6 +1080,10 @@ class _Parser:
         self.kw("WHERE")
         self.root = self.group_node(Const(DEFAULT_GRAPH))
         self.modifiers()
+        if self.kw("VALUES"):
+            # SubSelect and top-level Select both end with an optional
+            # ValuesClause (§7.2.3), joined per §18.2.4.2's order
+            self.trailing_values = self.values_block()
 
     def sub_select(self) -> SubSelect:
         """A ``{ SELECT ... }`` group element; the '{' and the SELECT

@@ -672,6 +672,15 @@ def test_trailing_values_joins_after_aggregation(quads):
         ).collect()
     )
     assert got == [("c", "met", "a", "default_graph")]
+    # subqueries carry their own trailing ValuesClause (SubSelect)
+    q = """
+      SELECT ?x ?y ?n WHERE {
+        GRAPH <g1> { ?x <knows> ?y }
+        { SELECT ?x (COUNT(*) AS ?n) WHERE { GRAPH ?g { ?x <knows> ?o } }
+          GROUP BY ?x VALUES ?x { <a> } }
+      }
+    """
+    assert _run(quads, q) == [("a", "b", 1)]
 
 
 # --- aggregates: GROUP BY / COUNT / SUM / MIN / MAX / HAVING -----------------
@@ -835,10 +844,10 @@ def test_aggregate_errors(quads):
         # AVG is supported since round 5 — VARIANCE stays informative
         ("SELECT (VARIANCE(?y) AS ?a) WHERE { GRAPH <g1> { ?x <knows> ?y } }",
          "COUNT/SUM/AVG/MIN/MAX"),
-        ("SELECT (COUNT(?y) AS ?n) WHERE { GRAPH <g1> { ?x <knows> ?y } }"
-         ' HAVING (MIN(?y) > 3)', "quoted constant"),
-        ("SELECT (COUNT(?y) AS ?n) WHERE { GRAPH <g1> { ?x <knows> ?y } }"
-         ' HAVING (COUNT(?y) > "b")', "numeric constant"),
+        # NB: mixed-type HAVING comparisons (MIN vs number, COUNT vs
+        # string) are no longer errors — they fall to the general
+        # HAVING tree under the FILTER numeric-switch / string-compare
+        # contract; see test_mixed_having_falls_to_general_tree
         ("SELECT ?x (COUNT(?y) AS ?x) WHERE { GRAPH <g1> { ?x <knows> ?y } }"
          " GROUP BY ?x", "duplicate name"),
         ("SELECT (SUM(*) AS ?s) WHERE { GRAPH <g1> { ?x <knows> ?y } }",
@@ -851,6 +860,27 @@ def test_aggregate_errors(quads):
     for q, pat in cases:
         with pytest.raises(SparqlParseError, match=pat):
             sparql_select(quads, q).collect()
+
+
+def test_mixed_having_falls_to_general_tree(quads):
+    # MIN vs unquoted number: the general tree's numeric switch
+    # try_casts the MIN lexeme ('b' -> NULL -> dropped)
+    q = (
+        "SELECT (COUNT(?y) AS ?n) WHERE { GRAPH <g1> { ?x <knows> ?y } }"
+        " HAVING (MIN(?y) > 3)"
+    )
+    assert _run(quads, q) == []
+    # COUNT vs string: lexicographic compare of the count lexeme
+    q = (
+        "SELECT (COUNT(?y) AS ?n) WHERE { GRAPH <g1> { ?x <knows> ?y } }"
+        ' HAVING (COUNT(?y) > "b")'
+    )
+    assert _run(quads, q) == []
+    q = (
+        "SELECT (COUNT(?y) AS ?n) WHERE { GRAPH <g1> { ?x <knows> ?y } }"
+        ' HAVING (COUNT(?y) < "b")'
+    )
+    assert _run(quads, q) == [(2,)]
 
 
 # --- property-path expressions: ^ / | * ? and compositions -------------------
@@ -1626,9 +1656,21 @@ def test_avg_aggregate(quads):
       GROUP BY ?s HAVING (AVG(?o) > 1)
     """
     assert _run(df, q2) == [("a", 1.5), ("b", 2.0)]
-    # string constant vs AVG in HAVING is rejected
-    with pytest.raises(SparqlParseError, match="integers"):
-        _run(df, 'SELECT ?s (AVG(?o) AS ?m) WHERE { ?s <v> ?o } GROUP BY ?s HAVING (AVG(?o) > "x")')
+    # string constant vs AVG falls to the GENERAL HAVING tree (round 5):
+    # the double lexeme string-compares — '1.5'/'2.0' > 'x' is false
+    got = _run(
+        df,
+        "SELECT ?s (AVG(?o) AS ?m) WHERE { ?s <v> ?o } GROUP BY ?s "
+        'HAVING (AVG(?o) > "x")',
+    )
+    assert got == []
+    # ... and the numeric-switch form drops AVG's non-integer lexeme
+    got = _run(
+        df,
+        "SELECT ?s (AVG(?o) AS ?m) WHERE { ?s <v> ?o } GROUP BY ?s "
+        "HAVING (AVG(?o) * 1 >= 0)",
+    )
+    assert got == []
 
 
 def test_if_as_select_expression_item(quads):
