@@ -681,6 +681,12 @@ def _q_sparql_update_load(spark, sf_dir):
     return sparql_update_load_gate(spark, sf_dir)
 
 
+def _q_sparql_update_bnodes(spark, sf_dir):
+    from rify_spark.update import sparql_update_bnode_gate
+
+    return sparql_update_bnode_gate(spark, sf_dir)
+
+
 def _q_sparql_agg_expr(spark, sf_dir):
     from rify_spark.sparql import sparql_agg_expr_gate
 
@@ -870,6 +876,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_update_with": _q_sparql_update_with,
         # LOAD through the distributed N-Quads reader
         "sparql_update_load": _q_sparql_update_load,
+        # blank nodes in INSERT DATA / INSERT templates (fresh mints)
+        "sparql_update_bnodes": _q_sparql_update_bnodes,
         # CONSTRUCT-template blank nodes (fresh per solution)
         "sparql_construct_bnode": _q_sparql_construct_bnode,
         "sparql_construct_skip": _q_sparql_construct_skip,
@@ -999,6 +1007,12 @@ def _update_load_sql() -> str:
     return sparql_update_load_sql()
 
 
+def _update_bnode_sql() -> str:
+    from rify_spark.update import sparql_update_bnode_sql
+
+    return sparql_update_bnode_sql()
+
+
 def _rdf_parse_fixture_sql() -> str:
     from rify_spark.rdf import PARSE_FIXTURE_SQL
 
@@ -1082,6 +1096,7 @@ def oracle_sql() -> dict[str, str]:
         "sparql_update": _update_sql(),
         "sparql_update_with": _update_with_sql(),
         "sparql_update_load": _update_load_sql(),
+        "sparql_update_bnodes": _update_bnode_sql(),
         "sparql_construct_bnode": _sparql_sql("sparql_construct_bnode_sql"),
         "sparql_construct_skip": _sparql_sql("sparql_construct_skip_sql"),
         "sparql_agg_expr": _sparql_sql("sparql_agg_expr_sql"),

@@ -3560,7 +3560,9 @@ def sparql_construct(quads: DataFrame, query: str) -> DataFrame:
     return _template_quads(sol, q.template, dtype, what="CONSTRUCT")
 
 
-def _template_quads(sol: _Sol, template: list, dtype, *, what: str):
+def _template_quads(
+    sol: _Sol, template: list, dtype, *, what: str, bnode_salt: str = ""
+):
     """Instantiate a quad template over a solution relation through
     :func:`matcher.project_heads` — the same code path that materializes
     rule heads in the fixpoint (shared by CONSTRUCT and the UPDATE
@@ -3579,11 +3581,14 @@ def _template_quads(sol: _Sol, template: list, dtype, *, what: str):
     would collapse anyway) and the DuckDB twin can reproduce the exact
     labels. A template label that also appears in the WHERE pattern is
     rejected (the scopes are disjoint in the spec; sharing would be
-    ambiguous). UPDATE templates reject blank nodes (spec §3.1.3.2
-    forbids them in DELETE; kept symmetric for INSERT)."""
+    ambiguous). INSERT templates mint the same way (spec §3.1.3: fresh
+    per solution), additionally salted with ``bnode_salt`` (the caller's
+    seed + the operation's index in its ``;``-sequence, so two INSERT
+    operations in one update mint disjoint nodes); DELETE templates
+    reject blank nodes (spec §3.1.3.2 forbids them)."""
     from .matcher import project_heads
 
-    if what == "CONSTRUCT":
+    if what in ("CONSTRUCT", "INSERT"):
         tmpl_bnodes = sorted(
             {
                 t.name
@@ -3596,13 +3601,15 @@ def _template_quads(sol: _Sol, template: list, dtype, *, what: str):
             clash = [n for n in tmpl_bnodes if n in sol.bound]
             if clash:
                 raise SparqlParseError(
-                    "a CONSTRUCT-template blank-node label may not also "
+                    f"a {what}-template blank-node label may not also "
                     f"appear in WHERE: _:{clash[0][len(BNODE_PREFIX):]}"
                 )
             basis = [
                 F.coalesce(F.col(n), F.lit("\x00"))
                 for n in sorted(sol.bound)
             ]
+            if bnode_salt:
+                basis = [F.lit(bnode_salt), *basis]
             df = sol.df
             for n in tmpl_bnodes:
                 df = df.withColumn(
@@ -3633,12 +3640,12 @@ def _template_quads(sol: _Sol, template: list, dtype, *, what: str):
                     t.name.startswith(BNODE_PREFIX)
                     and t.name not in slots
                 ):
-                    # UPDATE templates: fresh-per-solution labels stay
-                    # out of subset (and DELETE forbids them, spec
-                    # §3.1.3.2); CONSTRUCT labels were minted above
+                    # only DELETE reaches here: CONSTRUCT/INSERT labels
+                    # were minted above, and a label shared with WHERE
+                    # is a bound variable in slots
                     raise SparqlParseError(
-                        f"blank nodes in a {what} template are outside "
-                        "the supported subset"
+                        f"blank nodes are not allowed in a {what} "
+                        "template (spec §3.1.3.2)"
                     )
                 if t.name not in slots:
                     # range restriction, the analog of UnboundImplied

@@ -30,8 +30,10 @@ Supported operations (spec §3), separated by ``;``:
     through the rule engine's head projection
     (``sparql._template_quads`` -> ``matcher.project_heads``), so an
     UPDATE template is exactly a one-shot rule head. Template variables
-    must be sure-bound (the CONSTRUCT restriction); template blank
-    nodes stay out of subset.
+    must be sure-bound (the CONSTRUCT restriction); INSERT-template
+    blank nodes mint fresh per solution (spec §3.1.3, the CONSTRUCT
+    §16.2.1 machinery, salted per operation), DELETE-template blank
+    nodes raise (spec §3.1.3.2).
   * Graph management: ``CLEAR GRAPH <g> | DEFAULT | NAMED | ALL``
     (``NAMED`` empties every graph except the default; ``DROP`` is
     an alias — without empty-graph bookkeeping the two coincide, a
@@ -64,7 +66,9 @@ Supported operations (spec §3), separated by ``;``:
     malformed lines and treats a missing document as a no-op.
     HTTP fetches are out by design (no external data).
 
-Out of subset (raise): blank nodes in DATA blocks or templates.
+Blank nodes: INSERT DATA blocks and INSERT templates take them (fresh
+nodes, minted deterministically — see :func:`sparql_update`); the DELETE
+forms reject them exactly where the spec forbids them (§3.1.2/§3.1.3.2).
 
 Set semantics throughout: the store is a set of quads (the engine's
 ``Reasoner::insert`` contract, reference src/reasoner.rs:33-41), so
@@ -87,6 +91,7 @@ from pyspark.sql import functions as F
 
 from .rdf import DEFAULT_GRAPH
 from .sparql import (
+    BNODE_PREFIX as _BN_PREFIX,
     Bgp,
     Const,
     SparqlParseError,
@@ -103,22 +108,50 @@ _COLS = ["s", "p", "o", "g"]
 # --- parsing ----------------------------------------------------------------
 
 
-def _quad_data(p: _Parser) -> list:
-    """A constant-only quad block (INSERT/DELETE DATA): every term must
-    be a constant — the spec's QuadData production (no variables; blank
-    nodes stay out of subset, matching the template rule)."""
+class _BNodeRef:
+    """A blank-node label inside an INSERT DATA block, minted fresh at
+    execution time (one node per distinct label per operation)."""
+
+    __slots__ = ("label",)
+
+    def __init__(self, label: str):
+        self.label = label
+
+
+def _quad_data(p: _Parser, *, allow_bnodes: bool = False) -> list:
+    """A quad block for INSERT/DELETE DATA — the spec's QuadData
+    production: no variables; blank nodes are legal in INSERT DATA
+    (fresh per operation, spec §3.1.1 — they parse to :class:`_BNodeRef`
+    markers minted at execution) and forbidden in DELETE DATA
+    (spec §3.1.2)."""
     grp = p.group_node(Const(DEFAULT_GRAPH), allow_filter=False)
     if grp.filters or any(not isinstance(e, Bgp) for e in grp.elems):
         raise SparqlParseError("DATA blocks take plain quads")
     quads = [q for e in grp.elems for q in e.patterns]
+    out = []
     for quad in quads:
+        row = []
         for t in quad:
-            if not isinstance(t, Const):
+            if isinstance(t, Const):
+                row.append(t.value)
+            elif (
+                allow_bnodes
+                and isinstance(t, Var)
+                and t.name.startswith(_BN_PREFIX)
+            ):
+                row.append(_BNodeRef(t.name[len(_BN_PREFIX):]))
+            elif isinstance(t, Var) and t.name.startswith(_BN_PREFIX):
+                raise SparqlParseError(
+                    "blank nodes are not allowed in DELETE DATA "
+                    "(spec §3.1.2)"
+                )
+            else:
                 raise SparqlParseError(
                     "INSERT/DELETE DATA takes constant quads "
-                    "(no variables or blank nodes)"
+                    "(no variables)"
                 )
-    return [tuple(t.value for t in q) for q in quads]
+        out.append(tuple(row))
+    return out
 
 
 def _template(p: _Parser, default_g: str = DEFAULT_GRAPH) -> list:
@@ -228,7 +261,9 @@ def parse_update(text: str) -> list:
             if p.kw("DATA"):
                 if with_g != DEFAULT_GRAPH:
                     raise SparqlParseError("WITH does not apply to DATA")
-                ops.append(("insert_data", _quad_data(p)))
+                ops.append(
+                    ("insert_data", _quad_data(p, allow_bnodes=True))
+                )
             else:
                 tmpl = _template(p, with_g)
                 uf, un = _using_clauses(p)
@@ -350,17 +385,47 @@ def _union_novel(store: DataFrame, ins: DataFrame, *, tiny: bool) -> DataFrame:
     return store.unionByName(ins.join(store, _COLS, "left_anti"))
 
 
-def sparql_update(store: DataFrame, update: str) -> DataFrame:
+def sparql_update(
+    store: DataFrame, update: str, *, bnode_seed: str = ""
+) -> DataFrame:
     """Apply a SPARQL Update string to a quad store; returns the NEW
     store DataFrame (the input is untouched — Spark-functional update).
     Operations in a ``;``-sequence apply left to right, each seeing the
     previous result (spec §3.1: a sequence of operations on the graph
-    store)."""
+    store).
+
+    Blank nodes in INSERT DATA / INSERT templates mint as
+    ``"_:" + md5(seed # op-index, label[, bindings])`` — deterministic
+    (same CONSTRUCT precedent: reproducible by the SQL oracle twins;
+    duplicate solutions collapse under set semantics). The op-index
+    salt keeps two operations in one ``;``-sequence disjoint. The spec
+    wants nodes fresh per EXECUTION too — callers that re-apply an
+    update and need that freshness pass a unique ``bnode_seed`` (e.g.
+    a uuid); the default trades it for oracle determinism."""
+    import hashlib
+
     dtype = store.schema["s"].dataType
     cur = store.select(*_COLS)
-    for op in parse_update(update):
+    for idx, op in enumerate(parse_update(update)):
+        salt = f"{bnode_seed}#{idx}"
         if op[0] == "insert_data":
-            ins = _const_df(cur, op[1])
+            mint = {
+                t.label: "_:"
+                + hashlib.md5(
+                    f"{salt}\x1f{t.label}".encode()
+                ).hexdigest()
+                for q in op[1]
+                for t in q
+                if isinstance(t, _BNodeRef)
+            }
+            rows = [
+                tuple(
+                    mint[t.label] if isinstance(t, _BNodeRef) else t
+                    for t in q
+                )
+                for q in op[1]
+            ]
+            ins = _const_df(cur, rows)
             cur = _union_novel(cur, ins, tiny=True)
         elif op[0] == "delete_data":
             dels = _const_df(cur, op[1])
@@ -391,7 +456,9 @@ def sparql_update(store: DataFrame, update: str) -> DataFrame:
             else:
                 nxt = cur
             if itmpl:
-                ins = _template_quads(sol, itmpl, dtype, what="INSERT")
+                ins = _template_quads(
+                    sol, itmpl, dtype, what="INSERT", bnode_salt=salt
+                )
                 nxt = _union_novel(nxt, ins, tiny=False)
             cur = nxt
         elif op[0] == "clear":
@@ -589,4 +656,47 @@ def sparql_update_load_sql() -> str:
       SELECT 'nation:' || n_nationkey, 'named',
              'region:' || n_regionkey, 'graph://loaded'
       FROM nation WHERE n_regionkey <> 0
+    """
+
+
+# blank-node gate: an INSERT template mints one fresh node per nation
+# solution (reified region-membership slot) and an INSERT DATA block
+# mints a per-operation node — both labels are deterministic md5s the
+# SQL twin reproduces exactly (salt = bnode_seed '#' op-index)
+GATE_UPDATE_BNODES = """
+  INSERT { GRAPH <graph://derived> {
+    ?n <has_slot> _:s . _:s <slot_region> ?r
+  } }
+  WHERE { GRAPH <graph://tpch> { ?n <in_region> ?r } } ;
+  INSERT DATA { GRAPH <graph://derived> { _:root <kind> <manual> } }
+"""
+
+
+def sparql_update_bnode_gate(spark, sf_dir: str) -> DataFrame:
+    from .ops.quads import tpch_quads
+
+    return sparql_update(tpch_quads(spark, sf_dir), GATE_UPDATE_BNODES)
+
+
+def sparql_update_bnode_sql() -> str:
+    from .ops.quads import TPCH_QUADS_SQL
+
+    return f"""
+      {TPCH_QUADS_SQL}
+      UNION ALL
+      SELECT 'nation:' || n_nationkey, 'has_slot',
+             '_:' || md5('__bn_s' || chr(31) || '#0' || chr(31)
+                         || 'nation:' || n_nationkey || chr(31)
+                         || 'region:' || n_regionkey),
+             'graph://derived'
+      FROM nation
+      UNION ALL
+      SELECT '_:' || md5('__bn_s' || chr(31) || '#0' || chr(31)
+                         || 'nation:' || n_nationkey || chr(31)
+                         || 'region:' || n_regionkey),
+             'slot_region', 'region:' || n_regionkey, 'graph://derived'
+      FROM nation
+      UNION ALL
+      SELECT '_:' || md5('#1' || chr(31) || 'root'), 'kind', 'manual',
+             'graph://derived'
     """

@@ -1739,15 +1739,26 @@ def test_construct_template_bnodes_fresh_per_solution(quads):
     assert len({r.o for r in rows}) == 2  # distinct solutions, distinct nodes
 
 
-def test_update_templates_still_reject_bnodes(spark):
+def test_update_template_bnodes_insert_yes_delete_no(spark):
+    # INSERT templates mint fresh nodes per solution since round 5
+    # (spec §3.1.3, the CONSTRUCT machinery); DELETE templates keep the
+    # spec's prohibition (§3.1.3.2)
     from rify_spark.rdf import DEFAULT_GRAPH as DG
     from rify_spark.update import sparql_update
 
     df = spark.createDataFrame(
         [("a", "p", "b", DG)], "s string, p string, o string, g string"
     )
-    with pytest.raises(SparqlParseError, match="outside the"):
-        sparql_update(df, "INSERT { ?x <q> _:n } WHERE { ?x <p> ?y }")
+    got = sorted(
+        tuple(r)
+        for r in sparql_update(
+            df, "INSERT { ?x <q> _:n } WHERE { ?x <p> ?y }"
+        ).collect()
+    )
+    minted = [r for r in got if r[1] == "q"]
+    assert len(minted) == 1 and minted[0][2].startswith("_:")
+    with pytest.raises(SparqlParseError, match="§3.1.3.2"):
+        sparql_update(df, "DELETE { ?x <q> _:n } WHERE { ?x <p> ?y }")
 
 
 # --- aggregate arguments as scalar expressions ------------------------------

@@ -324,3 +324,79 @@ def test_load_document(store, tmp_path):
     assert _rows(out) == sorted(BASE)
     with pytest.raises(Exception):
         _rows(sparql_update(store, "LOAD <file:///nonexistent-doc.nq>"))
+
+
+# --------------------------------------------------------------------------
+# blank nodes in INSERT DATA / INSERT templates (spec §3.1.1 / §3.1.3)
+# --------------------------------------------------------------------------
+
+
+def test_insert_data_bnodes_mint_fresh_coreferent_nodes(store):
+    out = sparql_update(
+        store,
+        'INSERT DATA { _:w <type> <Widget> . _:w <label> "w" . '
+        "[ <type> <Gadget> ] }",
+    )
+    got = _rows(out)
+    assert len(got) == len(BASE) + 3
+    widgets = [r for r in got if r[1:3] == ("type", "Widget")]
+    labels = [r for r in got if r[1:3] == ("label", "w")]
+    gadgets = [r for r in got if r[1:3] == ("type", "Gadget")]
+    assert len(widgets) == len(labels) == len(gadgets) == 1
+    # one label -> ONE node, shared by both its triples; the anonymous
+    # [] mints a different node; all land in the _: namespace
+    assert widgets[0][0] == labels[0][0] != gadgets[0][0]
+    assert widgets[0][0].startswith("_:") and gadgets[0][0].startswith("_:")
+    # deterministic under the default seed (oracle-reproducible) ...
+    again = sparql_update(
+        store,
+        'INSERT DATA { _:w <type> <Widget> . _:w <label> "w" . '
+        "[ <type> <Gadget> ] }",
+    )
+    assert _rows(again) == got
+    # ... and a caller-supplied seed makes re-execution spec-fresh
+    seeded = sparql_update(
+        store, "INSERT DATA { _:w <type> <Widget> }", bnode_seed="run2"
+    )
+    mint = [r for r in _rows(seeded) if r[1:3] == ("type", "Widget")]
+    assert mint[0][0] != widgets[0][0]
+
+
+def test_insert_data_bnodes_disjoint_across_operations(store):
+    # the op-index salt keeps the SAME label in two ;-separated DATA
+    # blocks denoting two different fresh nodes (per-operation scope)
+    out = sparql_update(
+        store, "INSERT DATA { _:x <m> <a> } ; INSERT DATA { _:x <m> <b> }"
+    )
+    subs = {r[0] for r in _rows(out) if r[1] == "m"}
+    assert len(subs) == 2
+
+
+def test_insert_template_bnodes_mint_per_solution(store):
+    import hashlib
+
+    out = sparql_update(
+        store,
+        "INSERT { ?s <via> _:m . _:m <to> ?o } WHERE { ?s <knows> ?o }",
+    )
+    got = _rows(out)
+    vias = {r[0]: r[2] for r in got if r[1] == "via"}
+    tos = {r[0]: r[2] for r in got if r[1] == "to"}
+    # one fresh node per solution, coreferent across the template's
+    # two triples: a-via-m1/m1-to-b and b-via-m2/m2-to-c
+    assert vias["a"] != vias["b"]
+    assert tos[vias["a"]] == "b" and tos[vias["b"]] == "c"
+    # the mint is the documented deterministic function: md5 over
+    # (label, salt='#opidx', values in sorted-var order: ?o then ?s)
+    expect = "_:" + hashlib.md5(
+        "__bn_m\x1f#0\x1fc\x1fb".encode()
+    ).hexdigest()
+    assert vias["b"] == expect
+
+
+def test_insert_template_bnode_label_may_not_appear_in_where(store):
+    with pytest.raises(SparqlParseError, match="may not also appear"):
+        sparql_update(
+            store,
+            "INSERT { ?s <via> _:o } WHERE { ?s <knows> ?o . ?x <p> _:o }",
+        ).collect()
