@@ -1,11 +1,15 @@
 """Property-based parity for SPARQL Update: random operation sequences
-(INSERT/DELETE DATA, DELETE WHERE, WITH/USING modifies, CLEAR scopes,
+(INSERT/DELETE DATA incl. blank-node subjects, DELETE WHERE, WITH/USING
+modifies incl. blank-node INSERT-template objects, CLEAR scopes,
 ADD/COPY/MOVE) applied to random quad stores, required to agree EXACTLY
-with an independent ~50-line Python quad-set interpreter written straight
+with an independent ~60-line Python quad-set interpreter written straight
 from spec §3 semantics (single pre-operation WHERE evaluation, deletes
 before inserts, WITH as the unscoped default, USING as the match-side
-dataset) — no engine code shared."""
+dataset, blank nodes minted by the documented deterministic formula:
+'_:' + md5(label, '#'op-index[, sorted bindings])) — no engine code
+shared."""
 
+import hashlib
 import os
 import sys
 
@@ -37,6 +41,15 @@ _quad = st.tuples(
 )
 _data = st.lists(_quad, min_size=1, max_size=3)
 
+# INSERT DATA additionally takes blank-node subjects (fresh per op)
+_bquad = st.tuples(
+    st.sampled_from(TERMS + ["_:m", "_:n"]),
+    st.sampled_from(PREDS),
+    st.sampled_from(TERMS),
+    st.sampled_from(GRAPHS),
+)
+_bdata = st.lists(_bquad, min_size=1, max_size=3)
+
 # a template slot: (pred, subject var, object var, graph or None=op default)
 _tmpl = st.tuples(
     st.sampled_from(PREDS + ["r"]),
@@ -45,8 +58,17 @@ _tmpl = st.tuples(
     st.sampled_from([None] + GRAPHS),
 )
 
+# INSERT templates additionally take a blank-node object (fresh per
+# solution); DELETE templates keep the spec prohibition
+_itmpl = st.tuples(
+    st.sampled_from(PREDS + ["r"]),
+    st.sampled_from(["x", "y"]),
+    st.sampled_from(["x", "y", "_:n"]),
+    st.sampled_from([None] + GRAPHS),
+)
+
 _op = st.one_of(
-    st.tuples(st.just("insert_data"), _data),
+    st.tuples(st.just("insert_data"), _bdata),
     st.tuples(st.just("delete_data"), _data),
     # DELETE WHERE { [GRAPH <g>] ?x <pred> ?y }
     st.tuples(
@@ -62,7 +84,7 @@ _op = st.one_of(
         st.sampled_from([None] + PREDS),  # optional join pattern predicate
         st.lists(st.sampled_from(GRAPHS), max_size=2),  # USING
         st.one_of(st.none(), _tmpl),  # DELETE template
-        _tmpl,  # INSERT template (always present)
+        _itmpl,  # INSERT template (always present)
     ),
     st.tuples(
         st.just("clear"), st.sampled_from(["DEFAULT", "NAMED", "ALL", "g1"])
@@ -81,8 +103,12 @@ _op = st.one_of(
 # ---------------------------------------------------------------------------
 
 
+def _r_term(t):
+    return t if t.startswith("_:") else f"<{t}>"
+
+
 def _r_triple(s, p, o):
-    return f"<{s}> <{p}> <{o}>"
+    return f"{_r_term(s)} <{p}> {_r_term(o)}"
 
 
 def _r_data(quads):
@@ -96,7 +122,8 @@ def _r_data(quads):
 
 def _r_tmpl(tmpl):
     pred, sv, ov, tg = tmpl
-    t = f"?{sv} <{pred}> ?{ov}"
+    obj = ov if ov.startswith("_:") else f"?{ov}"
+    t = f"?{sv} <{pred}> {obj}"
     return t if tg is None else f"GRAPH <{tg}> {{ {t} }}"
 
 
@@ -144,10 +171,21 @@ def _render(op) -> str:
 # ---------------------------------------------------------------------------
 
 
-def _apply(store: frozenset, op) -> frozenset:
+def _mint_data(label: str, idx: int) -> str:
+    return "_:" + hashlib.md5(f"#{idx}\x1f{label}".encode()).hexdigest()
+
+
+def _apply(store: frozenset, op, idx: int) -> frozenset:
     kind = op[0]
     if kind == "insert_data":
-        return store | set(op[1])
+        rows = {
+            tuple(
+                _mint_data(t[2:], idx) if t.startswith("_:") else t
+                for t in q
+            )
+            for q in op[1]
+        }
+        return store | rows
     if kind == "delete_data":
         return store - set(op[1])
     if kind == "delete_where":
@@ -176,7 +214,19 @@ def _apply(store: frozenset, op) -> frozenset:
         def inst(tmpl):
             pred, sv, ov, tg = tmpl
             gg = default_g if tg is None else tg
-            return {(b[sv], pred, b[ov], gg) for b in sols}
+            if ov.startswith("_:"):
+                # fresh node per solution: md5 over (internal label,
+                # '#'op-index, bindings in sorted-variable order)
+                def o_of(b):
+                    basis = "\x1f".join(
+                        [f"__bn_{ov[2:]}", f"#{idx}"]
+                        + [b[k] for k in sorted(b)]
+                    )
+                    return "_:" + hashlib.md5(basis.encode()).hexdigest()
+            else:
+                def o_of(b):
+                    return b[ov]
+            return {(b[sv], pred, o_of(b), gg) for b in sols}
 
         nxt = store - inst(dtmpl) if dtmpl is not None else store
         return nxt | inst(itmpl)
@@ -217,6 +267,6 @@ def test_update_sequences_match_python_interpreter(spark, quads, ops):
     text = " ; ".join(_render(op) for op in ops)
     got = sorted(tuple(r) for r in sparql_update(df, text).collect())
     want = frozenset(quads)
-    for op in ops:
-        want = _apply(want, op)
+    for idx, op in enumerate(ops):
+        want = _apply(want, op, idx)
     assert got == sorted(want), text
