@@ -681,6 +681,12 @@ def _q_sparql_update_load(spark, sf_dir):
     return sparql_update_load_gate(spark, sf_dir)
 
 
+def _q_sparql_ndet(spark, sf_dir):
+    from rify_spark.sparql import sparql_ndet_gate
+
+    return sparql_ndet_gate(spark, sf_dir)
+
+
 def _q_sparql_update_bnodes(spark, sf_dir):
     from rify_spark.update import sparql_update_bnode_gate
 
@@ -878,6 +884,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_update_load": _q_sparql_update_load,
         # blank nodes in INSERT DATA / INSERT templates (fresh mints)
         "sparql_update_bnodes": _q_sparql_update_bnodes,
+        # BNODE()/UUID()/STRUUID()/NOW() deterministic generators
+        "sparql_ndet": _q_sparql_ndet,
         # CONSTRUCT-template blank nodes (fresh per solution)
         "sparql_construct_bnode": _q_sparql_construct_bnode,
         "sparql_construct_skip": _q_sparql_construct_skip,
@@ -1097,6 +1105,7 @@ def oracle_sql() -> dict[str, str]:
         "sparql_update_with": _update_with_sql(),
         "sparql_update_load": _update_load_sql(),
         "sparql_update_bnodes": _update_bnode_sql(),
+        "sparql_ndet": _sparql_sql("sparql_ndet_sql"),
         "sparql_construct_bnode": _sparql_sql("sparql_construct_bnode_sql"),
         "sparql_construct_skip": _sparql_sql("sparql_construct_skip_sql"),
         "sparql_agg_expr": _sparql_sql("sparql_agg_expr_sql"),

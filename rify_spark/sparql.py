@@ -191,7 +191,13 @@ Supported subset (documented contract, errors otherwise):
     errored or unbound input propagates: the BIND target is unbound
     (null) and rides the possibly-unbound tracking like an OPTIONAL
     variable; ``COALESCE`` is the recovery function. The BIND target
-    must be a fresh variable in its group (spec §10.1);
+    must be a fresh variable in its group (spec §10.1). The
+    nondeterministic generators ``BNODE([expr])`` / ``RAND()`` /
+    ``UUID()`` / ``STRUUID()`` / ``NOW()`` are all implemented as
+    deterministic legal instances (see :class:`ENdet`: md5 mints over
+    call-site + bindings, a parse-time-fixed ``NOW`` overridable via
+    ``RIFY_SPARQL_NOW``) — with them the §17.4 builtin library is
+    complete;
   * ``ORDER BY`` with multiple keys — ``?var``, ``[ASC|DESC](expr)``
     or ``(expr)`` over the selected columns; an arithmetic /
     numeric-constant expression orders NUMERICALLY (the lexeme
@@ -478,6 +484,31 @@ class EIf:
 
 
 @dataclass(frozen=True)
+class ENdet:
+    """One of the spec's nondeterministic generators — ``BNODE([expr])``,
+    ``RAND()``, ``UUID()``, ``STRUUID()`` (§17.4.2.9/.2.3/.2.4/§17.4.4.1)
+    — made deterministic the way CONSTRUCT-template blank nodes are: the
+    value is a function (md5) of the solution's bindings plus the
+    call-site ordinal, so each call site yields a distinct stream, every
+    solution gets its own value, and the value is reproducible by the
+    SQL oracle twins. The spec only constrains these functions' ranges
+    and freshness ACROSS calls/solutions — a deterministic instance is a
+    legal implementation, with the one documented divergence that
+    duplicate solutions coincide (moot under the engine's set
+    semantics). ``BNODE(expr)`` follows §17.4.2.9: the same argument
+    within one solution maps to the same node across call sites (the
+    site ordinal is omitted; the argument lexeme joins the basis).
+    ``NOW()`` never builds this node — it is a parse-time constant (one
+    fixed ``xsd:dateTime`` for the whole query execution, §17.4.5.1),
+    overridable via the ``RIFY_SPARQL_NOW`` environment variable for
+    reproducible runs."""
+
+    name: str  # BNODE | RAND | UUID | STRUUID
+    arg: object | None  # BNODE's optional argument expression
+    site: int  # call-site ordinal within the query
+
+
+@dataclass(frozen=True)
 class EAggRef:
     """An aggregate call used as an OPERAND inside a SELECT expression
     (``(SUM(?t) - MIN(?t) * COUNT(*) AS ?x)``, spec §18.2.4.1's
@@ -651,6 +682,8 @@ class _Parser:
         self.template: list = []  # CONSTRUCT head quads
         self.described: list = []  # DESCRIBE resources (Var | Const)
         self._bn_anon = 0  # anonymous blank-node counter ([])
+        self._ndet_site = 0  # BNODE()/RAND()/UUID()/STRUUID() call sites
+        self._now_lex: str | None = None  # NOW(), fixed per execution
         self._pending: list = []  # [ p o ] property-list inner triples
         self.select: list | None = None  # None == SELECT *
         self.projection: list = []  # ("var", name) | Agg — SELECT order
@@ -1030,6 +1063,9 @@ class _Parser:
                     unknown_call = k2 == "kw" and (
                         t2.upper() not in self._EXPR_FUNCS
                         and t2.upper() not in self._AGG_FUNCS
+                        and t2.upper() not in (
+                            "BNODE", "RAND", "UUID", "STRUUID", "NOW"
+                        )
                         and t2 != "a"
                         and self.toks[self.i + 1] == ("op", "(")
                     )
@@ -1655,6 +1691,32 @@ class _Parser:
             # aggregate-as-operand (SELECT projection expressions only;
             # _agg_mode is set while parsing a projection item)
             return EAggRef(self.agg_expr())
+        if kind == "kw" and tok.upper() in (
+            "BNODE", "RAND", "UUID", "STRUUID", "NOW"
+        ):
+            self.next()
+            name = tok.upper()
+            self.expect("(")
+            arg = None
+            if name == "BNODE" and self.peek() != ("op", ")"):
+                arg = self.scalar_expr()
+            self.expect(")")
+            if name == "NOW":
+                # §17.4.5.1: one fixed xsd:dateTime for the whole query
+                # execution — captured once per parse (or pinned by
+                # RIFY_SPARQL_NOW for reproducible runs)
+                if self._now_lex is None:
+                    import datetime as _dt
+                    import os as _os
+
+                    self._now_lex = _os.environ.get(
+                        "RIFY_SPARQL_NOW"
+                    ) or _dt.datetime.now(_dt.timezone.utc).strftime(
+                        "%Y-%m-%dT%H:%M:%SZ"
+                    )
+                return Const(f'"{self._now_lex}"^^<{XSD_DATETIME}>')
+            self._ndet_site += 1
+            return ENdet(name, arg, self._ndet_site)
         if kind == "kw" and tok.upper() in self._EXPR_FUNCS:
             self.next()
             name = tok.upper()
@@ -1958,6 +2020,57 @@ def _scalar_column(expr, bound: set, maybe: set, colf=F.col):
             # no otherwise: a NULL (errored) condition -> NULL result,
             # SPARQL's IF error semantics (§17.4.1.2)
             return F.when(c, s(e.then)).when(~c, s(e.other))
+        if isinstance(e, ENdet):
+            # deterministic instance of the spec's nondeterministic
+            # generators (see ENdet): md5 over (call-site | argument,
+            # bindings in sorted-variable order)
+            basis = [
+                F.coalesce(colf(n), F.lit("\x00")) for n in sorted(bound)
+            ]
+            if e.arg is not None:
+                # BNODE(expr), §17.4.2.9: the node is a function of the
+                # argument ALONE — same literal -> same node at every
+                # call site within a solution (the spec requirement)
+                # and, beyond it, across solutions too: deterministic
+                # skolemization, the documented trade (the per-solution
+                # bindings can't serve as the scope key because earlier
+                # BIND-minted columns would join the basis and break
+                # same-argument equality)
+                a = _t_str(s(e.arg))
+                h = F.md5(
+                    F.concat_ws("\x1f", F.lit("BNODE"), a).cast("binary")
+                )
+                # an errored argument propagates (concat_ws would
+                # silently drop the NULL otherwise)
+                return F.when(
+                    a.isNotNull(), F.concat(F.lit("_:"), h)
+                )
+            h = F.md5(
+                F.concat_ws(
+                    "\x1f", F.lit(f"{e.name}#{e.site}"), *basis
+                ).cast("binary")
+            )
+            if e.name == "BNODE":
+                return F.concat(F.lit("_:"), h)
+            if e.name == "RAND":
+                # a double in [0, 1): the first 13 hex digits (52 bits,
+                # exactly representable) over 16^13, rendered as the
+                # JVM double lexeme
+                frac = F.conv(F.substring(h, 1, 13), 16, 10).cast(
+                    "double"
+                ) / F.lit(float(16**13))
+                return frac.cast("string")
+            u = F.concat_ws(
+                "-",
+                F.substring(h, 1, 8),
+                F.substring(h, 9, 4),
+                F.substring(h, 13, 4),
+                F.substring(h, 17, 4),
+                F.substring(h, 21, 12),
+            )
+            if e.name == "UUID":  # an IRI in the urn:uuid scheme (bare)
+                return F.concat(F.lit("urn:uuid:"), u)
+            return u  # STRUUID: a simple literal
         assert isinstance(e, EFunc), e
         if e.name == "CONCAT":
             return F.concat(*[s(a) for a in e.args])
@@ -2136,6 +2249,10 @@ def _scalar_column(expr, bound: set, maybe: set, colf=F.col):
             # possibly-unbound — conservative but safe: downstream
             # joins just use the compatible-mappings machinery
             return True
+        if isinstance(e, ENdet):
+            # the bindings basis coalesces unbound slots; only
+            # BNODE(expr) can error (its argument's STR projection)
+            return e.arg is not None
         if e.name == "COALESCE":
             return all(can_null(a) for a in e.args)
         if e.name == "SUBSTR":
@@ -2971,6 +3088,8 @@ def _expr_aggs(e) -> list:
         )
     if isinstance(e, EArith):
         return _expr_aggs(e.lhs) + _expr_aggs(e.rhs)
+    if isinstance(e, ENdet):
+        return _expr_aggs(e.arg) if e.arg is not None else []
     assert isinstance(e, EFunc), e
     return [a for arg in e.args for a in _expr_aggs(arg)]
 
@@ -2995,11 +3114,17 @@ def _expr_sub_aggs(e, names: dict):
             _expr_sub_aggs(e.lhs, names),
             _expr_sub_aggs(e.rhs, names),
         )
+    if isinstance(e, ENdet):
+        return ENdet(
+            e.name,
+            None if e.arg is None else _expr_sub_aggs(e.arg, names),
+            e.site,
+        )
     assert isinstance(e, EFunc), e
     return EFunc(e.name, tuple(_expr_sub_aggs(a, names) for a in e.args))
 
 
-_EXPR_TYPES = (Var, Const, NumConst, EFunc, EArith, EIf, EAggRef)
+_EXPR_TYPES = (Var, Const, NumConst, EFunc, EArith, EIf, EAggRef, ENdet)
 
 
 def _cond_aggs(entry) -> list:
@@ -3046,6 +3171,11 @@ def _expr_vars(e):
         parts = [_cond_vars(e.cond), _expr_vars(e.then), _expr_vars(e.other)]
     elif isinstance(e, EArith):
         parts = [_expr_vars(e.lhs), _expr_vars(e.rhs)]
+    elif isinstance(e, ENdet):
+        # a generator, not a reference: only its (BNODE) argument's
+        # variables are free; the bindings basis adapts to whatever
+        # scope it compiles in
+        parts = [_expr_vars(e.arg)] if e.arg is not None else [set()]
     else:
         assert isinstance(e, EFunc), e
         parts = [_expr_vars(a) for a in e.args]
@@ -5139,4 +5269,77 @@ def sparql_construct_where_sql() -> str:
              'region:' || n_regionkey, 'graph://tpch'
       FROM nation
       WHERE n_nationkey IN (SELECT c_nationkey FROM customer)
+    """
+
+
+# the nondeterministic-generator family (§17.4.2.9 BNODE / §17.4.2.3
+# UUID / §17.4.2.4 STRUUID / NOW §17.4.5.1) under the deterministic
+# mint contract (class ENdet) — the twin reproduces every md5 exactly;
+# RAND() is the one family member with no SQL twin (its hex->double
+# conv has no DuckDB counterpart) and is unit-tested instead. NOW is
+# pinned via RIFY_SPARQL_NOW inside the gate callable so both engines
+# see one fixed instant.
+GATE_NDET = """
+  SELECT ?n (BNODE(?n) AS ?sk) (UUID() AS ?u) (STRUUID() AS ?su)
+         (YEAR(NOW()) AS ?y)
+  WHERE { GRAPH <graph://tpch> { ?n <in_region> ?r } }
+"""
+
+_GATE_NOW = "2026-01-01T00:00:00Z"
+
+
+def sparql_ndet_gate(spark, sf_dir: str) -> DataFrame:
+    import os
+
+    from .ops.quads import tpch_quads
+
+    saved = os.environ.get("RIFY_SPARQL_NOW")
+    os.environ["RIFY_SPARQL_NOW"] = _GATE_NOW
+    try:
+        return sparql_select(tpch_quads(spark, sf_dir), GATE_NDET)
+    finally:
+        if saved is None:
+            del os.environ["RIFY_SPARQL_NOW"]
+        else:
+            os.environ["RIFY_SPARQL_NOW"] = saved
+
+
+def sparql_ndet_sql() -> str:
+    # UUID is call-site 2 and STRUUID site 3 (BNODE consumed site 1).
+    # SELECT-expression targets bind SEQUENTIALLY, so each generator's
+    # bindings basis (sorted-variable order) includes the EARLIER
+    # minted columns: UUID over (?n, ?r, ?sk), STRUUID over
+    # (?n, ?r, ?sk, ?u) — the twin chains the same md5s. BNODE's basis
+    # is the argument alone (§17.4.2.9 skolemization).
+    return """
+      WITH sol AS (
+        SELECT 'nation:' || n_nationkey AS n,
+               'region:' || n_regionkey AS r
+        FROM nation
+      ), b AS (
+        SELECT n, r, '_:' || md5('BNODE' || chr(31) || n) AS sk
+        FROM sol
+      ), u AS (
+        SELECT n, r, sk,
+               md5('UUID#2' || chr(31) || n || chr(31) || r
+                   || chr(31) || sk) AS hu
+        FROM b
+      ), uu AS (
+        SELECT n, r, sk,
+               'urn:uuid:' || substr(hu, 1, 8) || '-' || substr(hu, 9, 4)
+                 || '-' || substr(hu, 13, 4) || '-' || substr(hu, 17, 4)
+                 || '-' || substr(hu, 21, 12) AS u
+        FROM u
+      ), s AS (
+        SELECT n, sk, u,
+               md5('STRUUID#3' || chr(31) || n || chr(31) || r
+                   || chr(31) || sk || chr(31) || u) AS hs
+        FROM uu
+      )
+      SELECT n, sk, u,
+             substr(hs, 1, 8) || '-' || substr(hs, 9, 4) || '-'
+               || substr(hs, 13, 4) || '-' || substr(hs, 17, 4) || '-'
+               || substr(hs, 21, 12) AS su,
+             '2026' AS y
+      FROM s
     """

@@ -2580,3 +2580,87 @@ def test_construct_where_rejects_non_bgp(quads):
         sparql_construct(
             quads, "CONSTRUCT WHERE { GRAPH <g1> { [] <knows> ?y } }"
         )
+
+
+# --- nondeterministic generators: BNODE / RAND / UUID / STRUUID / NOW -------
+
+
+def test_ndet_generators(quads, monkeypatch):
+    monkeypatch.setenv("RIFY_SPARQL_NOW", "2026-08-20T12:00:00Z")
+    q = """
+      SELECT ?x ?b1 ?b2 ?ba ?r ?u ?su ?n WHERE {
+        GRAPH <g1> { ?x <knows> ?y }
+        BIND(BNODE() AS ?b1) BIND(BNODE() AS ?b2)
+        BIND(BNODE(?x) AS ?ba)
+        BIND(RAND() AS ?r) BIND(UUID() AS ?u) BIND(STRUUID() AS ?su)
+        BIND(NOW() AS ?n)
+      } ORDER BY ?x
+    """
+    rows = sparql_select(quads, q).collect()
+    assert len(rows) >= 2
+    a = rows[0]
+    # two call sites -> distinct nodes; per-solution distinct too
+    assert a["b1"] != a["b2"] != rows[1]["b1"]
+    assert a["b1"].startswith("_:") and a["ba"].startswith("_:")
+    # RAND: a double lexeme in [0, 1), varying per solution
+    assert 0.0 <= float(a["r"]) < 1.0 and a["r"] != rows[1]["r"]
+    # UUID an IRI in the urn:uuid scheme, STRUUID the bare 36-char form
+    assert a["u"].startswith("urn:uuid:") and len(a["su"]) == 36
+    assert a["u"] != rows[1]["u"] and a["su"] != rows[1]["su"]
+    # NOW: one fixed xsd:dateTime literal for the whole execution
+    assert a["n"] == (
+        '"2026-08-20T12:00:00Z"'
+        "^^<http://www.w3.org/2001/XMLSchema#dateTime>"
+    )
+    assert a["n"] == rows[1]["n"]
+    # determinism: the whole result reproduces bit-for-bit
+    assert [tuple(r) for r in sparql_select(quads, q).collect()] == [
+        tuple(r) for r in rows
+    ]
+
+
+def test_bnode_argument_skolemization(quads):
+    # §17.4.2.9: the same argument maps to the same node at every call
+    # site (documented: across solutions too — deterministic skolem)
+    q = """
+      SELECT ?x ?m1 ?m2 WHERE {
+        GRAPH <g1> { ?x <knows> ?y }
+        BIND(BNODE(?x) AS ?m1) BIND(BNODE(CONCAT(?x, "")) AS ?m2)
+      }
+    """
+    for r in sparql_select(quads, q).collect():
+        assert r["m1"] == r["m2"]
+    # an errored argument propagates (unbound target), spec §10.1
+    q2 = """
+      SELECT ?x ?m WHERE {
+        GRAPH <g1> { ?x <knows> ?y }
+        BIND(BNODE(YEAR(?x)) AS ?m)
+      }
+    """
+    assert all(
+        r["m"] is None for r in sparql_select(quads, q2).collect()
+    )
+
+
+def test_ndet_in_select_expressions(quads, monkeypatch):
+    monkeypatch.setenv("RIFY_SPARQL_NOW", "2026-08-20T12:00:00Z")
+    # the family routes through SELECT projection items, composes with
+    # other scalar functions, and NOW() feeds the dateTime accessors
+    q = """
+      SELECT (BNODE(?x) AS ?sk) (STRLEN(STRUUID()) AS ?len)
+             (YEAR(NOW()) AS ?yr)
+      WHERE { GRAPH <g1> { ?x <knows> ?y } }
+    """
+    for r in sparql_select(quads, q).collect():
+        assert r["sk"].startswith("_:")
+        assert r["len"] == "36" and r["yr"] == "2026"
+
+
+def test_ndet_error_contract(quads):
+    for bad in [
+        "SELECT (RAND(?x) AS ?r) WHERE { GRAPH <g1> { ?x <knows> ?y } }",
+        "SELECT (UUID(?x) AS ?u) WHERE { GRAPH <g1> { ?x <knows> ?y } }",
+        "SELECT (NOW(?x) AS ?n) WHERE { GRAPH <g1> { ?x <knows> ?y } }",
+    ]:
+        with pytest.raises(SparqlParseError):
+            sparql_select(quads, bad).collect()
