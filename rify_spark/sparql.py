@@ -497,7 +497,14 @@ class ENdet:
     duplicate solutions coincide (moot under the engine's set
     semantics). ``BNODE(expr)`` follows §17.4.2.9: the same argument
     within one solution maps to the same node across call sites (the
-    site ordinal is omitted; the argument lexeme joins the basis).
+    site ordinal is omitted; the node is keyed by the argument's STR
+    projection alone). Two documented lenience points on the argument:
+    the spec restricts it to simple/xsd:string literals, but under the
+    raw-lexeme convention bare terms are indistinguishable from IRIs,
+    so any term with a STR projection is accepted (the same lenience
+    ``STR`` itself has; blank-node arguments still error); and keying
+    on the argument alone means equal arguments in DIFFERENT solutions
+    share the node — deterministic skolemization.
     ``NOW()`` never builds this node — it is a parse-time constant (one
     fixed ``xsd:dateTime`` for the whole query execution, §17.4.5.1),
     overridable via the ``RIFY_SPARQL_NOW`` environment variable for
@@ -1129,6 +1136,12 @@ class _Parser:
         child.toks = self.toks
         child.i = self.i
         child.prefixes = self.prefixes
+        # query-execution-scoped generator state is SHARED with the
+        # child: the ENdet call-site counter keeps sibling-subquery
+        # UUID()/BNODE() streams distinct, and NOW() stays one fixed
+        # instant across every scope (spec §17.4.5.1)
+        child._ndet_site = self._ndet_site
+        child._now_lex = self._now_lex
         child.select_query()
         if child.dataset_from or child.dataset_named:
             raise SparqlParseError(
@@ -1136,6 +1149,9 @@ class _Parser:
                 "in a subquery"
             )
         self.i = child.i
+        self._ndet_site = child._ndet_site
+        if self._now_lex is None:
+            self._now_lex = child._now_lex
         self.expect("}")
         return SubSelect(child)
 
@@ -2024,9 +2040,6 @@ def _scalar_column(expr, bound: set, maybe: set, colf=F.col):
             # deterministic instance of the spec's nondeterministic
             # generators (see ENdet): md5 over (call-site | argument,
             # bindings in sorted-variable order)
-            basis = [
-                F.coalesce(colf(n), F.lit("\x00")) for n in sorted(bound)
-            ]
             if e.arg is not None:
                 # BNODE(expr), §17.4.2.9: the node is a function of the
                 # argument ALONE — same literal -> same node at every
@@ -2045,6 +2058,9 @@ def _scalar_column(expr, bound: set, maybe: set, colf=F.col):
                 return F.when(
                     a.isNotNull(), F.concat(F.lit("_:"), h)
                 )
+            basis = [
+                F.coalesce(colf(n), F.lit("\x00")) for n in sorted(bound)
+            ]
             h = F.md5(
                 F.concat_ws(
                     "\x1f", F.lit(f"{e.name}#{e.site}"), *basis

@@ -2664,3 +2664,23 @@ def test_ndet_error_contract(quads):
     ]:
         with pytest.raises(SparqlParseError):
             sparql_select(quads, bad).collect()
+
+
+def test_ndet_state_shared_across_subquery_scopes(quads, monkeypatch):
+    monkeypatch.setenv("RIFY_SPARQL_NOW", "2026-08-20T12:00:00Z")
+    # sibling subqueries continue ONE call-site stream: their UUID()
+    # calls are different sites, never colliding mints; and NOW() is
+    # one instant in every scope (spec §17.4.5.1)
+    q = """
+      SELECT ?x ?u ?v ?t1 ?t2 WHERE {
+        BIND(NOW() AS ?t1)
+        { SELECT ?x (UUID() AS ?u) WHERE { GRAPH <g1> { ?x <knows> ?o } } }
+        { SELECT ?x (UUID() AS ?v) (NOW() AS ?t2)
+          WHERE { GRAPH <g1> { ?x <knows> ?o } } }
+      }
+    """
+    rows = sparql_select(quads, q).collect()
+    assert rows
+    for r in rows:
+        assert r["u"] != r["v"]
+        assert r["t1"] == r["t2"]
