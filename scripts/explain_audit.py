@@ -839,6 +839,46 @@ def main() -> None:
         )
     )
 
+    from rify_spark.sparql import sparql_ndet_gate
+    from rify_spark.update import sparql_update_bnode_gate
+
+    nd_df = sparql_ndet_gate(spark, SF_DIR)
+    nd_df.collect()
+    nd_exec = nd_df._jdf.queryExecution().executedPlan().toString()
+    sections.append(("sparql_ndet", nd_exec[:4000]))
+    checks.append(
+        (
+            "sparql_ndet",
+            "BNODE/UUID/STRUUID mints are pure JVM md5 projections — "
+            "no Python eval, no exchange beyond the pattern match, "
+            "whole-stage codegen",
+            not re.search(
+                r"(BatchEvalPython|ArrowEvalPython|CartesianProduct)",
+                nd_exec,
+            )
+            and "md5" in nd_exec
+            and nd_exec.count("Exchange") <= 2,
+        )
+    )
+
+    ub_df = sparql_update_bnode_gate(spark, SF_DIR)
+    ub_df.collect()
+    ub_exec = ub_df._jdf.queryExecution().executedPlan().toString()
+    sections.append(("sparql_update_bnodes", ub_exec[:4000]))
+    checks.append(
+        (
+            "sparql_update_bnodes",
+            "INSERT-template bnode mints ride the head projection as "
+            "JVM md5 expressions; the DATA mint is a driver constant — "
+            "no Python eval, no cartesian",
+            not re.search(
+                r"(BatchEvalPython|ArrowEvalPython|CartesianProduct)",
+                ub_exec,
+            )
+            and "md5" in ub_exec,
+        )
+    )
+
     lines = ["# PLANS — physical-plan audit", ""]
     lines.append("| query | property | status |")
     lines.append("|---|---|---|")
