@@ -681,6 +681,12 @@ def _q_sparql_update_load(spark, sf_dir):
     return sparql_update_load_gate(spark, sf_dir)
 
 
+def _q_rdf_trig_format(spark, sf_dir):
+    from rify_spark.rdf import rdf_trig_format
+
+    return rdf_trig_format(spark, sf_dir)
+
+
 def _q_sparql_ndet(spark, sf_dir):
     from rify_spark.sparql import sparql_ndet_gate
 
@@ -886,6 +892,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_update_bnodes": _q_sparql_update_bnodes,
         # BNODE()/UUID()/STRUUID()/NOW() deterministic generators
         "sparql_ndet": _q_sparql_ndet,
+        # subject-grouped TriG serialization (one-shuffle distributed writer)
+        "rdf_trig_format": _q_rdf_trig_format,
         # CONSTRUCT-template blank nodes (fresh per solution)
         "sparql_construct_bnode": _q_sparql_construct_bnode,
         "sparql_construct_skip": _q_sparql_construct_skip,
@@ -997,6 +1005,12 @@ def _sparql_sql(fn_name: str) -> str:
     return getattr(sparql_mod, fn_name)()
 
 
+def _rdf_sql(fn_name: str) -> str:
+    from rify_spark import rdf as rdf_mod
+
+    return getattr(rdf_mod, fn_name)()
+
+
 def _update_sql() -> str:
     from rify_spark.update import sparql_update_sql
 
@@ -1106,6 +1120,7 @@ def oracle_sql() -> dict[str, str]:
         "sparql_update_load": _update_load_sql(),
         "sparql_update_bnodes": _update_bnode_sql(),
         "sparql_ndet": _sparql_sql("sparql_ndet_sql"),
+        "rdf_trig_format": _rdf_sql("rdf_trig_format_sql"),
         "sparql_construct_bnode": _sparql_sql("sparql_construct_bnode_sql"),
         "sparql_construct_skip": _sparql_sql("sparql_construct_skip_sql"),
         "sparql_agg_expr": _sparql_sql("sparql_agg_expr_sql"),

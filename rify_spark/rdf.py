@@ -234,3 +234,125 @@ def rdf_nquads_roundtrip_sql() -> str:
     from .ops.quads import TREE_EDGES_SQL
 
     return TREE_EDGES_SQL
+
+
+# --- Turtle / TriG serialization --------------------------------------------
+
+
+def format_turtle(quads: DataFrame, trig: bool = False) -> DataFrame:
+    """Serialize engine quads as subject-grouped Turtle (or TriG)
+    ``line``s — ``<s> <p1> <o1> ; <p2> <o2> .``, one line per
+    ``(graph, subject)`` group, predicate-object pairs sorted for
+    determinism.
+
+    Turtle has no graph slot, so plain Turtle output is the TRIPLES
+    projection (the ``g`` column is dropped — callers wanting graphs use
+    ``trig=True``). TriG output wraps each non-default-graph group in
+    its own ``<g> { ... }`` block; a graph label may appear in any
+    number of blocks (the TriG data model unions them), which is what
+    makes the serializer embarrassingly parallel — no graph has to be
+    assembled on one executor, so a 100 TB store writes as fast as its
+    one groupBy shuffle.
+
+    Same term contract as :func:`format_nquads` (documented there):
+    terms must be IRI-safe engine lexemes.
+
+    Plan shape: ONE partial-aggregating exchange (groupBy g,s +
+    collect_list), then pure JVM array/concat expressions under
+    whole-stage codegen.
+    """
+    keys = ["g", "s"] if trig else ["s"]
+    src = quads if trig else quads.select("s", "p", "o").dropDuplicates()
+    grouped = src.groupBy(*keys).agg(
+        F.array_sort(F.collect_list(F.struct("p", "o"))).alias("po")
+    )
+    body = F.concat(
+        F.lit("<"),
+        F.col("s"),
+        F.lit("> "),
+        F.array_join(
+            F.transform(
+                "po",
+                lambda x: F.concat(
+                    F.lit("<"), x["p"], F.lit("> <"), x["o"], F.lit(">")
+                ),
+            ),
+            " ; ",
+        ),
+        F.lit(" ."),
+    )
+    if not trig:
+        return grouped.select(body.alias("line"))
+    line = F.when(F.col("g") == DEFAULT_GRAPH, body).otherwise(
+        F.concat(F.lit("<"), F.col("g"), F.lit("> { "), body, F.lit(" }"))
+    )
+    return grouped.select(line.alias("line"))
+
+
+def write_turtle(quads: DataFrame, path: str, mode: str = "overwrite") -> None:
+    format_turtle(quads).write.mode(mode).text(path)
+
+
+def write_trig(quads: DataFrame, path: str, mode: str = "overwrite") -> None:
+    format_turtle(quads, trig=True).write.mode(mode).text(path)
+
+
+def rdf_trig_format(spark, sf_dir: str) -> DataFrame:
+    """Gate query: TriG serialization of a two-graph nation-derived
+    store — subject-grouped blocks with sorted predicate lists; the
+    oracle reproduces every line with ``string_agg`` over the same
+    grouping."""
+    nation = spark.read.parquet(f"{sf_dir.rstrip('/')}/nation.parquet")
+    quads = nation.select(
+        F.concat(F.lit("nation:"), F.col("n_nationkey")).alias("s"),
+        F.lit("in_region").alias("p"),
+        F.concat(F.lit("region:"), F.col("n_regionkey")).alias("o"),
+        F.concat(F.lit("graph://"), F.col("n_nationkey") % 2).alias("g"),
+    ).unionByName(
+        nation.select(
+            F.concat(F.lit("nation:"), F.col("n_nationkey")).alias("s"),
+            F.lit("label").alias("p"),
+            F.concat(F.lit("name:"), F.col("n_name")).alias("o"),
+            F.concat(
+                F.lit("graph://"), F.col("n_nationkey") % 2
+            ).alias("g"),
+        )
+    ).unionByName(
+        nation.orderBy("n_nationkey").limit(3).select(
+            F.concat(F.lit("nation:"), F.col("n_nationkey")).alias("s"),
+            F.lit("seen").alias("p"),
+            F.lit("true").alias("o"),
+            F.lit(DEFAULT_GRAPH).alias("g"),
+        )
+    )
+    return format_turtle(quads, trig=True)
+
+
+def rdf_trig_format_sql() -> str:
+    return """
+      WITH q AS (
+        SELECT 'nation:' || n_nationkey AS s, 'in_region' AS p,
+               'region:' || n_regionkey AS o,
+               'graph://' || (n_nationkey % 2) AS g
+        FROM nation
+        UNION ALL
+        SELECT 'nation:' || n_nationkey, 'label', 'name:' || n_name,
+               'graph://' || (n_nationkey % 2)
+        FROM nation
+        UNION ALL
+        SELECT * FROM (
+          SELECT 'nation:' || n_nationkey AS s, 'seen' AS p,
+                 'true' AS o, 'default_graph' AS g
+          FROM nation ORDER BY n_nationkey LIMIT 3
+        )
+      ), grp AS (
+        SELECT g, s,
+               '<' || s || '> ' ||
+               string_agg('<' || p || '> <' || o || '>', ' ; '
+                          ORDER BY p, o) || ' .' AS body
+        FROM q GROUP BY g, s
+      )
+      SELECT CASE WHEN g = 'default_graph' THEN body
+                  ELSE '<' || g || '> { ' || body || ' }' END AS line
+      FROM grp
+    """

@@ -128,3 +128,94 @@ def test_serializer_line_shape(spark):
         )
     ).head().line
     assert line == "<a> <b> <c> <g> ."
+
+
+# --- Turtle / TriG serialization --------------------------------------------
+
+
+def _parse_turtle_subset(lines, default_g="default_graph"):
+    """Independent driver-side reading of the serializer's subset —
+    ``[<g> {] <s> <p1> <o1> ; <p2> <o2> . [}]`` — back to a quad set."""
+    import re
+
+    quads = set()
+    for ln in lines:
+        g = default_g
+        m = re.fullmatch(r"<([^<>]*)> \{ (.*) \}", ln)
+        if m:
+            g, ln = m.group(1), m.group(2)
+        m = re.fullmatch(r"<([^<>]*)> (.*) \.", ln)
+        assert m, ln
+        s, rest = m.group(1), m.group(2)
+        for pair in rest.split(" ; "):
+            pm = re.fullmatch(r"<([^<>]*)> <([^<>]*)>", pair)
+            assert pm, pair
+            quads.add((s, pm.group(1), pm.group(2), g))
+    return quads
+
+
+def test_trig_roundtrips_the_quad_set(spark):
+    from rify_spark.rdf import format_turtle
+
+    rows = [
+        ("a", "p", "x", "default_graph"),
+        ("a", "q", "y", "default_graph"),
+        ("a", "p", "x", "g1"),
+        ("b", "p", "z", "g1"),
+        ("b", "p", "w", "g1"),
+    ]
+    df = spark.createDataFrame(rows, "s string, p string, o string, g string")
+    lines = [r[0] for r in format_turtle(df, trig=True).collect()]
+    # one line per (graph, subject) group
+    assert len(lines) == 3
+    assert _parse_turtle_subset(lines) == set(rows)
+    # predicate-object pairs are sorted inside a group (determinism)
+    (bline,) = [ln for ln in lines if ln.startswith("<g1> { <b>")]
+    assert bline == "<g1> { <b> <p> <w> ; <p> <z> . }"
+
+
+def test_turtle_is_the_deduplicated_triples_projection(spark):
+    from rify_spark.rdf import format_turtle
+
+    df = spark.createDataFrame(
+        [("a", "p", "x", "g1"), ("a", "p", "x", "g2"), ("a", "q", "y", "g1")],
+        "s string, p string, o string, g string",
+    )
+    lines = [r[0] for r in format_turtle(df).collect()]
+    # the same triple in two graphs serializes once; no graph blocks
+    assert lines == ["<a> <p> <x> ; <q> <y> ."]
+
+
+def test_write_turtle_and_trig(spark, tmp_path):
+    from rify_spark.rdf import write_trig, write_turtle
+
+    df = spark.createDataFrame(
+        [("a", "p", "x", "g1"), ("b", "p", "y", "default_graph")],
+        "s string, p string, o string, g string",
+    )
+    write_turtle(df, str(tmp_path / "t"))
+    write_trig(df, str(tmp_path / "q"))
+    ttl = set(
+        r[0] for r in spark.read.text(str(tmp_path / "t")).collect()
+    )
+    trig = set(
+        r[0] for r in spark.read.text(str(tmp_path / "q")).collect()
+    )
+    assert ttl == {"<a> <p> <x> .", "<b> <p> <y> ."}
+    assert trig == {"<g1> { <a> <p> <x> . }", "<b> <p> <y> ."}
+
+
+def test_turtle_plan_is_one_exchange_jvm_only(spark):
+    from rify_spark.rdf import format_turtle
+
+    df = spark.createDataFrame(
+        [("a", "p", "x", "g1")], "s string, p string, o string, g string"
+    )
+    plan = (
+        format_turtle(df, trig=True)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Python" not in plan
+    assert plan.count("Exchange") <= 1
