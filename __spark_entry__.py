@@ -687,6 +687,12 @@ def _q_rdf_trig_format(spark, sf_dir):
     return rdf_trig_format(spark, sf_dir)
 
 
+def _q_rdf_trig_roundtrip(spark, sf_dir):
+    from rify_spark.rdf import rdf_trig_roundtrip
+
+    return rdf_trig_roundtrip(spark, sf_dir)
+
+
 def _q_sparql_ndet(spark, sf_dir):
     from rify_spark.sparql import sparql_ndet_gate
 
@@ -894,6 +900,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_ndet": _q_sparql_ndet,
         # subject-grouped TriG serialization (one-shuffle distributed writer)
         "rdf_trig_format": _q_rdf_trig_format,
+        # TriG write -> distributed subset reader -> exact quad set
+        "rdf_trig_roundtrip": _q_rdf_trig_roundtrip,
         # CONSTRUCT-template blank nodes (fresh per solution)
         "sparql_construct_bnode": _q_sparql_construct_bnode,
         "sparql_construct_skip": _q_sparql_construct_skip,
@@ -1121,6 +1129,7 @@ def oracle_sql() -> dict[str, str]:
         "sparql_update_bnodes": _update_bnode_sql(),
         "sparql_ndet": _sparql_sql("sparql_ndet_sql"),
         "rdf_trig_format": _rdf_sql("rdf_trig_format_sql"),
+        "rdf_trig_roundtrip": _rdf_sql("rdf_trig_roundtrip_sql"),
         "sparql_construct_bnode": _sparql_sql("sparql_construct_bnode_sql"),
         "sparql_construct_skip": _sparql_sql("sparql_construct_skip_sql"),
         "sparql_agg_expr": _sparql_sql("sparql_agg_expr_sql"),

@@ -41,10 +41,16 @@ _FILE_SUFFIXES = (
 )
 # line-format RDF suffixes routed through rify_spark.rdf
 _RDF_SUFFIXES = (".nt", ".nq", ".ntriples", ".nquads")
+# subject-grouped Turtle/TriG (the format_turtle line subset)
+_TTL_SUFFIXES = (".ttl", ".trig", ".turtle")
 
 
 def _is_rdf_path(ref: str) -> bool:
     return ref.rstrip("/").lower().endswith(_RDF_SUFFIXES)
+
+
+def _is_ttl_path(ref: str) -> bool:
+    return ref.rstrip("/").lower().endswith(_TTL_SUFFIXES)
 
 
 def iceberg_available(spark: SparkSession) -> bool:
@@ -105,6 +111,10 @@ def read_table(spark: SparkSession, ref: str) -> DataFrame:
         from .rdf import read_nquads
 
         return read_nquads(spark, ref)
+    if _is_ttl_path(ref):
+        from .rdf import read_turtle
+
+        return read_turtle(spark, ref)
     if _is_iceberg_dir(spark, ref):
         if not iceberg_available(spark):
             raise RuntimeError(
@@ -134,5 +144,13 @@ def write_table(df: DataFrame, ref: str, mode: str = "overwrite") -> None:
         from .rdf import write_nquads
 
         write_nquads(df, ref, mode=mode)
+        return
+    if _is_ttl_path(ref):
+        from .rdf import write_trig, write_turtle
+
+        if ref.rstrip("/").lower().endswith(".trig"):
+            write_trig(df, ref, mode=mode)
+        else:
+            write_turtle(df, ref, mode=mode)
         return
     df.write.mode(mode).parquet(ref)

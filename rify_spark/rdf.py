@@ -356,3 +356,102 @@ def rdf_trig_format_sql() -> str:
                   ELSE '<' || g || '> { ' || body || ' }' END AS line
       FROM grp
     """
+
+
+# the serializer's line grammar: optional '<g> { ... }' wrapper, then
+# '<s> <p1> <o1> ; <p2> <o2> .' — one statement group per line
+_TTL_LINE_RE = (
+    r'^(?:<([^<>]*)> \{ )?'      # optional TriG graph wrapper
+    r'<([^<>]*)> '               # subject
+    r'(<[^<>]*> <[^<>]*>'        # first predicate-object pair
+    r'(?: ; <[^<>]*> <[^<>]*>)*)'  # '; '-chained further pairs
+    r' \.(?: \})?$'
+)
+_TTL_PAIR_RE = r'^<([^<>]*)> <([^<>]*)>$'
+
+
+def parse_turtle(
+    lines: DataFrame,
+    col: str = "value",
+    default_graph: str = DEFAULT_GRAPH,
+) -> DataFrame:
+    """Parse the line-oriented Turtle/TriG SUBSET :func:`format_turtle`
+    emits back to quads ``(s, p, o, g, malformed)`` — the write side's
+    exact inverse, so ``.ttl``/``.trig`` round-trips through
+    ``io.read_table`` like ``.nq`` does. General Turtle (multi-line
+    statements, prefixes, literals) is out of scope by design: a
+    distributed line reader needs statement-per-line framing, which is
+    what the writer guarantees. All pure JVM: one regexp gate per line,
+    a ``split`` + ``explode`` over the pair chain, one regexp per pair;
+    comments/blank lines drop, anything else quarantines with
+    ``malformed = true`` (the :func:`parse_nquads` contract)."""
+    c = F.col(col)
+    kept = lines.filter(
+        (F.length(F.trim(c)) > 0) & ~F.trim(c).startswith("#")
+    )
+    parsed = kept.select(
+        c.rlike(_TTL_LINE_RE).alias("_ok"),
+        F.regexp_extract(c, _TTL_LINE_RE, 1).alias("_g"),
+        F.regexp_extract(c, _TTL_LINE_RE, 2).alias("s"),
+        F.regexp_extract(c, _TTL_LINE_RE, 3).alias("_pairs"),
+    )
+    ok = parsed.filter(F.col("_ok")).select(
+        F.col("s"),
+        F.explode(F.split("_pairs", " ; ")).alias("_po"),
+        F.when(F.col("_g") == "", F.lit(default_graph))
+        .otherwise(F.col("_g"))
+        .alias("g"),
+    ).select(
+        "s",
+        F.regexp_extract("_po", _TTL_PAIR_RE, 1).alias("p"),
+        F.regexp_extract("_po", _TTL_PAIR_RE, 2).alias("o"),
+        "g",
+        F.lit(False).alias("malformed"),
+    )
+    bad = parsed.filter(~F.col("_ok")).select(
+        F.lit(None).cast("string").alias("s"),
+        F.lit(None).cast("string").alias("p"),
+        F.lit(None).cast("string").alias("o"),
+        F.lit(None).cast("string").alias("g"),
+        F.lit(True).alias("malformed"),
+    )
+    return ok.unionByName(bad)
+
+
+def read_turtle(
+    spark, path: str, default_graph: str = DEFAULT_GRAPH
+) -> DataFrame:
+    """``spark.read.text`` + :func:`parse_turtle` — the text source
+    splits on line boundaries, so one large ``.ttl``/``.trig`` document
+    still parallelizes (the :func:`read_nquads` property)."""
+    return parse_turtle(
+        spark.read.text(path), "value", default_graph=default_graph
+    )
+
+
+def rdf_trig_roundtrip(spark, sf_dir: str) -> DataFrame:
+    """Gate query: the two-graph nation store through format_turtle
+    (TriG) and parse_turtle — must reproduce the quad set exactly
+    (oracle: the store derivation itself)."""
+    lines = rdf_trig_format(spark, sf_dir)
+    parsed = parse_turtle(lines, "line")
+    return parsed.filter(~F.col("malformed")).select("s", "p", "o", "g")
+
+
+def rdf_trig_roundtrip_sql() -> str:
+    return """
+      SELECT 'nation:' || n_nationkey AS s, 'in_region' AS p,
+             'region:' || n_regionkey AS o,
+             'graph://' || (n_nationkey % 2) AS g
+      FROM nation
+      UNION ALL
+      SELECT 'nation:' || n_nationkey, 'label', 'name:' || n_name,
+             'graph://' || (n_nationkey % 2)
+      FROM nation
+      UNION ALL
+      SELECT * FROM (
+        SELECT 'nation:' || n_nationkey AS s, 'seen' AS p,
+               'true' AS o, 'default_graph' AS g
+        FROM nation ORDER BY n_nationkey LIMIT 3
+      )
+    """

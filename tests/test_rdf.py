@@ -219,3 +219,67 @@ def test_turtle_plan_is_one_exchange_jvm_only(spark):
     )
     assert "Python" not in plan
     assert plan.count("Exchange") <= 1
+
+
+def test_parse_turtle_subset_inverse(spark):
+    from rify_spark.rdf import format_turtle, parse_turtle
+
+    rows = [
+        ("a", "p", "x", "default_graph"),
+        ("a", "q", "y", "default_graph"),
+        ("a", "p", "x", "g1"),
+        ("b", "p", "z", "g1"),
+    ]
+    df = spark.createDataFrame(rows, "s string, p string, o string, g string")
+    back = parse_turtle(format_turtle(df, trig=True), "line")
+    got = {
+        tuple(r)[:4]
+        for r in back.filter(~F.col("malformed")).collect()
+    }
+    assert got == set(rows)
+
+
+def test_parse_turtle_quarantines_malformed(spark):
+    from rify_spark.rdf import parse_turtle
+
+    lines = spark.createDataFrame(
+        [
+            ("<a> <p> <x> ; <q> <y> .",),
+            ("<g1> { <b> <p> <z> . }",),
+            ("# comment",),
+            ("",),
+            ("<a> <p> junk .",),
+            ("no brackets at all",),
+        ],
+        "value string",
+    )
+    out = parse_turtle(lines).collect()
+    good = [tuple(r)[:4] for r in out if not r["malformed"]]
+    assert sorted(good) == [
+        ("a", "p", "x", "default_graph"),
+        ("a", "q", "y", "default_graph"),
+        ("b", "p", "z", "g1"),
+    ]
+    assert sum(1 for r in out if r["malformed"]) == 2
+
+
+def test_io_routes_ttl_and_trig(spark, tmp_path):
+    df = spark.createDataFrame(
+        [("a", "p", "x", "g1"), ("b", "q", "y", "default_graph")],
+        "s string, p string, o string, g string",
+    )
+    trig = str(tmp_path / "store.trig")
+    ttl = str(tmp_path / "store.ttl")
+    rio.write_table(df, trig)
+    rio.write_table(df, ttl)
+    back = rio.read_table(spark, trig)
+    got = {
+        tuple(r)[:4]
+        for r in back.filter(~F.col("malformed")).collect()
+    }
+    assert got == {tuple(r) for r in df.collect()}
+    # .ttl drops the graph slot (triples projection), reads to default
+    t = rio.read_table(spark, ttl).filter(~F.col("malformed"))
+    assert {tuple(r)[:3] for r in t.collect()} == {
+        ("a", "p", "x"), ("b", "q", "y")
+    }
