@@ -681,6 +681,12 @@ def _q_sparql_update_load(spark, sf_dir):
     return sparql_update_load_gate(spark, sf_dir)
 
 
+def _q_graph_bfs(spark, sf_dir):
+    from rify_spark.ops.graph import graph_bfs_levels
+
+    return graph_bfs_levels(spark, sf_dir)
+
+
 def _q_rdf_trig_format(spark, sf_dir):
     from rify_spark.rdf import rdf_trig_format
 
@@ -898,6 +904,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_update_bnodes": _q_sparql_update_bnodes,
         # BNODE()/UUID()/STRUUID()/NOW() deterministic generators
         "sparql_ndet": _q_sparql_ndet,
+        # frontier BFS hop distances (semi-naive, recursive-CTE oracle)
+        "graph_bfs_levels": _q_graph_bfs,
         # subject-grouped TriG serialization (one-shuffle distributed writer)
         "rdf_trig_format": _q_rdf_trig_format,
         # TriG write -> distributed subset reader -> exact quad set
@@ -1128,6 +1136,7 @@ def oracle_sql() -> dict[str, str]:
         "sparql_update_load": _update_load_sql(),
         "sparql_update_bnodes": _update_bnode_sql(),
         "sparql_ndet": _sparql_sql("sparql_ndet_sql"),
+        "graph_bfs_levels": graph.graph_bfs_levels_sql(),
         "rdf_trig_format": _rdf_sql("rdf_trig_format_sql"),
         "rdf_trig_roundtrip": _rdf_sql("rdf_trig_roundtrip_sql"),
         "sparql_construct_bnode": _sparql_sql("sparql_construct_bnode_sql"),

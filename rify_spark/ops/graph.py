@@ -396,3 +396,94 @@ def graph_triangles_sql() -> str:
         UNION ALL SELECT c FROM tris
       ) GROUP BY node
     """
+
+
+# --- BFS hop distances -------------------------------------------------------
+
+BFS_MAX_ITER = 64
+
+
+def bfs_levels(
+    edges: DataFrame, sources: DataFrame, max_iter: int = BFS_MAX_ITER
+) -> DataFrame:
+    """Minimum hop distance from a source set over a directed ``(s, o)``
+    edge table -> ``(node, dist)`` (unreached nodes are absent).
+
+    Classic frontier BFS as a semi-naive fixpoint — the same shape as the
+    rule engine's delta loop (infer.py), specialized to one relation:
+
+      * the edge table is hash-partitioned on the join key ``s`` and
+        cache-materialized ONCE; each iteration exchanges only the
+        frontier (and the dedup/anti stages), never the 100-TB edge set;
+      * per iteration: frontier ⋈ edges -> candidate neighbors,
+        dropDuplicates (first exchange), anti-join against the visited
+        set (second) — candidates carry ``dist = d`` so no per-row
+        arithmetic rides the join;
+      * each new level is ``localCheckpoint``-truncated, so plan depth
+        stays constant as levels accumulate (the lazy-checkpoint lesson
+        from the fixpoint loop);
+      * termination: empty frontier, or the ``max_iter`` guard (a
+        diameter bound the caller can raise — documented, shared with
+        the SQL twin's recursion cap).
+
+    The visited set grows by union-of-checkpointed-levels; the per-
+    iteration anti-join is O(visited) — the standard BFS frontier cost,
+    and the skew story is the edge table's pre-partitioning (a hot hub
+    fans out inside its own partition; AQE splits it if needed).
+    """
+    spark = edges.sparkSession
+    width = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    ed = edges.select("s", "o").repartition(width, "s").persist()
+    ed.count()
+    visited = (
+        sources.select(F.col("node"))
+        .dropDuplicates(["node"])
+        .select("node", F.lit(0).cast("long").alias("dist"))
+        .localCheckpoint()
+    )
+    frontier = visited
+    d = 0
+    while d < max_iter:
+        d += 1
+        nxt = (
+            ed.join(
+                frontier.select(F.col("node").alias("s")), "s"
+            )
+            .select(F.col("o").alias("node"))
+            .dropDuplicates(["node"])
+            .join(visited, "node", "left_anti")
+            .select("node", F.lit(d).cast("long").alias("dist"))
+            .localCheckpoint()
+        )
+        if not nxt.take(1):
+            break
+        visited = visited.unionByName(nxt)
+        frontier = nxt
+    ed.unpersist()
+    return visited
+
+
+def graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate query: hop distances from node:0 over the REVERSED
+    customer-key mesh (parent->child and prev->next), so every node is
+    reached and odd nodes shortcut through the prev chain —
+    ``dist(k) = min(dist(k//2), dist(k-1)) + 1``."""
+    rev = mesh_edges(spark, sf_dir).select(
+        F.col("o").alias("s"), F.col("s").alias("o")
+    )
+    src = spark.createDataFrame([("node:0",)], "node string")
+    return bfs_levels(rev, src)
+
+
+def graph_bfs_levels_sql() -> str:
+    return f"""
+      WITH RECURSIVE mesh AS ({MESH_EDGES_SQL}),
+      r(node, dist) AS (
+        SELECT 'node:0', CAST(0 AS BIGINT)
+        UNION
+        SELECT m.s, r.dist + 1
+        FROM r JOIN mesh m ON m.o = r.node
+        WHERE r.dist < {BFS_MAX_ITER}
+      )
+      SELECT node, MIN(dist) AS dist FROM r GROUP BY node
+    """

@@ -82,3 +82,44 @@ def test_triangle_wedges_oriented_from_low_degree(spark):
     # hub in all n, each leaf in 2 (left and right neighbor)
     assert out["hub"] == n
     assert all(out[f"l{i}"] == 2 for i in range(n))
+
+
+# --- BFS hop distances -------------------------------------------------------
+
+
+def test_bfs_levels_min_distance_and_reachability(spark):
+    from rify_spark.ops.graph import bfs_levels
+
+    # a -> b -> c -> d plus a shortcut a -> c; e is unreachable, and
+    # f -> a shows reverse edges are not followed
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("a", "c"), ("f", "a")],
+        "s string, o string",
+    )
+    src = spark.createDataFrame([("a",)], "node string")
+    got = {r["node"]: r["dist"] for r in bfs_levels(edges, src).collect()}
+    assert got == {"a": 0, "b": 1, "c": 1, "d": 2}
+
+
+def test_bfs_levels_multi_source_and_cap(spark):
+    from rify_spark.ops.graph import bfs_levels
+
+    chain = spark.createDataFrame(
+        [(f"n{i}", f"n{i+1}") for i in range(6)], "s string, o string"
+    )
+    src = spark.createDataFrame([("n0",), ("n4",)], "node string")
+    got = {
+        r["node"]: r["dist"] for r in bfs_levels(chain, src).collect()
+    }
+    # each node takes its NEAREST source
+    assert got["n5"] == 1 and got["n3"] == 3 and got["n4"] == 0
+    # the max_iter guard truncates exploration
+    capped = {
+        r["node"]: r["dist"]
+        for r in bfs_levels(
+            chain,
+            spark.createDataFrame([("n0",)], "node string"),
+            max_iter=2,
+        ).collect()
+    }
+    assert max(capped.values()) == 2 and "n3" not in capped
