@@ -879,6 +879,29 @@ def main() -> None:
         )
     )
 
+    from rify_spark.ops.graph import bfs_levels
+
+    bfs_edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("a", "c")], "s string, o string"
+    )
+    bfs_src = spark.createDataFrame([("a",)], "node string")
+    bfs_df = bfs_levels(bfs_edges, bfs_src)
+    bfs_exec = bfs_df._jdf.queryExecution().executedPlan().toString()
+    sections.append(("graph_bfs_levels", bfs_exec[:4000]))
+    checks.append(
+        (
+            "graph_bfs_levels",
+            "BFS result is localCheckpoint-truncated level blocks — "
+            "constant-depth plan (scan/union only), no Python eval, "
+            "no cartesian, no join replay in the RESULT plan",
+            not re.search(
+                r"(BatchEvalPython|ArrowEvalPython|CartesianProduct|"
+                r"Join)",
+                bfs_exec,
+            ),
+        )
+    )
+
     lines = ["# PLANS — physical-plan audit", ""]
     lines.append("| query | property | status |")
     lines.append("|---|---|---|")
