@@ -53,6 +53,10 @@ def _is_ttl_path(ref: str) -> bool:
     return ref.rstrip("/").lower().endswith(_TTL_SUFFIXES)
 
 
+def _is_trig_path(ref: str) -> bool:
+    return ref.rstrip("/").lower().endswith(".trig")
+
+
 def iceberg_available(spark: SparkSession) -> bool:
     """True when the Iceberg runtime is loadable by SPARK's classloader —
     jars added via spark.jars/--packages live in Spark's
@@ -148,9 +152,7 @@ def write_table(df: DataFrame, ref: str, mode: str = "overwrite") -> None:
     if _is_ttl_path(ref):
         from .rdf import write_trig, write_turtle
 
-        if ref.rstrip("/").lower().endswith(".trig"):
-            write_trig(df, ref, mode=mode)
-        else:
-            write_turtle(df, ref, mode=mode)
+        writer = write_trig if _is_trig_path(ref) else write_turtle
+        writer(df, ref, mode=mode)
         return
     df.write.mode(mode).parquet(ref)

@@ -433,10 +433,19 @@ def bfs_levels(
     """
     spark = edges.sparkSession
     width = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    ed = edges.select("s", "o").repartition(width, "s").persist()
+    # null endpoints (quarantined RDF rows, outer-join residue) would
+    # defeat the anti-join's visited check (null keys never match) and
+    # re-add a null node at every level — drop them up front
+    ed = (
+        edges.select("s", "o")
+        .filter(F.col("s").isNotNull() & F.col("o").isNotNull())
+        .repartition(width, "s")
+        .persist()
+    )
     ed.count()
     visited = (
         sources.select(F.col("node"))
+        .filter(F.col("node").isNotNull())
         .dropDuplicates(["node"])
         .select("node", F.lit(0).cast("long").alias("dist"))
         .localCheckpoint()

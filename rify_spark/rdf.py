@@ -255,16 +255,21 @@ def format_turtle(quads: DataFrame, trig: bool = False) -> DataFrame:
     one groupBy shuffle.
 
     Same term contract as :func:`format_nquads` (documented there):
-    terms must be IRI-safe engine lexemes.
+    terms must be IRI-safe engine lexemes. Terms containing the
+    subset's structural sequence ``" ; "`` serialize but QUARANTINE on
+    read-back (parse_turtle's pair gate) — they never silently
+    mis-split.
 
-    Plan shape: ONE partial-aggregating exchange (groupBy g,s +
-    collect_list), then pure JVM array/concat expressions under
-    whole-stage codegen.
+    Plan shape: ONE partial-aggregating exchange (groupBy the group
+    keys + collect_list; duplicates collapse INSIDE the aggregate via
+    ``array_distinct``, so neither path pays a second dedup exchange),
+    then pure JVM array/concat expressions under whole-stage codegen.
     """
     keys = ["g", "s"] if trig else ["s"]
-    src = quads if trig else quads.select("s", "p", "o").dropDuplicates()
-    grouped = src.groupBy(*keys).agg(
-        F.array_sort(F.collect_list(F.struct("p", "o"))).alias("po")
+    grouped = quads.groupBy(*keys).agg(
+        F.array_sort(
+            F.array_distinct(F.collect_list(F.struct("p", "o")))
+        ).alias("po")
     )
     body = F.concat(
         F.lit("<"),
@@ -358,15 +363,19 @@ def rdf_trig_format_sql() -> str:
     """
 
 
-# the serializer's line grammar: optional '<g> { ... }' wrapper, then
-# '<s> <p1> <o1> ; <p2> <o2> .' — one statement group per line
-_TTL_LINE_RE = (
-    r'^(?:<([^<>]*)> \{ )?'      # optional TriG graph wrapper
+# the serializer's line grammar, one statement group per line:
+# '<s> <p1> <o1> ; <p2> <o2> .', optionally wrapped in '<g> { ... }'.
+# Two anchored forms (not one optional-group regex) so an unbalanced
+# brace can never parse: the wrapper requires BOTH braces, the bare
+# form neither.
+_TTL_BODY = (
     r'<([^<>]*)> '               # subject
     r'(<[^<>]*> <[^<>]*>'        # first predicate-object pair
     r'(?: ; <[^<>]*> <[^<>]*>)*)'  # '; '-chained further pairs
-    r' \.(?: \})?$'
+    r' \.'
 )
+_TTL_TRIG_RE = r'^<([^<>]*)> \{ ' + _TTL_BODY + r' \}$'
+_TTL_BARE_RE = r'^' + _TTL_BODY + r'$'
 _TTL_PAIR_RE = r'^<([^<>]*)> <([^<>]*)>$'
 
 
@@ -381,32 +390,51 @@ def parse_turtle(
     ``io.read_table`` like ``.nq`` does. General Turtle (multi-line
     statements, prefixes, literals) is out of scope by design: a
     distributed line reader needs statement-per-line framing, which is
-    what the writer guarantees. All pure JVM: one regexp gate per line,
-    a ``split`` + ``explode`` over the pair chain, one regexp per pair;
-    comments/blank lines drop, anything else quarantines with
-    ``malformed = true`` (the :func:`parse_nquads` contract)."""
+    what the writer guarantees. All pure JVM: one regexp gate per line
+    (two anchored forms — unbalanced TriG braces quarantine), a
+    ``split`` + ``explode`` over the pair chain, one regexp GATE per
+    pair (a term containing the structural ``" ; "`` sequence makes its
+    pairs fail the pair grammar and quarantine rather than silently
+    mis-split); comments/blank lines drop, anything else quarantines
+    with ``malformed = true`` (the :func:`parse_nquads` contract). The
+    TriG wrapper's presence is decided by its own form match, so an
+    empty graph label ``<> { ... }`` keeps ``g = ""`` rather than
+    collapsing into the default graph."""
     c = F.col(col)
     kept = lines.filter(
         (F.length(F.trim(c)) > 0) & ~F.trim(c).startswith("#")
     )
+    is_trig = c.rlike(_TTL_TRIG_RE)
+    is_bare = c.rlike(_TTL_BARE_RE)
     parsed = kept.select(
-        c.rlike(_TTL_LINE_RE).alias("_ok"),
-        F.regexp_extract(c, _TTL_LINE_RE, 1).alias("_g"),
-        F.regexp_extract(c, _TTL_LINE_RE, 2).alias("s"),
-        F.regexp_extract(c, _TTL_LINE_RE, 3).alias("_pairs"),
-    )
-    ok = parsed.filter(F.col("_ok")).select(
-        F.col("s"),
-        F.explode(F.split("_pairs", " ; ")).alias("_po"),
-        F.when(F.col("_g") == "", F.lit(default_graph))
-        .otherwise(F.col("_g"))
+        (is_trig | is_bare).alias("_ok"),
+        F.when(is_trig, F.regexp_extract(c, _TTL_TRIG_RE, 2))
+        .otherwise(F.regexp_extract(c, _TTL_BARE_RE, 1))
+        .alias("s"),
+        F.when(is_trig, F.regexp_extract(c, _TTL_TRIG_RE, 3))
+        .otherwise(F.regexp_extract(c, _TTL_BARE_RE, 2))
+        .alias("_pairs"),
+        F.when(is_trig, F.regexp_extract(c, _TTL_TRIG_RE, 1))
+        .otherwise(F.lit(default_graph))
         .alias("g"),
-    ).select(
+    )
+    pairs = parsed.filter(F.col("_ok")).select(
         "s",
-        F.regexp_extract("_po", _TTL_PAIR_RE, 1).alias("p"),
-        F.regexp_extract("_po", _TTL_PAIR_RE, 2).alias("o"),
+        F.explode(F.split("_pairs", " ; ")).alias("_po"),
         "g",
-        F.lit(False).alias("malformed"),
+    )
+    ok = pairs.select(
+        F.when(F.col("_po").rlike(_TTL_PAIR_RE), F.col("s")).alias("s"),
+        F.when(
+            F.col("_po").rlike(_TTL_PAIR_RE),
+            F.regexp_extract("_po", _TTL_PAIR_RE, 1),
+        ).alias("p"),
+        F.when(
+            F.col("_po").rlike(_TTL_PAIR_RE),
+            F.regexp_extract("_po", _TTL_PAIR_RE, 2),
+        ).alias("o"),
+        F.when(F.col("_po").rlike(_TTL_PAIR_RE), F.col("g")).alias("g"),
+        (~F.col("_po").rlike(_TTL_PAIR_RE)).alias("malformed"),
     )
     bad = parsed.filter(~F.col("_ok")).select(
         F.lit(None).cast("string").alias("s"),

@@ -283,3 +283,66 @@ def test_io_routes_ttl_and_trig(spark, tmp_path):
     assert {tuple(r)[:3] for r in t.collect()} == {
         ("a", "p", "x"), ("b", "q", "y")
     }
+
+
+def test_parse_turtle_structural_edge_cases(spark):
+    from rify_spark.rdf import format_turtle, parse_turtle
+
+    # a term containing the structural ' ; ' sequence quarantines on
+    # read-back instead of silently mis-splitting into garbage quads
+    df = spark.createDataFrame(
+        [("a", "p", "x ; y", "default_graph")],
+        "s string, p string, o string, g string",
+    )
+    out = parse_turtle(format_turtle(df, trig=True), "line").collect()
+    assert all(r["malformed"] for r in out)
+    assert not any(r["p"] == "" for r in out)
+    # unbalanced TriG braces quarantine (each form needs BOTH or NEITHER)
+    lines = spark.createDataFrame(
+        [
+            ("<s> <p> <o> . }",),
+            ("<g1> { <s> <p> <o> .",),
+            ("<g1> { <s> <p> <o> . }",),
+        ],
+        "value string",
+    )
+    rows = parse_turtle(lines).collect()
+    good = [tuple(r)[:4] for r in rows if not r["malformed"]]
+    assert good == [("s", "p", "o", "g1")]
+    assert sum(1 for r in rows if r["malformed"]) == 2
+    # an empty TriG graph label stays '' (never collapses to default)
+    empt = parse_turtle(
+        spark.createDataFrame([("<> { <s> <p> <o> . }",)], "value string")
+    ).collect()
+    assert [tuple(r)[:4] for r in empt] == [("s", "p", "o", "")]
+
+
+def test_trig_dedups_inside_the_aggregate(spark):
+    from rify_spark.rdf import format_turtle
+
+    df = spark.createDataFrame(
+        [("a", "p", "x", "g1"), ("a", "p", "x", "g1"), ("a", "q", "y", "g1")],
+        "s string, p string, o string, g string",
+    )
+    lines = [r[0] for r in format_turtle(df, trig=True).collect()]
+    assert lines == ["<g1> { <a> <p> <x> ; <q> <y> . }"]
+    # and the plain-Turtle path is ONE exchange (no dedup pre-shuffle)
+    plan = (
+        format_turtle(df)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange") <= 1 and "Python" not in plan
+
+
+def test_bfs_levels_ignores_null_endpoints(spark):
+    from rify_spark.ops.graph import bfs_levels
+
+    edges = spark.createDataFrame(
+        [("a", None), ("a", "b"), ("b", None), ("b", "c")],
+        "s string, o string",
+    )
+    src = spark.createDataFrame([("a",)], "node string")
+    got = {r["node"]: r["dist"] for r in bfs_levels(edges, src).collect()}
+    assert got == {"a": 0, "b": 1, "c": 2}
