@@ -950,6 +950,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_sample_stratified": lambda s, d: sample.docs_sample_stratified(
             _docs(s, d)
         ),
+        # reproducible global training-data shuffle (distributed rank)
+        "docs_shuffle_rank": lambda s, d: sample.docs_shuffle_rank(
+            _docs(s, d)
+        ),
         # benchmark decontamination: n-gram overlap vs the derived eval set
         "docs_decontaminate": lambda s, d: decon.decontaminate(_docs(s, d)),
         "dedup_simhash": lambda s, d: dedup.simhash(_docs(s, d)),
@@ -1170,6 +1174,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_clusters": dedup.neardup_clusters_sql(),
         "docs_keep": dedup.docs_keep_sql(),
         "docs_sample_stratified": sample.docs_sample_stratified_sql(),
+        "docs_shuffle_rank": sample.docs_shuffle_rank_sql(),
         "docs_decontaminate": decon.decontaminate_sql(),
         "dedup_simhash": dedup.simhash_sql(),
         "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs_sql(),

@@ -68,3 +68,85 @@ def docs_sample_stratified_sql(
     SELECT doc_id, lang FROM {table}
     WHERE {h} < CASE lang {whens} ELSE {dflt} END
     """
+
+
+# --- deterministic global shuffle -------------------------------------------
+
+SHUFFLE_SEED_DEFAULT = "epoch0"
+
+
+def docs_shuffle_rank(
+    docs: DataFrame, seed: str = SHUFFLE_SEED_DEFAULT
+) -> DataFrame:
+    """(doc_id, shuffle_rank): a reproducible global permutation of the
+    corpus — the training-data shuffle, as a deterministic rank instead
+    of an RNG state.
+
+    The order key is ``md5(seed || ':' || doc_id)``: changing the seed
+    (e.g. per epoch) re-permutes everything; the same seed reproduces
+    the same order on any engine, partitioning, or run — the property
+    ``DataFrame.orderBy(rand())`` cannot give. Ties are impossible (the
+    key embeds the unique doc_id), so the permutation is total.
+
+    A bare ``row_number().over(Window.orderBy(key))`` would move the
+    whole corpus to ONE partition — the classic global-rank trap — so
+    the rank is computed with the distributed two-pass scheme instead:
+    range-partition by the key (Spark's sampled-quantile boundaries,
+    ascending ranges on ascending partition ids), count each partition
+    (a tiny driver-side table, one row per partition), broadcast the
+    cumulative offsets back, and add a PER-PARTITION row_number. Every
+    stage is bounded by a partition, the offsets table is O(width),
+    and the result is independent of where the sampled boundaries
+    happen to land (contiguous ranges + offsets reproduce the one
+    global order). For sharded training output, callers usually skip
+    the explicit rank and just ``orderBy(key).write...``; the rank
+    form exists so the permutation is itself a checkable, hash-exact
+    artifact.
+    """
+    from pyspark.sql import Window
+
+    spark = docs.sparkSession
+    width = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    key = F.md5(
+        F.concat(
+            F.lit(seed), F.lit(":"), F.col("doc_id").cast("string")
+        ).cast("binary")
+    )
+    ranged = (
+        docs.select("doc_id", key.alias("_k"))
+        .repartitionByRange(width, "_k")
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
+    )
+    counts = sorted(
+        (r["_pid"], r["cnt"])
+        for r in ranged.groupBy("_pid").agg(
+            F.count("*").alias("cnt")
+        ).collect()
+    )
+    offsets, acc = {}, 0
+    for pid, cnt in counts:
+        offsets[pid] = acc
+        acc += cnt
+    off = F.lit(0).cast("long")
+    for pid, base in offsets.items():
+        off = F.when(F.col("_pid") == pid, F.lit(base)).otherwise(off)
+    w = Window.partitionBy("_pid").orderBy("_k")
+    out = ranged.select(
+        "doc_id",
+        (off + F.row_number().over(w)).cast("long").alias("shuffle_rank"),
+    ).localCheckpoint()
+    ranged.unpersist()
+    return out
+
+
+def docs_shuffle_rank_sql(
+    table: str = "documents", seed: str = SHUFFLE_SEED_DEFAULT
+) -> str:
+    return f"""
+    SELECT doc_id,
+           CAST(ROW_NUMBER() OVER (
+             ORDER BY md5('{seed}' || ':' || CAST(doc_id AS VARCHAR))
+           ) AS BIGINT) AS shuffle_rank
+    FROM {table}
+    """

@@ -58,3 +58,31 @@ def test_rate_subsets_nest(spark, corpus):
     hi = {tuple(r) for r in sample.docs_sample_stratified(corpus, rates={"en": 0.6}).collect()}
     lo = {tuple(r) for r in sample.docs_sample_stratified(corpus, rates={"en": 0.3}).collect()}
     assert lo < hi
+
+
+def test_docs_shuffle_rank_is_a_reproducible_permutation(spark):
+    from rify_spark.ops.sample import docs_shuffle_rank
+
+    docs = spark.createDataFrame(
+        [(i,) for i in range(500)], "doc_id long"
+    )
+    got = {
+        r["doc_id"]: r["shuffle_rank"]
+        for r in docs_shuffle_rank(docs).collect()
+    }
+    # a bijection onto 1..n, and genuinely shuffled (not identity order)
+    assert sorted(got.values()) == list(range(1, 501))
+    assert [got[i] for i in range(500)] != list(range(1, 501))
+    # identical under re-run AND input partitioning (no RNG state)
+    again = {
+        r["doc_id"]: r["shuffle_rank"]
+        for r in docs_shuffle_rank(docs.repartition(7)).collect()
+    }
+    assert again == got
+    # a different seed is a different permutation
+    other = {
+        r["doc_id"]: r["shuffle_rank"]
+        for r in docs_shuffle_rank(docs, seed="epoch1").collect()
+    }
+    assert sorted(other.values()) == list(range(1, 501))
+    assert other != got
