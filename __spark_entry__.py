@@ -699,6 +699,12 @@ def _q_rdf_trig_roundtrip(spark, sf_dir):
     return rdf_trig_roundtrip(spark, sf_dir)
 
 
+def _q_sparql_describe_cbd(spark, sf_dir):
+    from rify_spark.sparql import sparql_describe_cbd_gate
+
+    return sparql_describe_cbd_gate(spark, sf_dir)
+
+
 def _q_sparql_ndet(spark, sf_dir):
     from rify_spark.sparql import sparql_ndet_gate
 
@@ -904,6 +910,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_update_bnodes": _q_sparql_update_bnodes,
         # BNODE()/UUID()/STRUUID()/NOW() deterministic generators
         "sparql_ndet": _q_sparql_ndet,
+        # DESCRIBE with Concise-Bounded-Description bnode closure
+        "sparql_describe_cbd": _q_sparql_describe_cbd,
         # frontier BFS hop distances (semi-naive, recursive-CTE oracle)
         "graph_bfs_levels": _q_graph_bfs,
         # subject-grouped TriG serialization (one-shuffle distributed writer)
@@ -1140,6 +1148,7 @@ def oracle_sql() -> dict[str, str]:
         "sparql_update_load": _update_load_sql(),
         "sparql_update_bnodes": _update_bnode_sql(),
         "sparql_ndet": _sparql_sql("sparql_ndet_sql"),
+        "sparql_describe_cbd": _sparql_sql("sparql_describe_cbd_sql"),
         "graph_bfs_levels": graph.graph_bfs_levels_sql(),
         "rdf_trig_format": _rdf_sql("rdf_trig_format_sql"),
         "rdf_trig_roundtrip": _rdf_sql("rdf_trig_roundtrip_sql"),

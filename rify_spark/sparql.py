@@ -3835,12 +3835,25 @@ def _template_quads(
     return out.dropDuplicates(["s", "p", "o", "g"])
 
 
-def sparql_describe(quads: DataFrame, query: str) -> DataFrame:
+def sparql_describe(
+    quads: DataFrame, query: str, *, cbd: bool = False
+) -> DataFrame:
     """DESCRIBE -> a deduplicated ``(s, p, o, g)`` quad DataFrame.
 
     The description form is implementation-defined by the spec (§16.4);
-    this engine returns the ONE-HOP FORWARD description: every quad whose
-    subject is a described resource, across all graphs. Resources are the
+    this engine returns the ONE-HOP FORWARD description by default:
+    every quad whose subject is a described resource, across all
+    graphs. ``cbd=True`` upgrades it to the Concise Bounded Description
+    (the de-facto standard form): the subject set additionally closes
+    over blank-node OBJECTS transitively — a described statement whose
+    object is a blank node pulls that node's own statements in, until
+    no new blank nodes appear. The closure is
+    :func:`rify_spark.ops.graph.bfs_levels` over the store's
+    bnode-object edges (the once-partitioned frontier fixpoint — at
+    scale the store is range-read once for the edge projection and the
+    iterations exchange only frontiers; named resources never join the
+    frontier, so the closure is bounded by bnode-chain depth, not store
+    size). Resources are the
     DESCRIBE constants plus, for ``DESCRIBE ?v WHERE {...}``, the
     distinct non-null bindings of each described variable (an unbound —
     OPTIONAL-miss — binding describes nothing). Plan shape: the resource
@@ -3879,6 +3892,16 @@ def sparql_describe(quads: DataFrame, query: str) -> DataFrame:
     for p in parts[1:]:
         resources = resources.unionByName(p)
     resources = resources.distinct()
+    if cbd:
+        from .ops.graph import bfs_levels
+
+        bnode_edges = quads.filter(
+            F.col("o").startswith("_:")
+        ).select("s", "o")
+        reached = bfs_levels(
+            bnode_edges, resources.select(F.col("r").alias("node"))
+        )
+        resources = reached.select(F.col("node").alias("r"))
     return (
         quads.select("s", "p", "o", "g")
         .join(resources, F.col("s") == F.col("r"), "left_semi")
@@ -5358,4 +5381,87 @@ def sparql_ndet_sql() -> str:
                || substr(hs, 21, 12) AS su,
              '2026' AS y
       FROM s
+    """
+
+
+# CBD DESCRIBE gate: a bnode-chain store — customer -> _:addr -> _:geo
+# -> literal fields, three hops of blank-node closure — described from
+# the region-0 customers' WHERE bindings; the oracle unrolls the fixed
+# chain depth in closed form.
+GATE_DESCRIBE_CBD = """
+  DESCRIBE ?c WHERE {
+    ?c <in_nation> ?n . ?n <in_region> <region:0>
+  }
+"""
+
+
+def _cbd_store(spark, sf_dir: str) -> DataFrame:
+    cust = spark.read.parquet(f"{sf_dir.rstrip('/')}/customer.parquet")
+    c = F.concat(F.lit("cust:"), F.col("c_custkey"))
+    nation = spark.read.parquet(f"{sf_dir.rstrip('/')}/nation.parquet")
+    dg = F.lit(DEFAULT_GRAPH)
+    return (
+        cust.select(
+            c.alias("s"), F.lit("in_nation").alias("p"),
+            F.concat(F.lit("nation:"), F.col("c_nationkey")).alias("o"),
+            dg.alias("g"),
+        )
+        .unionByName(nation.select(
+            F.concat(F.lit("nation:"), F.col("n_nationkey")).alias("s"),
+            F.lit("in_region").alias("p"),
+            F.concat(F.lit("region:"), F.col("n_regionkey")).alias("o"),
+            dg.alias("g"),
+        ))
+        .unionByName(cust.select(
+            c.alias("s"), F.lit("address").alias("p"),
+            F.concat(F.lit("_:addr"), F.col("c_custkey")).alias("o"),
+            dg.alias("g"),
+        ))
+        .unionByName(cust.select(
+            F.concat(F.lit("_:addr"), F.col("c_custkey")).alias("s"),
+            F.lit("city").alias("p"),
+            F.concat(F.lit("city:"), F.col("c_custkey") % 10).alias("o"),
+            dg.alias("g"),
+        ))
+        .unionByName(cust.select(
+            F.concat(F.lit("_:addr"), F.col("c_custkey")).alias("s"),
+            F.lit("geo").alias("p"),
+            F.concat(F.lit("_:geo"), F.col("c_custkey")).alias("o"),
+            dg.alias("g"),
+        ))
+        .unionByName(cust.select(
+            F.concat(F.lit("_:geo"), F.col("c_custkey")).alias("s"),
+            F.lit("lat").alias("p"),
+            F.concat(F.lit("lat:"), F.col("c_custkey") % 90).alias("o"),
+            dg.alias("g"),
+        ))
+    )
+
+
+def sparql_describe_cbd_gate(spark, sf_dir: str) -> DataFrame:
+    return sparql_describe(
+        _cbd_store(spark, sf_dir), GATE_DESCRIBE_CBD, cbd=True
+    )
+
+
+def sparql_describe_cbd_sql() -> str:
+    return """
+      WITH r0 AS (
+        SELECT 'cust:' || c_custkey AS r, c_custkey AS k
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        WHERE n_regionkey = 0
+      )
+      SELECT r AS s, 'in_nation' AS p,
+             'nation:' || c_nationkey AS o, 'default_graph' AS g
+      FROM r0 JOIN customer ON r = 'cust:' || c_custkey
+      UNION ALL
+      SELECT r, 'address', '_:addr' || k, 'default_graph' FROM r0
+      UNION ALL
+      SELECT '_:addr' || k, 'city', 'city:' || (k % 10), 'default_graph'
+      FROM r0
+      UNION ALL
+      SELECT '_:addr' || k, 'geo', '_:geo' || k, 'default_graph' FROM r0
+      UNION ALL
+      SELECT '_:geo' || k, 'lat', 'lat:' || (k % 90), 'default_graph'
+      FROM r0
     """

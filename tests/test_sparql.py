@@ -2684,3 +2684,31 @@ def test_ndet_state_shared_across_subquery_scopes(quads, monkeypatch):
     for r in rows:
         assert r["u"] != r["v"]
         assert r["t1"] == r["t2"]
+
+
+def test_describe_cbd_closes_over_bnode_objects(spark):
+    from rify_spark.sparql import sparql_describe
+
+    DG = "default_graph"
+    rows = [
+        ("r", "p", "_:b1", DG),
+        ("_:b1", "q", "_:b2", DG),
+        ("_:b2", "v", "leaf", DG),
+        ("_:b2", "w", "iri:other", DG),
+        ("iri:other", "x", "not-described", DG),  # named: NOT followed
+        ("_:unrelated", "y", "z", DG),
+        ("r2", "p", "other-resource", DG),
+    ]
+    df = spark.createDataFrame(rows, "s string, p string, o string, g string")
+    # default: one hop only
+    one = {
+        tuple(r)[:4]
+        for r in sparql_describe(df, "DESCRIBE <r>").collect()
+    }
+    assert one == {("r", "p", "_:b1", DG)}
+    # CBD: the bnode chain is pulled in, named objects are not followed
+    got = {
+        tuple(r)[:4]
+        for r in sparql_describe(df, "DESCRIBE <r>", cbd=True).collect()
+    }
+    assert got == set(rows[:4])
