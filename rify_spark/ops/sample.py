@@ -91,20 +91,29 @@ def docs_shuffle_rank(
     A bare ``row_number().over(Window.orderBy(key))`` would move the
     whole corpus to ONE partition — the classic global-rank trap — so
     the rank is computed with the distributed two-pass scheme instead:
-    range-partition by the key (Spark's sampled-quantile boundaries,
-    ascending ranges on ascending partition ids), count each partition
-    (a tiny driver-side table, one row per partition), broadcast the
-    cumulative offsets back, and add a PER-PARTITION row_number. Every
-    stage is bounded by a partition, the offsets table is O(width),
-    and the result is independent of where the sampled boundaries
-    happen to land (contiguous ranges + offsets reproduce the one
-    global order). For sharded training output, callers usually skip
-    the explicit rank and just ``orderBy(key).write...``; the rank
-    form exists so the permutation is itself a checkable, hash-exact
-    artifact.
-    """
-    from pyspark.sql import Window
 
+      1. project the NARROW key relation (doc_id, md5 key) — the
+         payload never moves; callers join the rank back by doc_id;
+      2. range-partition by (key, doc_id) and sort within partitions on
+         the same pair — the doc_id tie-break makes the order total
+         even under (astronomically unlikely) md5 collisions, so ranks
+         never depend on task execution order;
+      3. count each partition (one map-side-combined exchange of
+         O(width) rows) and broadcast-join the cumulative offsets back;
+      4. the intra-partition index costs NO further exchange:
+         ``monotonically_increasing_id`` is (partition id << 33) +
+         row-index-within-partition by its documented layout, so
+         ``mid - (pid << 33)`` read above the in-partition sort IS the
+         sorted row index (bounded: < 2^33 rows per partition).
+
+    The result is independent of where the sampled range boundaries
+    land (contiguous ranges + offsets reproduce the one global order).
+    NULL doc_ids are dropped up front (a NULL key would sort
+    differently across engines and tie with every other NULL). For
+    sharded training output, callers usually skip the explicit rank
+    and just ``orderBy(key).write...``; the rank form exists so the
+    permutation is itself a checkable, hash-exact artifact.
+    """
     spark = docs.sparkSession
     width = int(spark.conf.get("spark.sql.shuffle.partitions"))
     key = F.md5(
@@ -114,8 +123,11 @@ def docs_shuffle_rank(
     )
     ranged = (
         docs.select("doc_id", key.alias("_k"))
-        .repartitionByRange(width, "_k")
+        .filter(F.col("doc_id").isNotNull())
+        .repartitionByRange(width, "_k", "doc_id")
+        .sortWithinPartitions("_k", "doc_id")
         .withColumn("_pid", F.spark_partition_id())
+        .withColumn("_mid", F.monotonically_increasing_id())
         .persist()
     )
     counts = sorted(
@@ -124,18 +136,28 @@ def docs_shuffle_rank(
             F.count("*").alias("cnt")
         ).collect()
     )
-    offsets, acc = {}, 0
+    offsets, acc = [], 0
     for pid, cnt in counts:
-        offsets[pid] = acc
+        offsets.append((pid, acc))
         acc += cnt
-    off = F.lit(0).cast("long")
-    for pid, base in offsets.items():
-        off = F.when(F.col("_pid") == pid, F.lit(base)).otherwise(off)
-    w = Window.partitionBy("_pid").orderBy("_k")
-    out = ranged.select(
-        "doc_id",
-        (off + F.row_number().over(w)).cast("long").alias("shuffle_rank"),
-    ).localCheckpoint()
+    off = F.broadcast(
+        spark.createDataFrame(offsets or [(0, 0)], "_pid int, _base long")
+    )
+    out = (
+        ranged.join(off, "_pid")
+        .select(
+            "doc_id",
+            (
+                F.col("_base")
+                + (
+                    F.col("_mid")
+                    - F.shiftleft(F.col("_pid").cast("long"), 33)
+                )
+                + F.lit(1)
+            ).cast("long").alias("shuffle_rank"),
+        )
+        .localCheckpoint()
+    )
     ranged.unpersist()
     return out
 
@@ -146,7 +168,8 @@ def docs_shuffle_rank_sql(
     return f"""
     SELECT doc_id,
            CAST(ROW_NUMBER() OVER (
-             ORDER BY md5('{seed}' || ':' || CAST(doc_id AS VARCHAR))
+             ORDER BY md5('{seed}' || ':' || CAST(doc_id AS VARCHAR)),
+                      doc_id
            ) AS BIGINT) AS shuffle_rank
-    FROM {table}
+    FROM {table} WHERE doc_id IS NOT NULL
     """

@@ -3836,7 +3836,11 @@ def _template_quads(
 
 
 def sparql_describe(
-    quads: DataFrame, query: str, *, cbd: bool = False
+    quads: DataFrame,
+    query: str,
+    *,
+    cbd: bool = False,
+    cbd_max_hops: int | None = None,
 ) -> DataFrame:
     """DESCRIBE -> a deduplicated ``(s, p, o, g)`` quad DataFrame.
 
@@ -3853,7 +3857,8 @@ def sparql_describe(
     scale the store is range-read once for the edge projection and the
     iterations exchange only frontiers; named resources never join the
     frontier, so the closure is bounded by bnode-chain depth, not store
-    size). Resources are the
+    size — ``cbd_max_hops`` raises/lowers the chain-depth cap,
+    defaulting to bfs_levels' BFS_MAX_ITER of 64). Resources are the
     DESCRIBE constants plus, for ``DESCRIBE ?v WHERE {...}``, the
     distinct non-null bindings of each described variable (an unbound —
     OPTIONAL-miss — binding describes nothing). Plan shape: the resource
@@ -3898,8 +3903,11 @@ def sparql_describe(
         bnode_edges = quads.filter(
             F.col("o").startswith("_:")
         ).select("s", "o")
+        kw = {} if cbd_max_hops is None else {"max_iter": cbd_max_hops}
         reached = bfs_levels(
-            bnode_edges, resources.select(F.col("r").alias("node"))
+            bnode_edges,
+            resources.select(F.col("r").alias("node")),
+            **kw,
         )
         resources = reached.select(F.col("node").alias("r"))
     return (

@@ -2712,3 +2712,20 @@ def test_describe_cbd_closes_over_bnode_objects(spark):
         for r in sparql_describe(df, "DESCRIBE <r>", cbd=True).collect()
     }
     assert got == set(rows[:4])
+
+
+def test_describe_cbd_hop_cap_is_exposed(spark):
+    from rify_spark.sparql import sparql_describe
+
+    DG = "default_graph"
+    rows = [("r", "p", "_:b1", DG), ("_:b1", "q", "_:b2", DG),
+            ("_:b2", "v", "leaf", DG)]
+    df = spark.createDataFrame(rows, "s string, p string, o string, g string")
+    got = {
+        tuple(r)[:4]
+        for r in sparql_describe(
+            df, "DESCRIBE <r>", cbd=True, cbd_max_hops=1
+        ).collect()
+    }
+    # one hop of bnode closure only: _:b2's own statements are cut off
+    assert got == set(rows[:2])
