@@ -705,6 +705,12 @@ def _q_sparql_describe_cbd(spark, sf_dir):
     return sparql_describe_cbd_gate(spark, sf_dir)
 
 
+def _q_sparql_service(spark, sf_dir):
+    from rify_spark.sparql import sparql_service_gate
+
+    return sparql_service_gate(spark, sf_dir)
+
+
 def _q_sparql_ndet(spark, sf_dir):
     from rify_spark.sparql import sparql_ndet_gate
 
@@ -912,6 +918,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_ndet": _q_sparql_ndet,
         # DESCRIBE with Concise-Bounded-Description bnode closure
         "sparql_describe_cbd": _q_sparql_describe_cbd,
+        # SERVICE local federation across registered quad stores
+        "sparql_service": _q_sparql_service,
         # frontier BFS hop distances (semi-naive, recursive-CTE oracle)
         "graph_bfs_levels": _q_graph_bfs,
         # subject-grouped TriG serialization (one-shuffle distributed writer)
@@ -1149,6 +1157,7 @@ def oracle_sql() -> dict[str, str]:
         "sparql_update_bnodes": _update_bnode_sql(),
         "sparql_ndet": _sparql_sql("sparql_ndet_sql"),
         "sparql_describe_cbd": _sparql_sql("sparql_describe_cbd_sql"),
+        "sparql_service": _sparql_sql("sparql_service_sql"),
         "graph_bfs_levels": graph.graph_bfs_levels_sql(),
         "rdf_trig_format": _rdf_sql("rdf_trig_format_sql"),
         "rdf_trig_roundtrip": _rdf_sql("rdf_trig_roundtrip_sql"),

@@ -654,6 +654,25 @@ class SubSelect:
 
 
 @dataclass
+class ServiceNode:
+    """``SERVICE [SILENT] <iri> { ... }`` (spec §13, federated query) —
+    LOCAL federation: the endpoint IRI resolves through a caller-
+    supplied registry of quad DataFrames (``services={iri: df}``), the
+    lakehouse reading of federation (other quad stores in the same
+    catalog; no HTTP by design — no external data). The inner group
+    evaluates against the resolved store's OWN dataset (its default
+    graph and named graphs — an enclosing GRAPH block does not scope a
+    remote dataset) and joins the enclosing solutions with the standard
+    compatible-mappings machinery. ``SILENT`` + an unregistered IRI
+    degrades to the unit solution (spec: silent failure), i.e. the
+    group is unaffected."""
+
+    iri: str
+    node: "Group"
+    silent: bool
+
+
+@dataclass
 class Group:
     elems: list  # Bgp | Group | Opt | UnionNode | SubSelect, joined in order
     filters: list  # (op, lhs, rhs), applied after this group's joins
@@ -673,6 +692,8 @@ def _walk_patterns(node) -> list:
             pass  # no quad patterns; _var_order handles the names
         elif isinstance(e, SubSelect):
             out.extend(_walk_patterns(e.q.root))
+        elif isinstance(e, ServiceNode):
+            out.extend(_walk_patterns(e.node))
         else:
             out.extend(_walk_patterns(e))
     return out
@@ -1200,6 +1221,25 @@ class _Parser:
             elif kind == "kw" and tok.upper() == "MINUS":
                 self.next()
                 node.elems.append(Minus(self.group_node(graph)))
+                opt_dot()
+            elif kind == "kw" and tok.upper() == "SERVICE":
+                self.next()
+                silent = bool(self.kw("SILENT"))
+                t = self.term()
+                if not isinstance(t, Const) or not t.value:
+                    raise SparqlParseError(
+                        "SERVICE needs a constant endpoint IRI "
+                        "(variable endpoints are out of subset)"
+                    )
+                # the inner group's unscoped triples match the SERVICE
+                # dataset's default graph, never the enclosing GRAPH
+                node.elems.append(
+                    ServiceNode(
+                        t.value,
+                        self.group_node(Const(DEFAULT_GRAPH)),
+                        silent,
+                    )
+                )
                 opt_dot()
             elif kind == "kw" and tok.upper() == "VALUES":
                 self.next()
@@ -2302,9 +2342,16 @@ class _Sol:
 
 
 class _Eval:
-    def __init__(self, quads: DataFrame, *, graph_var_hides_default=False):
+    def __init__(
+        self,
+        quads: DataFrame,
+        *,
+        graph_var_hides_default=False,
+        services: dict | None = None,
+    ):
         self.quads = quads.select("s", "p", "o", "g")
         self.spark = quads.sparkSession
+        self.services = services
         self._gate_n = 0
         # spec §13.2: under explicit FROM / FROM NAMED dataset clauses a
         # variable GRAPH pattern ranges over the NAMED graphs only, never
@@ -2844,6 +2891,19 @@ class _Eval:
                 s = _select_solution(self, e.q)
             elif isinstance(e, ValuesBlock):
                 s = self.values_sol(e)
+            elif isinstance(e, ServiceNode):
+                store = (self.services or {}).get(e.iri)
+                if store is None:
+                    if not e.silent:
+                        raise SparqlParseError(
+                            f"SERVICE <{e.iri}> is not registered — "
+                            "pass services={iri: quad DataFrame}"
+                        )
+                    # spec §13: SILENT failure degrades to the unit
+                    # solution (join identity)
+                    s = _Sol(self.spark.range(1).select(), set(), set())
+                else:
+                    s = _Eval(store, services=self.services).group(e.node)
             else:
                 s = self.group(e)
             acc = s if acc is None else self.join(acc, s, "inner")
@@ -3265,7 +3325,7 @@ def _var_order(q: _Parser) -> list:
                 for n in sub:
                     if n not in seen:
                         seen.append(n)
-            elif isinstance(e, (Opt, Minus)):
+            elif isinstance(e, (Opt, Minus, ServiceNode)):
                 walk(e.node)
             elif isinstance(e, UnionNode):
                 for b in e.branches:
@@ -3490,7 +3550,9 @@ def _aggregate(sol: _Sol, q: _Parser) -> DataFrame:
     return gdf.select(*q.select)
 
 
-def sparql_select(quads: DataFrame, query: str) -> DataFrame:
+def sparql_select(
+    quads: DataFrame, query: str, *, services: dict | None = None
+) -> DataFrame:
     """Run a SPARQL SELECT over a decoded ``(s, p, o, g)`` quad DataFrame.
 
     Each BGP goes through :func:`rify_spark.matcher.bindings` — the same
@@ -3507,6 +3569,7 @@ def sparql_select(quads: DataFrame, query: str) -> DataFrame:
     return _select_solution(_Eval(
         _dataset_view(quads, q),
         graph_var_hides_default=bool(q.dataset_from or q.dataset_named),
+        services=services,
     ), q).df
 
 
@@ -3656,7 +3719,9 @@ def _select_solution(ev: _Eval, q: _Parser) -> _Sol:
     return _Sol(df, set(out_names), maybe)
 
 
-def sparql_ask(quads: DataFrame, query: str) -> DataFrame:
+def sparql_ask(
+    quads: DataFrame, query: str, *, services: dict | None = None
+) -> DataFrame:
     """ASK -> one row ``(ask: boolean)``: does the pattern have a match?
     Executed under LIMIT 1, so Spark stops at the first satisfying row
     instead of materializing the binding set."""
@@ -3666,6 +3731,7 @@ def sparql_ask(quads: DataFrame, query: str) -> DataFrame:
     ev = _Eval(
         _dataset_view(quads, q),
         graph_var_hides_default=bool(q.dataset_from or q.dataset_named),
+        services=services,
     )
     sol = ev.group(q.root)
     if q.trailing_values is not None:
@@ -3677,7 +3743,9 @@ def sparql_ask(quads: DataFrame, query: str) -> DataFrame:
     )
 
 
-def sparql_construct(quads: DataFrame, query: str) -> DataFrame:
+def sparql_construct(
+    quads: DataFrame, query: str, *, services: dict | None = None
+) -> DataFrame:
     """CONSTRUCT -> a deduplicated ``(s, p, o, g)`` quad DataFrame.
 
     The template instantiates through :func:`matcher.project_heads` — the
@@ -3698,6 +3766,7 @@ def sparql_construct(quads: DataFrame, query: str) -> DataFrame:
     ev = _Eval(
         _dataset_view(quads, q),
         graph_var_hides_default=bool(q.dataset_from or q.dataset_named),
+        services=services,
     )
     sol = ev.group(q.root)
     if q.trailing_values is not None:
@@ -3841,6 +3910,7 @@ def sparql_describe(
     *,
     cbd: bool = False,
     cbd_max_hops: int | None = None,
+    services: dict | None = None,
 ) -> DataFrame:
     """DESCRIBE -> a deduplicated ``(s, p, o, g)`` quad DataFrame.
 
@@ -3879,7 +3949,11 @@ def sparql_describe(
         )
     dvars = [t.name for t in q.described if isinstance(t, Var)]
     if dvars:
-        ev = _Eval(quads, graph_var_hides_default=has_dataset)
+        ev = _Eval(
+            quads,
+            graph_var_hides_default=has_dataset,
+            services=services,
+        )
         sol = ev.group(q.root)
         if q.trailing_values is not None:
             sol = ev.join(sol, ev.values_sol(q.trailing_values), "inner")
@@ -3917,7 +3991,9 @@ def sparql_describe(
     )
 
 
-def sparql_query(quads: DataFrame, query: str) -> DataFrame:
+def sparql_query(
+    quads: DataFrame, query: str, *, services: dict | None = None
+) -> DataFrame:
     """Dispatch on the query form: SELECT / ASK / CONSTRUCT / DESCRIBE."""
     q = parse_select(query)
     fn = {
@@ -3926,7 +4002,7 @@ def sparql_query(quads: DataFrame, query: str) -> DataFrame:
         "CONSTRUCT": sparql_construct,
         "DESCRIBE": sparql_describe,
     }[q.form]
-    return fn(quads, query)
+    return fn(quads, query, services=services)
 
 
 def sparql_query_entailed(
@@ -5472,4 +5548,65 @@ def sparql_describe_cbd_sql() -> str:
       UNION ALL
       SELECT '_:geo' || k, 'lat', 'lat:' || (k % 90), 'default_graph'
       FROM r0
+    """
+
+
+# SERVICE (local federation) gate: the tpch quad store joins through a
+# SERVICE registry entry holding a SEPARATE region-directory store —
+# compatible-mappings join across two datasets, remote default-graph
+# scoping exercised by the directory's named-graph decoys.
+GATE_SERVICE = """
+  SELECT ?c ?n ?rname WHERE {
+    GRAPH <graph://tpch> { ?c <in_nation> ?n }
+    SERVICE <svc://regions> {
+      ?n <in_region> ?r . ?r <region_name> ?rname
+    }
+  }
+"""
+
+
+def _region_directory(spark, sf_dir: str) -> DataFrame:
+    nation = spark.read.parquet(f"{sf_dir.rstrip('/')}/nation.parquet")
+    region = spark.read.parquet(f"{sf_dir.rstrip('/')}/region.parquet")
+    dg = F.lit(DEFAULT_GRAPH)
+    return (
+        nation.select(
+            F.concat(F.lit("nation:"), F.col("n_nationkey")).alias("s"),
+            F.lit("in_region").alias("p"),
+            F.concat(F.lit("region:"), F.col("n_regionkey")).alias("o"),
+            dg.alias("g"),
+        )
+        .unionByName(region.select(
+            F.concat(F.lit("region:"), F.col("r_regionkey")).alias("s"),
+            F.lit("region_name").alias("p"),
+            F.concat(F.lit("name:"), F.col("r_name")).alias("o"),
+            dg.alias("g"),
+        ))
+        .unionByName(region.select(
+            F.concat(F.lit("region:"), F.col("r_regionkey")).alias("s"),
+            F.lit("region_name").alias("p"),
+            F.lit("name:DECOY").alias("o"),
+            F.lit("graph://decoy").alias("g"),
+        ))
+    )
+
+
+def sparql_service_gate(spark, sf_dir: str) -> DataFrame:
+    from .ops.quads import tpch_quads
+
+    return sparql_select(
+        tpch_quads(spark, sf_dir),
+        GATE_SERVICE,
+        services={"svc://regions": _region_directory(spark, sf_dir)},
+    )
+
+
+def sparql_service_sql() -> str:
+    return """
+      SELECT 'cust:' || c_custkey AS c,
+             'nation:' || c_nationkey AS n,
+             'name:' || r_name AS rname
+      FROM customer
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
     """

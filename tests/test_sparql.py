@@ -2729,3 +2729,76 @@ def test_describe_cbd_hop_cap_is_exposed(spark):
     }
     # one hop of bnode closure only: _:b2's own statements are cut off
     assert got == set(rows[:2])
+
+
+# --- SERVICE: local federation over a store registry (spec §13) -------------
+
+
+def test_service_joins_a_registered_store(spark):
+    from rify_spark.sparql import sparql_query
+
+    DG = "default_graph"
+    local = spark.createDataFrame(
+        [("a", "knows", "b", DG), ("b", "knows", "c", DG)],
+        "s string, p string, o string, g string",
+    )
+    remote = spark.createDataFrame(
+        [("b", "age", "30", DG), ("c", "age", "41", DG),
+         ("x", "age", "9", "g9")],
+        "s string, p string, o string, g string",
+    )
+    reg = {"svc://people": remote}
+    q = """
+      SELECT ?x ?y ?age WHERE {
+        ?x <knows> ?y .
+        SERVICE <svc://people> { ?y <age> ?age }
+      } ORDER BY ?x
+    """
+    got = [tuple(r) for r in sparql_query(local, q, services=reg).collect()]
+    assert got == [("a", "b", "30"), ("b", "c", "41")]
+    # the remote dataset scopes itself: its named graph is invisible to
+    # unscoped SERVICE triples but visible to an inner GRAPH block
+    ask = "ASK { SERVICE <svc://people> { <x> <age> ?a } }"
+    assert sparql_query(local, ask, services=reg).collect()[0][0] is False
+    ask_g = (
+        "ASK { SERVICE <svc://people> { GRAPH <g9> { <x> <age> ?a } } }"
+    )
+    assert sparql_query(local, ask_g, services=reg).collect()[0][0] is True
+    # SERVICE may open the group (frontier-first federation)
+    first = """
+      SELECT ?s ?a WHERE {
+        SERVICE <svc://people> { ?s <age> ?a } . ?s <knows> ?o
+      }
+    """
+    assert sorted(
+        tuple(r)
+        for r in sparql_query(local, first, services=reg).collect()
+    ) == [("b", "30")]
+
+
+def test_service_silent_and_error_contract(spark):
+    from rify_spark.sparql import sparql_select
+
+    DG = "default_graph"
+    local = spark.createDataFrame(
+        [("a", "knows", "b", DG)], "s string, p string, o string, g string"
+    )
+    # SILENT + unregistered endpoint = the unit solution (no effect)
+    q = (
+        "SELECT ?x ?y WHERE { ?x <knows> ?y . "
+        "SERVICE SILENT <svc://gone> { ?y <age> ?a } }"
+    )
+    assert [tuple(r) for r in sparql_select(local, q).collect()] == [
+        ("a", "b")
+    ]
+    # non-SILENT unregistered endpoint raises; variable endpoints too
+    with pytest.raises(SparqlParseError, match="not registered"):
+        sparql_select(
+            local,
+            "SELECT ?x WHERE { SERVICE <svc://gone> { ?x <p> ?y } }",
+        ).collect()
+    with pytest.raises(SparqlParseError, match="constant endpoint"):
+        sparql_select(
+            local,
+            "SELECT ?x WHERE { SERVICE ?ep { ?x <p> ?y } }",
+        ).collect()
