@@ -879,6 +879,31 @@ def main() -> None:
         )
     )
 
+    from rify_spark.sparql import sparql_service_gate
+
+    svc_df = sparql_service_gate(spark, SF_DIR)
+    svc_df.collect()
+    svc_exec = svc_df._jdf.queryExecution().executedPlan().toString()
+    sections.append(("sparql_service", svc_exec[:4000]))
+    checks.append(
+        (
+            "sparql_service",
+            "SERVICE federation compiles to the same hash-join plans "
+            "as a local pattern — no Python eval, no cartesian, "
+            "hash-strategy joins across the two datasets",
+            not re.search(
+                r"(BatchEvalPython|ArrowEvalPython|CartesianProduct)",
+                svc_exec,
+            )
+            and bool(
+                re.search(
+                    r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)",
+                    svc_exec,
+                )
+            ),
+        )
+    )
+
     from rify_spark.ops.graph import bfs_levels
 
     bfs_edges = spark.createDataFrame(
