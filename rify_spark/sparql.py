@@ -4011,6 +4011,8 @@ def sparql_query_entailed(
     rules,
     query: str,
     config=None,
+    *,
+    services: dict | None = None,
 ) -> DataFrame:
     """SPARQL over the RULE-ENTAILED store: the query runs against
     premises ∪ the fixpoint's derived quads, so the rule set plays the
@@ -4033,7 +4035,7 @@ def sparql_query_entailed(
         .dropDuplicates(["s", "p", "o", "g"])
         .unionByName(derived.select("s", "p", "o", "g"))
     )
-    return sparql_query(store, query)
+    return sparql_query(store, query, services=services)
 
 
 # --- driver-gate queries + DuckDB oracles -----------------------------------
