@@ -705,6 +705,27 @@ def _q_sparql_describe_cbd(spark, sf_dir):
     return sparql_describe_cbd_gate(spark, sf_dir)
 
 
+def _q_prove_provenance(spark, sf_dir):
+    """Proof lineage reified as RDF (prove.lineage_to_quads) and
+    aggregated with the engine's own SPARQL layer — derivation counts
+    per (rule, iteration); oracle: the o13 recursive attribution
+    aggregated the same way."""
+    from rify_spark.prove import lineage_to_quads
+    from rify_spark.sparql import sparql_select
+
+    quads = lineage_to_quads(_q_prove_lineage(spark, sf_dir))
+    return sparql_select(
+        quads,
+        """
+        SELECT ?rule ?iter (COUNT(*) AS ?n) WHERE {
+          GRAPH <graph://prov> {
+            ?d <by_rule> ?rule . ?d <at_iteration> ?iter
+          }
+        } GROUP BY ?rule ?iter
+        """,
+    )
+
+
 def _q_sparql_service(spark, sf_dir):
     from rify_spark.sparql import sparql_service_gate
 
@@ -920,6 +941,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_describe_cbd": _q_sparql_describe_cbd,
         # SERVICE local federation across registered quad stores
         "sparql_service": _q_sparql_service,
+        # lineage reified as RDF, provenance-aggregated via SPARQL
+        "prove_provenance": _q_prove_provenance,
         # frontier BFS hop distances (semi-naive, recursive-CTE oracle)
         "graph_bfs_levels": _q_graph_bfs,
         # subject-grouped TriG serialization (one-shuffle distributed writer)
@@ -1158,6 +1181,12 @@ def oracle_sql() -> dict[str, str]:
         "sparql_ndet": _sparql_sql("sparql_ndet_sql"),
         "sparql_describe_cbd": _sparql_sql("sparql_describe_cbd_sql"),
         "sparql_service": _sparql_sql("sparql_service_sql"),
+        "prove_provenance": f"""
+          SELECT 'rule:' || rule_index AS rule,
+                 CAST(iteration AS VARCHAR) AS iter,
+                 CAST(COUNT(*) AS BIGINT) AS n
+          FROM ({{}}) GROUP BY 1, 2
+        """.format(quads.PROVE_LINEAGE_SQL),
         "graph_bfs_levels": graph.graph_bfs_levels_sql(),
         "rdf_trig_format": _rdf_sql("rdf_trig_format_sql"),
         "rdf_trig_roundtrip": _rdf_sql("rdf_trig_roundtrip_sql"),

@@ -187,3 +187,50 @@ def recall_proof(goal_quads: list, arguments: dict, lrules: list) -> list:
             for q in reversed(body):
                 stack.append(("visit", q))
     return out
+
+
+PROV_GRAPH = "graph://prov"
+
+
+def lineage_to_quads(arguments: DataFrame) -> DataFrame:
+    """Reify the prove-mode ``arguments`` table (the first-winning
+    derivation per derived quad — reference ``recall_proof``'s input,
+    src/prove.rs:503-627) as RDF quads in the ``graph://prov`` named
+    graph, so provenance is queryable with the engine's OWN SPARQL
+    layer (and serializable with its RDF writers):
+
+      ``_:d <derives_subject|_predicate|_object|_graph> <term>``,
+      ``_:d <by_rule> rule:<idx>``, ``_:d <at_iteration> <it>``.
+
+    The derivation node id is ``_:d + md5(quad)`` — the arguments map
+    is keyed by the derived quad (one winning derivation each), so the
+    mint is injective and reproducible by a SQL twin. Plan shape: one
+    narrow projection + ``explode`` of a 6-element literal-struct
+    array — a single scan, no shuffle, no Python."""
+    from pyspark.sql import functions as F
+
+    d = F.concat(
+        F.lit("_:d"),
+        F.md5(
+            F.concat_ws("\x1f", "s", "p", "o", "g").cast("binary")
+        ),
+    )
+    def pair(p, o):
+        return F.struct(F.lit(p).alias("p"), o.alias("o"))
+
+    pairs = F.array(
+        pair("derives_subject", F.col("s")),
+        pair("derives_predicate", F.col("p")),
+        pair("derives_object", F.col("o")),
+        pair("derives_graph", F.col("g")),
+        pair("by_rule", F.concat(F.lit("rule:"), F.col("rule_index"))),
+        pair("at_iteration", F.col("iteration").cast("string")),
+    )
+    return arguments.select(
+        d.alias("_d"), F.explode(pairs).alias("_po")
+    ).select(
+        F.col("_d").alias("s"),
+        F.col("_po.p").alias("p"),
+        F.col("_po.o").alias("o"),
+        F.lit(PROV_GRAPH).alias("g"),
+    )

@@ -370,3 +370,37 @@ def test_prove_frontier_walk_matches_collect_path(spark):
     valid = validate(rules, frontier)
     for claim in composite_claims:
         assert claim in valid.implied
+
+
+def test_lineage_to_quads_reifies_the_arguments_map(spark):
+    from pyspark.sql import functions as F
+
+    from rify_spark.prove import PROV_GRAPH, lineage_to_quads
+
+    args = spark.createDataFrame(
+        [("a", "anc", "b", "g", 0, 1), ("a", "anc", "c", "g", 1, 2)],
+        "s string, p string, o string, g string, "
+        "rule_index long, iteration long",
+    )
+    out = lineage_to_quads(args)
+    rows = [tuple(r) for r in out.collect()]
+    # six quads per derivation, all in the provenance graph
+    assert len(rows) == 12 and all(r[3] == PROV_GRAPH for r in rows)
+    ds = {r[0] for r in rows}
+    assert len(ds) == 2 and all(d.startswith("_:d") for d in ds)
+    by_d = {}
+    for s, p, o, _ in rows:
+        by_d.setdefault(s, {})[p] = o
+    for props in by_d.values():
+        assert set(props) == {
+            "derives_subject", "derives_predicate", "derives_object",
+            "derives_graph", "by_rule", "at_iteration",
+        }
+    pairs = {
+        (p["derives_object"], p["by_rule"], p["at_iteration"])
+        for p in by_d.values()
+    }
+    assert pairs == {("b", "rule:0", "1"), ("c", "rule:1", "2")}
+    # single scan, no shuffle, no Python
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Python" not in plan
