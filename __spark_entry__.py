@@ -687,6 +687,12 @@ def _q_graph_bfs(spark, sf_dir):
     return graph_bfs_levels(spark, sf_dir)
 
 
+def _q_graph_sssp(spark, sf_dir):
+    from rify_spark.ops.graph import graph_sssp
+
+    return graph_sssp(spark, sf_dir)
+
+
 def _q_rdf_trig_format(spark, sf_dir):
     from rify_spark.rdf import rdf_trig_format
 
@@ -945,6 +951,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prove_provenance": _q_prove_provenance,
         # frontier BFS hop distances (semi-naive, recursive-CTE oracle)
         "graph_bfs_levels": _q_graph_bfs,
+        # weighted shortest paths (integer min-plus Bellman-Ford)
+        "graph_sssp": _q_graph_sssp,
         # subject-grouped TriG serialization (one-shuffle distributed writer)
         "rdf_trig_format": _q_rdf_trig_format,
         # TriG write -> distributed subset reader -> exact quad set
@@ -1188,6 +1196,7 @@ def oracle_sql() -> dict[str, str]:
           FROM ({{}}) GROUP BY 1, 2
         """.format(quads.PROVE_LINEAGE_SQL),
         "graph_bfs_levels": graph.graph_bfs_levels_sql(),
+        "graph_sssp": graph.graph_sssp_sql(),
         "rdf_trig_format": _rdf_sql("rdf_trig_format_sql"),
         "rdf_trig_roundtrip": _rdf_sql("rdf_trig_roundtrip_sql"),
         "sparql_construct_bnode": _sparql_sql("sparql_construct_bnode_sql"),

@@ -496,3 +496,122 @@ def graph_bfs_levels_sql() -> str:
       )
       SELECT node, MIN(dist) AS dist FROM r GROUP BY node
     """
+
+
+# --- weighted shortest paths (integer min-plus) ------------------------------
+
+SSSP_MAX_ITER = 64
+
+
+def sssp_distances(
+    edges: DataFrame, sources: DataFrame, max_iter: int = SSSP_MAX_ITER
+) -> DataFrame:
+    """Minimum WEIGHTED distance from a source set over a directed
+    ``(s, o, w)`` edge table (non-negative integer weights) ->
+    ``(node, dist)``. Bellman-Ford in its semi-naive form: only nodes
+    whose distance IMPROVED last round relax their out-edges, so a
+    settled 100-TB graph region never re-joins.
+
+    Shape per iteration (the bfs_levels discipline): improved-frontier
+    ⋈ once-partitioned edge cache -> candidate distances, min-combined
+    map-side in ONE aggregate exchange; a left join against the settled
+    map keeps strict improvements only; each improvement block is
+    ``localCheckpoint``-truncated. Settled distances merge by
+    anti-join + union (the FactStore novelty pattern). Termination:
+    with integer weights ≥ 1 every improvement lengthens a simple
+    path, so ≤ diameter rounds; zero-weight edges still terminate (an
+    equal distance is not an improvement); ``max_iter`` is the
+    documented hop cap shared with the SQL twin's recursion bound.
+    Integer arithmetic end to end — bit-identical across engines, no
+    float summation order to diverge."""
+    spark = edges.sparkSession
+    width = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    ed = (
+        edges.select("s", "o", F.col("w").cast("long").alias("w"))
+        .filter(
+            F.col("s").isNotNull()
+            & F.col("o").isNotNull()
+            & (F.col("w") >= 0)
+        )
+        .repartition(width, "s")
+        .persist()
+    )
+    ed.count()
+    dist = (
+        sources.select(F.col("node"))
+        .filter(F.col("node").isNotNull())
+        .dropDuplicates(["node"])
+        .select("node", F.lit(0).cast("long").alias("dist"))
+        .localCheckpoint()
+    )
+    frontier = dist
+    for _ in range(max_iter):
+        cand = (
+            ed.join(
+                frontier.select(
+                    F.col("node").alias("s"), F.col("dist").alias("_d")
+                ),
+                "s",
+            )
+            .select(
+                F.col("o").alias("node"),
+                (F.col("_d") + F.col("w")).alias("_cand"),
+            )
+            .groupBy("node")
+            .agg(F.min("_cand").alias("_cand"))
+        )
+        improved = (
+            cand.join(dist, "node", "left")
+            .filter(
+                F.col("dist").isNull() | (F.col("_cand") < F.col("dist"))
+            )
+            .select("node", F.col("_cand").alias("dist"))
+            .localCheckpoint()
+        )
+        if not improved.take(1):
+            break
+        dist = (
+            dist.join(improved, "node", "left_anti")
+            .unionByName(improved)
+        )
+        frontier = improved
+    ed.unpersist()
+    return dist
+
+
+def graph_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate query: weighted distances from node:0 over the reversed
+    customer-key mesh with parent edges at weight 3 and prev edges at
+    weight 2 — the cheapest route mixes tree hops and prev-chain runs,
+    so min-plus genuinely beats hop count."""
+    mesh = mesh_edges(spark, sf_dir)
+    rev = mesh.select(
+        F.col("o").alias("s"),
+        F.col("s").alias("o"),
+        F.when(F.col("p") == "parent", F.lit(3))
+        .otherwise(F.lit(2))
+        .alias("w"),
+    )
+    src = spark.createDataFrame([("node:0",)], "node string")
+    return sssp_distances(rev, src)
+
+
+def graph_sssp_sql() -> str:
+    return f"""
+      WITH RECURSIVE mesh AS (
+        SELECT 'node:' || c_custkey AS s, 'node:' || (c_custkey // 2) AS o,
+               3 AS w
+        FROM customer WHERE c_custkey >= 1
+        UNION ALL
+        SELECT 'node:' || c_custkey, 'node:' || (c_custkey - 1), 2
+        FROM customer WHERE c_custkey >= {MESH_PREV_MIN}
+      ),
+      r(node, dist) AS (
+        SELECT 'node:0', CAST(0 AS BIGINT)
+        UNION
+        SELECT m.s, r.dist + m.w
+        FROM r JOIN mesh m ON m.o = r.node
+        WHERE r.dist + m.w <= 200
+      )
+      SELECT node, MIN(dist) AS dist FROM r GROUP BY node
+    """

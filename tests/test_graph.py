@@ -123,3 +123,40 @@ def test_bfs_levels_multi_source_and_cap(spark):
         ).collect()
     }
     assert max(capped.values()) == 2 and "n3" not in capped
+
+
+def test_sssp_min_plus_beats_hop_count(spark):
+    from rify_spark.ops.graph import sssp_distances
+
+    # a -> b cheap via two hops (1+1) vs one expensive direct hop (5);
+    # d unreachable; a zero-weight edge terminates (equal dist is not
+    # an improvement); negative weights are dropped
+    edges = spark.createDataFrame(
+        [
+            ("a", "m", 1), ("m", "b", 1), ("a", "b", 5),
+            ("b", "b2", 0), ("b2", "b", 0),
+            ("x", "d", 2), ("a", "bad", -7),
+        ],
+        "s string, o string, w int",
+    )
+    src = spark.createDataFrame([("a",)], "node string")
+    got = {
+        r["node"]: r["dist"]
+        for r in sssp_distances(edges, src).collect()
+    }
+    assert got == {"a": 0, "m": 1, "b": 2, "b2": 2}
+
+
+def test_sssp_multi_source_takes_nearest(spark):
+    from rify_spark.ops.graph import sssp_distances
+
+    chain = spark.createDataFrame(
+        [(f"n{i}", f"n{i+1}", 10) for i in range(6)],
+        "s string, o string, w int",
+    )
+    src = spark.createDataFrame([("n0",), ("n4",)], "node string")
+    got = {
+        r["node"]: r["dist"]
+        for r in sssp_distances(chain, src).collect()
+    }
+    assert got["n5"] == 10 and got["n3"] == 30 and got["n4"] == 0
