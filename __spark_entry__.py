@@ -693,6 +693,12 @@ def _q_graph_sssp(spark, sf_dir):
     return graph_sssp(spark, sf_dir)
 
 
+def _q_graph_components(spark, sf_dir):
+    from rify_spark.ops.graph import graph_components
+
+    return graph_components(spark, sf_dir)
+
+
 def _q_rdf_trig_format(spark, sf_dir):
     from rify_spark.rdf import rdf_trig_format
 
@@ -953,6 +959,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_bfs_levels": _q_graph_bfs,
         # weighted shortest paths (integer min-plus Bellman-Ford)
         "graph_sssp": _q_graph_sssp,
+        # undirected connected components (min-label + edge consistency)
+        "graph_components": _q_graph_components,
         # subject-grouped TriG serialization (one-shuffle distributed writer)
         "rdf_trig_format": _q_rdf_trig_format,
         # TriG write -> distributed subset reader -> exact quad set
@@ -1197,6 +1205,7 @@ def oracle_sql() -> dict[str, str]:
         """.format(quads.PROVE_LINEAGE_SQL),
         "graph_bfs_levels": graph.graph_bfs_levels_sql(),
         "graph_sssp": graph.graph_sssp_sql(),
+        "graph_components": graph.graph_components_sql(),
         "rdf_trig_format": _rdf_sql("rdf_trig_format_sql"),
         "rdf_trig_roundtrip": _rdf_sql("rdf_trig_roundtrip_sql"),
         "sparql_construct_bnode": _sparql_sql("sparql_construct_bnode_sql"),

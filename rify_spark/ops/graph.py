@@ -615,3 +615,36 @@ def graph_sssp_sql() -> str:
       )
       SELECT node, MIN(dist) AS dist FROM r GROUP BY node
     """
+
+
+# --- standalone connected-components gate ------------------------------------
+
+
+def graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate query: the canonicalization engine's undirected
+    connected components (extract/canonicalize.connected_components —
+    min-label propagation with edge-consistency convergence) exposed as
+    a first-class graph op, over a 25-component star graph: every
+    customer links to its nation's anchor customer. The canon is the
+    component's lexicographic-min node, which the oracle reproduces as
+    a per-nation string MIN."""
+    from ..extract.canonicalize import connected_components
+
+    cust = spark.read.parquet(f"{sf_dir.rstrip('/')}/customer.parquet")
+    anchor = cust.groupBy("c_nationkey").agg(
+        F.min("c_custkey").alias("_anchor")
+    )
+    edges = cust.join(anchor, "c_nationkey").select(
+        F.concat(F.lit("cust:"), F.col("c_custkey")).alias("a"),
+        F.concat(F.lit("cust:"), F.col("_anchor")).alias("b"),
+    )
+    return connected_components(edges)
+
+
+def graph_components_sql() -> str:
+    return """
+      SELECT 'cust:' || c_custkey AS node,
+             (SELECT MIN('cust:' || c2.c_custkey) FROM customer c2
+              WHERE c2.c_nationkey = customer.c_nationkey) AS canon
+      FROM customer
+    """
