@@ -11,6 +11,9 @@ levels see byte-identical input with zero storage cost):
   * nquads_parse: parse a pre-materialized ~2N-line N-Quads text file
     (throughput = lines/sec), with a raw text-scan control so parse cost
     separates from IO;
+  * bfs: frontier BFS over the REVERSED mesh from node:0 (~log2 N
+    levels of the semi-naive fixpoint family — the round-5 graph ops'
+    iteration shape; throughput = reached nodes/sec);
 
 Protocol mirrors scripts/scaling.py: fresh JVM per (cpus, rep) via
 subprocess, interleaved lo/hi reps to equalize neighbor noise, efficiency
@@ -75,7 +78,12 @@ def worker() -> None:
     sys.path.insert(0, REPO)
     from pyspark.sql import functions as F
 
-    from rify_spark.ops.graph import pagerank, triangle_counts, PR_ITERS
+    from rify_spark.ops.graph import (
+        PR_ITERS,
+        bfs_levels,
+        pagerank,
+        triangle_counts,
+    )
     from rify_spark.rdf import parse_nquads
     from rify_spark.session import get_spark
 
@@ -104,6 +112,15 @@ def worker() -> None:
     out["triangles_wall"] = round(w, 2)
     out["triangles_nodes"] = n_tri_nodes
     out["triangles_edges_per_sec"] = round(n_edges / w, 1)
+
+    rev = edges.select(F.col("o").alias("s"), F.col("s").alias("o"))
+    bfs_src = spark.createDataFrame([("node:0",)], "node string")
+    t0 = time.time()
+    n_reached = _force(bfs_levels(rev, bfs_src))
+    w = time.time() - t0
+    out["bfs_wall"] = round(w, 2)
+    out["bfs_nodes"] = n_reached
+    out["bfs_nodes_per_sec"] = round(n_reached / w, 1)
 
     lines = spark.read.text(_lines_path())
     t0 = time.time()
@@ -208,6 +225,7 @@ def main() -> None:
         "pagerank_scaling_efficiency": eff("pagerank_edge_iters_per_sec"),
         "triangles_scaling_efficiency": eff("triangles_edges_per_sec"),
         "nquads_parse_scaling_efficiency": eff("nquads_lines_per_sec"),
+        "bfs_scaling_efficiency": eff("bfs_nodes_per_sec"),
         "scan_control_scaling_efficiency": eff("scan_control_lines_per_sec"),
         "shuffle_control_scaling_efficiency": eff(
             "shuffle_control_rows_per_sec"
@@ -218,6 +236,7 @@ def main() -> None:
                 "pagerank_edge_iters_per_sec",
                 "triangles_edges_per_sec",
                 "nquads_lines_per_sec",
+                "bfs_nodes_per_sec",
             )
         },
         "best_hi": {
@@ -226,6 +245,7 @@ def main() -> None:
                 "pagerank_edge_iters_per_sec",
                 "triangles_edges_per_sec",
                 "nquads_lines_per_sec",
+                "bfs_nodes_per_sec",
             )
         },
     }
