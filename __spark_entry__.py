@@ -513,6 +513,12 @@ def _q_sparql_exists_expr(spark, sf_dir):
     return sparql_exists_expr_gate(spark, sf_dir)
 
 
+def _q_sparql_exists_compat(spark, sf_dir):
+    from rify_spark.sparql import sparql_exists_compat_gate
+
+    return sparql_exists_compat_gate(spark, sf_dir)
+
+
 def _q_sparql_trailing_values(spark, sf_dir):
     from rify_spark.sparql import sparql_trailing_values_gate
 
@@ -820,7 +826,7 @@ def _q_multimodal_codec(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from rify_spark.ops import (
-        decon, dedup, events, quads, sample, similarity, text,
+        decon, dedup, events, quads, sample, similarity, snapshot, text,
     )
 
     def _events(s_, d_):
@@ -886,6 +892,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_not_exists": _q_sparql_not_exists,
         # EXISTS as a boolean operand inside a FILTER expression tree
         "sparql_exists_expr": _q_sparql_exists_expr,
+        "sparql_exists_compat": _q_sparql_exists_compat,
         # query-final VALUES clause joined after aggregation (§18.2.4.2)
         "sparql_trailing_values": _q_sparql_trailing_values,
         # aggregates as operands of projection expressions (§18.2.4.1)
@@ -1002,6 +1009,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "dedup_clusters": lambda s, d: dedup.neardup_clusters(_docs(s, d)),
         "docs_keep": lambda s, d: dedup.docs_keep(_docs(s, d)),
+        # versioned-corpus as-of snapshot (latest commit per file)
+        "corpus_snapshot": snapshot.corpus_snapshot,
         "docs_sample_stratified": lambda s, d: sample.docs_sample_stratified(
             _docs(s, d)
         ),
@@ -1125,7 +1134,7 @@ def _rdf_roundtrip_sql() -> str:
 def oracle_sql() -> dict[str, str]:
     from rify_spark.ops import (
         decon, dedup, events, graph, multimodal, quads, sample, similarity,
-        text,
+        snapshot, text,
     )
 
     return {
@@ -1165,6 +1174,7 @@ def oracle_sql() -> dict[str, str]:
         "sparql_union": _sparql_sql("sparql_union_sql"),
         "sparql_not_exists": _sparql_sql("sparql_not_exists_sql"),
         "sparql_exists_expr": _sparql_sql("sparql_exists_expr_sql"),
+        "sparql_exists_compat": _sparql_sql("sparql_exists_compat_sql"),
         "sparql_trailing_values": _sparql_sql("sparql_trailing_values_sql"),
         "sparql_agg_arith": _sparql_sql("sparql_agg_arith_sql"),
         "sparql_having_expr": _sparql_sql("sparql_having_expr_sql"),
@@ -1238,6 +1248,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_embedding_recall": dedup.embedding_neardup_recall_sql(),
         "dedup_clusters": dedup.neardup_clusters_sql(),
         "docs_keep": dedup.docs_keep_sql(),
+        "corpus_snapshot": snapshot.corpus_snapshot_sql(),
         "docs_sample_stratified": sample.docs_sample_stratified_sql(),
         "docs_shuffle_rank": sample.docs_shuffle_rank_sql(),
         "docs_decontaminate": decon.decontaminate_sql(),

@@ -1,1 +1,10 @@
-from . import dedup, events, multimodal, params, quads, similarity, text  # noqa: F401
+from . import (  # noqa: F401
+    dedup,
+    events,
+    multimodal,
+    params,
+    quads,
+    similarity,
+    snapshot,
+    text,
+)

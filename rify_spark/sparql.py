@@ -2966,24 +2966,66 @@ class _Eval:
         ``||`` / ``!``. The distinct-before-join keeps the left join
         1:0/1 (no row multiplication) and hash-planned. With no shared
         variables the marker is a broadcast 1-row gate (EXISTS == "the
-        pattern has any match at all"). Subset restriction: shared
-        variables must be SURELY bound on both sides — the compatible-
-        mappings form stays with the top-level ``FILTER [NOT] EXISTS``
-        semi/anti join. Returns (rewritten tree, widened acc, marker
-        column names to drop after the filter)."""
+        pattern has any match at all").
+
+        Possibly-unbound shared variables (OPTIONAL / partial-UNION on
+        either side) take the compatible-mappings form (spec §18.5: a
+        null is compatible with ANY value). EXISTS truth for a solution
+        depends only on its shared-variable tuple, so membership is
+        decided ONCE per distinct left key tuple — distinct left keys
+        ``left-semi``-join the sub-pattern's distinct keys under the
+        per-var compatibility predicate (definitely-bound vars stay
+        plain equi keys, keeping the semi hash-planned whenever one
+        exists), and the surviving tuples rejoin the full relation on
+        null-safe equality (``<=>``), a hash join. Two key-sized
+        shuffles; never a row-id, so the plan is re-computation-safe.
+        Returns (rewritten tree, widened acc, marker column names to
+        drop after the filter)."""
         op, a, b = entry
         if op == "exists_expr":
             sub = self.group(a)
             shared = sorted(acc.bound & sub.bound)
-            if any(v in acc.maybe or v in sub.maybe for v in shared):
-                raise SparqlParseError(
-                    "an EXISTS operand sharing possibly-unbound "
-                    "variables with its group is out of subset — use "
-                    "a top-level FILTER [NOT] EXISTS"
-                )
+            maybe_shared = [
+                v for v in shared if v in acc.maybe or v in sub.maybe
+            ]
             self._ex_n = getattr(self, "_ex_n", 0) + 1
             name = f"__ex{self._ex_n}"
-            if shared:
+            if shared and maybe_shared:
+                sure = [v for v in shared if v not in maybe_shared]
+                acc2 = self._lexeme_cast(acc, set(shared))
+                sub2 = self._lexeme_cast(sub, set(shared))
+                lkeys = acc2.df.select(*shared).distinct()
+                rkeys = sub2.df.select(
+                    *[F.col(v).alias(f"__x_{v}") for v in shared]
+                ).distinct()
+                conds = [F.col(v) == F.col(f"__x_{v}") for v in sure]
+                conds += [
+                    F.col(v).isNull()
+                    | F.col(f"__x_{v}").isNull()
+                    | (F.col(v) == F.col(f"__x_{v}"))
+                    for v in maybe_shared
+                ]
+                cond = conds[0]
+                for c in conds[1:]:
+                    cond = cond & c
+                hit = (
+                    lkeys.join(rkeys, cond, "left_semi")
+                    .select(
+                        *[F.col(v).alias(f"__k_{v}") for v in shared]
+                    )
+                    .withColumn(name, F.lit(True))
+                )
+                back = [
+                    F.col(v).eqNullSafe(F.col(f"__k_{v}"))
+                    for v in shared
+                ]
+                bcond = back[0]
+                for c in back[1:]:
+                    bcond = bcond & c
+                df = acc2.df.join(hit, bcond, "left").drop(
+                    *[f"__k_{v}" for v in shared]
+                )
+            elif shared:
                 acc2 = self._lexeme_cast(acc, set(shared))
                 sub2 = self._lexeme_cast(sub, set(shared))
                 right = (
@@ -4187,6 +4229,54 @@ def sparql_exists_expr_sql() -> str:
          OR NOT EXISTS (SELECT 1 FROM nation n
                         WHERE n.n_nationkey = c.c_nationkey
                           AND n.n_regionkey = 0)
+    """
+
+
+# EXISTS operand over a possibly-unbound shared variable (spec §18.5
+# compatible mappings): customers with an OPTIONAL order — a customer
+# without orders leaves ?ord unbound, which is compatible with EVERY
+# sub-pattern solution, so those rows pass as long as any nation-5
+# order exists; bound rows pass only when THEIR order was placed by a
+# nation-5 customer (or via the disjunction's nation-3 arm, which
+# proves the marker composes instead of reducing to a semi-join)
+GATE_EXISTS_COMPAT = """
+  SELECT ?cust ?nation ?ord WHERE {
+    GRAPH <graph://tpch> {
+      ?cust <in_nation> ?nation
+      OPTIONAL { ?ord <placed_by> ?cust }
+    }
+    FILTER (EXISTS { GRAPH <graph://tpch> {
+                       ?ord <placed_by> ?c2 . ?c2 <in_nation> <nation:5>
+                     } }
+            || ?nation = <nation:3>)
+  }
+"""
+
+
+def sparql_exists_compat_gate(spark, sf_dir: str) -> DataFrame:
+    from .ops.quads import tpch_quads
+
+    return sparql_select(tpch_quads(spark, sf_dir), GATE_EXISTS_COMPAT)
+
+
+def sparql_exists_compat_sql() -> str:
+    return """
+      WITH acc AS (
+        SELECT 'cust:' || c.c_custkey AS cust,
+               'nation:' || c.c_nationkey AS nation,
+               'order:' || o.o_orderkey AS ord
+        FROM customer c
+        LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+      )
+      SELECT cust, nation, ord FROM acc
+      WHERE EXISTS (
+              SELECT 1
+              FROM orders o2
+              JOIN customer c2 ON o2.o_custkey = c2.c_custkey
+              WHERE c2.c_nationkey = 5
+                AND (acc.ord IS NULL
+                     OR acc.ord = 'order:' || o2.o_orderkey))
+         OR nation = 'nation:3'
     """
 
 

@@ -517,6 +517,55 @@ def test_exists_as_boolean_operand(quads):
         )
 
 
+def test_exists_operand_compat_mappings(quads):
+    # spec §18.5: an EXISTS operand sharing a possibly-unbound
+    # (OPTIONAL-introduced) variable — an unbound value is compatible
+    # with ANY sub-pattern binding, so every null-?n row passes as long
+    # as the sub-pattern is non-empty
+    q = """
+      SELECT ?x ?n WHERE {
+        GRAPH ?g { ?x <knows> ?y }
+        OPTIONAL { ?x <age> ?n }
+        FILTER (EXISTS { ?z <age> ?n } || ?x = <b>)
+      }
+    """
+    assert _run(quads, q) == [("a", "3"), ("b", None), ("c", None)]
+    # empty sub-pattern: compat-EXISTS is false even for unbound rows,
+    # the disjunction's other arm decides
+    q = """
+      SELECT ?x ?n WHERE {
+        GRAPH ?g { ?x <knows> ?y }
+        OPTIONAL { ?x <age> ?n }
+        FILTER (EXISTS { ?z <missing> ?n } || ?x = <b>)
+      }
+    """
+    assert _run(quads, q) == [("b", None)]
+    # mixed sure (?x) + maybe (?n) shared vars: the sure var stays an
+    # equi key, so only rows whose ?x appears in the sub-pattern pass
+    q = """
+      SELECT ?x WHERE {
+        GRAPH ?g { ?x <knows> ?y }
+        OPTIONAL { ?x <age> ?n }
+        FILTER (EXISTS { ?x <age> ?n } || ?y = <a>)
+      }
+    """
+    assert _run(quads, q) == [("a",), ("c",)]
+
+
+def test_exists_operand_compat_no_multiplication(quads):
+    # multiple sub-pattern solutions compatible with one null-?n row
+    # must mark the row once, not duplicate it (membership is decided
+    # per distinct key tuple and rejoined null-safely)
+    q = """
+      SELECT ?x ?y WHERE {
+        GRAPH ?g { ?x <knows> ?y }
+        OPTIONAL { ?x <age> ?n }
+        FILTER (EXISTS { ?z a <Person> . ?w <age> ?n } || ?x = <b>)
+      }
+    """
+    assert _run(quads, q) == [("a", "b"), ("b", "c"), ("c", "a")]
+
+
 def test_minus(quads):
     q = """
       SELECT ?x ?y WHERE {
