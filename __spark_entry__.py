@@ -705,6 +705,12 @@ def _q_graph_components(spark, sf_dir):
     return graph_components(spark, sf_dir)
 
 
+def _q_graph_kcore(spark, sf_dir):
+    from rify_spark.ops.graph import graph_kcore
+
+    return graph_kcore(spark, sf_dir)
+
+
 def _q_rdf_trig_format(spark, sf_dir):
     from rify_spark.rdf import rdf_trig_format
 
@@ -968,6 +974,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_sssp": _q_graph_sssp,
         # undirected connected components (min-label + edge consistency)
         "graph_components": _q_graph_components,
+        "graph_kcore": _q_graph_kcore,
         # subject-grouped TriG serialization (one-shuffle distributed writer)
         "rdf_trig_format": _q_rdf_trig_format,
         # TriG write -> distributed subset reader -> exact quad set
@@ -1216,6 +1223,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_bfs_levels": graph.graph_bfs_levels_sql(),
         "graph_sssp": graph.graph_sssp_sql(),
         "graph_components": graph.graph_components_sql(),
+        "graph_kcore": graph.graph_kcore_sql(),
         "rdf_trig_format": _rdf_sql("rdf_trig_format_sql"),
         "rdf_trig_roundtrip": _rdf_sql("rdf_trig_roundtrip_sql"),
         "sparql_construct_bnode": _sparql_sql("sparql_construct_bnode_sql"),

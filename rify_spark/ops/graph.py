@@ -648,3 +648,116 @@ def graph_components_sql() -> str:
               WHERE c2.c_nationkey = customer.c_nationkey) AS canon
       FROM customer
     """
+
+
+# --- k-core decomposition (iterative peeling) --------------------------------
+
+KCORE_MAX_ITER = 128
+KCORE_CYCLE = 64  # gate: cycle width over customer keys 1..KCORE_CYCLE
+
+
+def kcore(edges: DataFrame, k: int, max_iter: int = KCORE_MAX_ITER) -> DataFrame:
+    """The k-core of the UNDIRECTED simple graph under a directed
+    ``(s, o)`` edge table -> ``(node, deg)`` where ``deg`` is the node's
+    degree WITHIN the core subgraph (rify has no graph library; this
+    completes the engine's graph-analytics family alongside
+    pagerank/triangles/BFS/SSSP/CC — reference scope src/infer.rs is
+    rule fixpoints, the same delta discipline reused here).
+
+    Iterative peeling in the engine's semi-naive shape: the edge table
+    is symmetrized, dedup'd, hash-partitioned on ``s`` and cached ONCE;
+    each round removes every node of current degree < k and maintains
+    degrees by DELTA — surviving nodes subtract their edge count into
+    the newly-removed set (one frontier-sized join against the edge
+    cache + one map-side-combined aggregate), so a settled 100-TB
+    region never re-aggregates.  A node dropping below k mid-round is
+    removed next round (layered peeling: #rounds = peel depth, not n).
+    Degree blocks are ``localCheckpoint``-truncated per round.
+    ``max_iter`` is a guard for adversarial peel depths (a path graph
+    peels in O(n/2) layers); the gate graph's depth is O(log n).
+    """
+    if k < 1:
+        raise ValueError("k-core requires k >= 1")
+    spark = edges.sparkSession
+    width = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    fwd = edges.select("s", "o").filter(
+        F.col("s").isNotNull()
+        & F.col("o").isNotNull()
+        & (F.col("s") != F.col("o"))
+    )
+    ed = (
+        fwd.unionByName(
+            fwd.select(F.col("o").alias("s"), F.col("s").alias("o"))
+        )
+        .dropDuplicates(["s", "o"])
+        .repartition(width, "s")
+        .persist()
+    )
+    ed.count()
+    deg = (
+        ed.groupBy(F.col("s").alias("node"))
+        .agg(F.count("*").cast("long").alias("deg"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        removed = deg.filter(F.col("deg") < k).select("node")
+        if not removed.take(1):
+            break
+        loss = (
+            ed.join(removed.select(F.col("node").alias("o")), "o")
+            .groupBy(F.col("s").alias("node"))
+            .agg(F.count("*").cast("long").alias("_loss"))
+        )
+        deg = (
+            deg.join(removed, "node", "left_anti")
+            .join(loss, "node", "left")
+            .select(
+                "node",
+                (
+                    F.col("deg") - F.coalesce(F.col("_loss"), F.lit(0))
+                ).alias("deg"),
+            )
+            .localCheckpoint()
+        )
+    ed.unpersist()
+    return deg
+
+
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate query: the 2-core of (customer-key parent tree + a cycle
+    over keys 1..KCORE_CYCLE).  Every cycle in this graph lives inside
+    the cycle key range (tree ancestors of small keys are smaller
+    keys), so peeling strips the entire hanging forest and the 2-core
+    is EXACTLY keys 1..KCORE_CYCLE — the oracle reproduces the core's
+    internal degrees in closed form, no recursion."""
+    C = KCORE_CYCLE
+    cust = spark.read.parquet(f"{sf_dir.rstrip('/')}/customer.parquet")
+    tree = cust.filter(F.col("c_custkey") >= 1).select(
+        F.concat(F.lit("node:"), F.col("c_custkey")).alias("s"),
+        F.concat(
+            F.lit("node:"), F.floor(F.col("c_custkey") / 2).cast("long")
+        ).alias("o"),
+    )
+    cyc = cust.filter(F.col("c_custkey").between(1, C)).select(
+        F.concat(F.lit("node:"), F.col("c_custkey")).alias("s"),
+        F.concat(
+            F.lit("node:"), (F.col("c_custkey") % C + 1).cast("long")
+        ).alias("o"),
+    )
+    return kcore(tree.unionByName(cyc), k=2)
+
+
+def graph_kcore_sql() -> str:
+    C = KCORE_CYCLE
+    return f"""
+      WITH ed AS (
+        SELECT c_custkey AS a, c_custkey // 2 AS b FROM customer
+        WHERE c_custkey BETWEEN 2 AND {C}
+        UNION
+        SELECT c_custkey, (c_custkey % {C}) + 1 FROM customer
+        WHERE c_custkey BETWEEN 1 AND {C}
+      ),
+      sym AS (SELECT a, b FROM ed UNION SELECT b AS a, a AS b FROM ed)
+      SELECT 'node:' || a AS node, CAST(COUNT(DISTINCT b) AS BIGINT) AS deg
+      FROM sym WHERE a <> b GROUP BY a
+    """

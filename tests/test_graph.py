@@ -160,3 +160,68 @@ def test_sssp_multi_source_takes_nearest(spark):
         for r in sssp_distances(chain, src).collect()
     }
     assert got["n5"] == 10 and got["n3"] == 30 and got["n4"] == 0
+
+
+# --- k-core ------------------------------------------------------------------
+
+from rify_spark.ops.graph import kcore  # noqa: E402
+
+
+def _cores(df):
+    return {r.node: r.deg for r in df.collect()}
+
+
+def test_kcore_triangle_with_tail(spark):
+    # triangle a-b-c survives as the 2-core; the tail c-d-e peels in
+    # two layers (e first, then d)
+    ed = _edges(
+        spark,
+        [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"), ("d", "e")],
+    )
+    assert _cores(kcore(ed, 2)) == {"a": 2, "b": 2, "c": 2}
+
+
+def test_kcore_degrees_are_core_internal(spark):
+    # b's raw degree is 3, but inside the 2-core (the square) it is 2:
+    # the pendant edge's loss must be subtracted exactly once
+    ed = _edges(
+        spark,
+        [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a"), ("b", "x")],
+    )
+    got = _cores(kcore(ed, 2))
+    assert got == {"a": 2, "b": 2, "c": 2, "d": 2}
+
+
+def test_kcore_cascading_peel_empties_tree(spark):
+    # a path peels layer by layer from both ends to nothing
+    ed = _edges(spark, [("a", "b"), ("b", "c"), ("c", "d")])
+    assert _cores(kcore(ed, 2)) == {}
+
+
+def test_kcore_3core_of_k4_plus_fringe(spark):
+    k4 = [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"), ("c", "d")]
+    fringe = [("d", "e"), ("e", "f"), ("e", "g"), ("f", "g")]
+    got = _cores(kcore(_edges(spark, k4 + fringe), 3))
+    assert got == {"a": 3, "b": 3, "c": 3, "d": 3}
+
+
+def test_kcore_direction_duplicates_selfloops_collapse(spark):
+    # duplicated/reversed edges and self-loops count once/never
+    ed = _edges(
+        spark,
+        [("a", "b"), ("b", "a"), ("a", "b"), ("a", "a"),
+         ("b", "c"), ("c", "a")],
+    )
+    assert _cores(kcore(ed, 2)) == {"a": 2, "b": 2, "c": 2}
+
+
+def test_kcore_k1_drops_isolated_only(spark):
+    ed = _edges(spark, [("a", "b"), ("c", "c")])  # self-loop == isolated
+    assert _cores(kcore(ed, 1)) == {"a": 1, "b": 1}
+
+
+def test_kcore_rejects_k0(spark):
+    import pytest
+
+    with pytest.raises(ValueError, match="k >= 1"):
+        kcore(_edges(spark, [("a", "b")]), 0)
