@@ -2974,13 +2974,19 @@ class _Eval:
         depends only on its shared-variable tuple, so membership is
         decided ONCE per distinct left key tuple — distinct left keys
         ``left-semi``-join the sub-pattern's distinct keys under the
-        per-var compatibility predicate (definitely-bound vars stay
-        plain equi keys, keeping the semi hash-planned whenever one
-        exists), and the surviving tuples rejoin the full relation on
-        null-safe equality (``<=>``), a hash join. Two key-sized
-        shuffles; never a row-id, so the plan is re-computation-safe.
-        Returns (rewritten tree, widened acc, marker column names to
-        drop after the filter)."""
+        per-var compatibility predicate, and the surviving tuples
+        rejoin the full relation on null-safe equality (``<=>``), a
+        hash join. The semi is decomposed on the FIRST maybe-var's
+        null split (the ``_compat_join`` discipline) so the dominant
+        bound=bound mass equi-joins: bound-left × bound-right takes
+        ``v0`` as a hash key, while the null slices (left rows whose
+        ``v0`` is unbound / right solutions not binding ``v0``) pay
+        only a constant-condition or residual-condition leg — with one
+        maybe-var (the common case) every leg is hash- or broadcast-
+        planned, NO nested loop. Key-sized shuffles only; never a
+        row-id, so the plan is re-computation-safe. Returns (rewritten
+        tree, widened acc, marker column names to drop after the
+        filter)."""
         op, a, b = entry
         if op == "exists_expr":
             sub = self.group(a)
@@ -2998,18 +3004,35 @@ class _Eval:
                 rkeys = sub2.df.select(
                     *[F.col(v).alias(f"__x_{v}") for v in shared]
                 ).distinct()
-                conds = [F.col(v) == F.col(f"__x_{v}") for v in sure]
-                conds += [
+
+                def conj(conds):
+                    out = F.lit(True)
+                    for c in conds:
+                        out = out & c
+                    return out
+
+                v0, rest = maybe_shared[0], maybe_shared[1:]
+                rv0 = f"__x_{v0}"
+                base = [F.col(v) == F.col(f"__x_{v}") for v in sure]
+                base += [
                     F.col(v).isNull()
                     | F.col(f"__x_{v}").isNull()
                     | (F.col(v) == F.col(f"__x_{v}"))
-                    for v in maybe_shared
+                    for v in rest
                 ]
-                cond = conds[0]
-                for c in conds[1:]:
-                    cond = cond & c
+                l_b = lkeys.filter(F.col(v0).isNotNull())
+                l_n = lkeys.filter(F.col(v0).isNull())
+                r_b = rkeys.filter(F.col(rv0).isNotNull())
+                r_n = rkeys.filter(F.col(rv0).isNull())
                 hit = (
-                    lkeys.join(rkeys, cond, "left_semi")
+                    l_b.join(
+                        r_b,
+                        conj([F.col(v0) == F.col(rv0)] + base),
+                        "left_semi",
+                    )
+                    .unionByName(l_b.join(r_n, conj(base), "left_semi"))
+                    .unionByName(l_n.join(rkeys, conj(base), "left_semi"))
+                    .distinct()
                     .select(
                         *[F.col(v).alias(f"__k_{v}") for v in shared]
                     )

@@ -552,6 +552,30 @@ def test_exists_operand_compat_mappings(quads):
     assert _run(quads, q) == [("a",), ("c",)]
 
 
+def test_exists_operand_compat_plan_shape(quads):
+    # the membership semi decomposes on the maybe-var's null split: the
+    # dominant bound=bound leg must be a HASH (or merge) LeftSemi on the
+    # shared var — never a cartesian product; the back join is the
+    # null-safe equi rewrite (coalesce/isnull keys), also hash-planned
+    q = """
+      SELECT ?x WHERE {
+        GRAPH ?g { ?x <knows> ?y }
+        OPTIONAL { ?x <age> ?n }
+        FILTER (EXISTS { ?z <age> ?n } || ?x = <b>)
+      }
+    """
+    df = sparql_select(quads, q)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    import re
+
+    assert re.search(
+        r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) \[n#\d+\],"
+        r" \[__x_n#\d+\], LeftSemi",
+        plan,
+    ), plan
+
+
 def test_exists_operand_compat_no_multiplication(quads):
     # multiple sub-pattern solutions compatible with one null-?n row
     # must mark the row once, not duplicate it (membership is decided
