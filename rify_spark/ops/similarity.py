@@ -740,3 +740,151 @@ def ivf_refine_centroids(
     for _ in range(iters):
         cents = _lloyd_step(quant, cents)
     return cents
+
+
+# --- scalar quantization (SQ8) ----------------------------------------------
+# The 100-TB ANN compression path: int8 codes cut the candidate-scan
+# bytes 4x vs float32 (and 8x vs the int64 working form), so a refine
+# pass over SQ8 codes streams 4x more vectors per second at equal IO.
+# All arithmetic is integer end to end (the engine's cross-engine
+# exactness discipline): no float scale factor, no rounding-mode skew.
+
+SQ8_LEVELS = 127
+
+
+def _sq8_exploded(emb: DataFrame) -> DataFrame:
+    """(vec_id, dim, xq, code): symmetric per-dimension scalar
+    quantization.  The per-dimension scale is MAX(ABS(xq)) over the
+    corpus — one 64-row aggregate broadcast back onto a narrow
+    projection (at real scale: a metadata-sized stats pass, never a
+    second full shuffle).  code = sign(x) * (|xq| * 127 div scale),
+    integer division on non-negative operands so Spark's ``div`` and
+    DuckDB's ``//`` agree exactly; an all-zero dimension codes to 0."""
+    ex = emb.select(
+        "vec_id", _quantized(F.col("embedding")).alias("qe")
+    ).select("vec_id", F.posexplode("qe").alias("dim", "xq"))
+    mx = ex.groupBy("dim").agg(F.max(F.abs(F.col("xq"))).alias("m"))
+    mag = F.expr(f"(abs(xq) * {SQ8_LEVELS}) div m")
+    code = (
+        F.when(F.col("m") == 0, F.lit(0))
+        .when(F.col("xq") < 0, -mag)
+        .otherwise(mag)
+        .cast("long")
+    )
+    return (
+        ex.join(F.broadcast(mx), "dim")
+        .select("vec_id", F.col("dim").cast("long").alias("dim"), "xq",
+                code.alias("code"))
+    )
+
+
+def emb_sq8_codes(emb: DataFrame) -> DataFrame:
+    return _sq8_exploded(emb).select("vec_id", "dim", "code")
+
+
+def emb_sq8_codes_sql() -> str:
+    return f"""
+      WITH ex AS (
+        SELECT vec_id, r.range AS dim1,
+               CAST(round(embedding[r.range]::DOUBLE * {KNN_QUANT}) AS BIGINT) AS xq
+        FROM embeddings, range(1, {EMB_DIM} + 1) r
+      ),
+      mx AS (SELECT dim1, MAX(ABS(xq)) AS m FROM ex GROUP BY dim1)
+      SELECT vec_id, CAST(ex.dim1 - 1 AS BIGINT) AS dim,
+             CAST(CASE WHEN m = 0 THEN 0
+                       WHEN xq < 0 THEN -((ABS(xq) * {SQ8_LEVELS}) // m)
+                       ELSE (xq * {SQ8_LEVELS}) // m END AS BIGINT) AS code
+      FROM ex JOIN mx USING (dim1)
+    """
+
+
+def knn_sq8_recall(
+    emb: DataFrame, n_queries: int = KNN_N_QUERIES, k: int = KNN_K
+) -> DataFrame:
+    """Recall@k of brute-force search over SQ8 codes vs full-precision
+    brute force: per query, |topk_sq8 ∩ topk_exact| summed into one
+    summary row.  Both ranks are integer dot products with the shared
+    (dot DESC, vec_id) tie-break.  The dots are computed on the
+    EXPLODED form (join on dim, map-side-combined sum) — the same
+    O(n_q * n * d) work as the array zip_with but expressed as one
+    aggregate exchange over narrow longs."""
+    ex = _sq8_exploded(emb)
+    got = {}
+    for kind, col in (("sq8", "code"), ("exact", "xq")):
+        q = ex.filter(F.col("vec_id") < n_queries).select(
+            F.col("vec_id").alias("query_id"), "dim",
+            F.col(col).alias("qv"),
+        )
+        dots = (
+            ex.select("vec_id", "dim", F.col(col).alias("cv"))
+            .join(F.broadcast(q), "dim")
+            .filter(F.col("vec_id") != F.col("query_id"))
+            .groupBy("query_id", "vec_id")
+            .agg(F.sum(F.col("qv") * F.col("cv")).alias("dot"))
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("dot").desc(), F.col("vec_id")
+        )
+        got[kind] = (
+            dots.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "vec_id")
+        )
+    hits = got["sq8"].join(got["exact"], ["query_id", "vec_id"]).agg(
+        F.count("*").alias("n_hits")
+    )
+    return hits.select(
+        F.lit(n_queries * k).cast("long").alias("n_expected"),
+        F.col("n_hits").cast("long").alias("n_hits"),
+        (F.col("n_hits") / F.lit(n_queries * k)).alias("recall"),
+    )
+
+
+def knn_sq8_recall_sql(
+    n_queries: int = KNN_N_QUERIES, k: int = KNN_K
+) -> str:
+    return f"""
+      WITH ex AS (
+        SELECT vec_id, r.range AS dim1,
+               CAST(round(embedding[r.range]::DOUBLE * {KNN_QUANT}) AS BIGINT) AS xq
+        FROM embeddings, range(1, {EMB_DIM} + 1) r
+      ),
+      mx AS (SELECT dim1, MAX(ABS(xq)) AS m FROM ex GROUP BY dim1),
+      co AS (
+        SELECT vec_id, ex.dim1,
+               xq,
+               CASE WHEN m = 0 THEN 0
+                    WHEN xq < 0 THEN -((ABS(xq) * {SQ8_LEVELS}) // m)
+                    ELSE (xq * {SQ8_LEVELS}) // m END AS code
+        FROM ex JOIN mx USING (dim1)
+      ),
+      dots AS (
+        SELECT q.vec_id AS query_id, c.vec_id,
+               SUM(q.code * c.code) AS dot_sq8,
+               SUM(q.xq * c.xq) AS dot_exact
+        FROM co q JOIN co c USING (dim1)
+        WHERE q.vec_id < {n_queries} AND q.vec_id != c.vec_id
+        GROUP BY 1, 2
+      ),
+      r_sq8 AS (
+        SELECT query_id, vec_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY dot_sq8 DESC, vec_id) AS rnk
+        FROM dots
+      ),
+      r_exact AS (
+        SELECT query_id, vec_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY dot_exact DESC, vec_id) AS rnk
+        FROM dots
+      ),
+      hits AS (
+        SELECT count(*) AS n_hits
+        FROM r_sq8 a JOIN r_exact b USING (query_id, vec_id)
+        WHERE a.rnk <= {k} AND b.rnk <= {k}
+      )
+      SELECT CAST({n_queries * k} AS BIGINT) AS n_expected,
+             CAST(n_hits AS BIGINT) AS n_hits,
+             n_hits / CAST({n_queries * k} AS DOUBLE) AS recall
+      FROM hits
+    """

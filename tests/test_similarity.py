@@ -69,3 +69,66 @@ def test_ivf_lloyd_refinement_reduces_cost(spark, emb):
     # Lloyd step never increases the k-means objective (integer rounding
     # can only perturb it negligibly relative to the measured gap)
     assert _assignment_cost(quant, refined) <= _assignment_cost(quant, sample)
+
+
+# --- SQ8 scalar quantization -------------------------------------------------
+
+from rify_spark.ops.similarity import (  # noqa: E402
+    SQ8_LEVELS,
+    emb_sq8_codes,
+    knn_sq8_recall,
+)
+
+
+def test_sq8_codes_bounded_and_complete(spark, emb):
+    codes = emb_sq8_codes(emb)
+    n = emb.count()
+    assert codes.count() == n * 64  # one code per (vector, dim)
+    lo, hi = codes.agg(F.min("code"), F.max("code")).first()
+    assert -SQ8_LEVELS <= lo and hi <= SQ8_LEVELS
+    # the per-dimension max magnitude saturates the code range exactly
+    assert (
+        codes.groupBy("dim")
+        .agg(F.max(F.abs(F.col("code"))).alias("mx"))
+        .filter(F.col("mx") != SQ8_LEVELS)
+        .count()
+        == 0
+    )
+
+
+def test_sq8_sign_and_zero_dimension(spark):
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, -2.0] + [0.0] * 61),
+            (1, [-1.0, 0.0, 2.0] + [0.0] * 61),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    got = {
+        (r.vec_id, r.dim): r.code
+        for r in emb_sq8_codes(emb).filter(F.col("dim") < 3).collect()
+    }
+    # symmetric: opposite inputs -> opposite codes; all-zero dim -> 0
+    assert got[(0, 0)] == SQ8_LEVELS and got[(1, 0)] == -SQ8_LEVELS
+    assert got[(0, 1)] == 0 and got[(1, 1)] == 0
+    assert got[(0, 2)] == -SQ8_LEVELS and got[(1, 2)] == SQ8_LEVELS
+    # half-magnitude codes to floor(|xq|*127/m)
+    emb2 = spark.createDataFrame(
+        [(0, [1.0] + [0.0] * 63), (1, [0.5] + [0.0] * 63)],
+        "vec_id long, embedding array<float>",
+    )
+    got2 = {
+        (r.vec_id, r.dim): r.code
+        for r in emb_sq8_codes(emb2).filter(F.col("dim") == 0).collect()
+    }
+    assert got2[(0, 0)] == SQ8_LEVELS
+    assert got2[(1, 0)] == (500 * SQ8_LEVELS) // 1000
+
+
+def test_sq8_recall_summary_well_formed(spark, emb):
+    r = knn_sq8_recall(emb, n_queries=5, k=5).first()
+    assert r.n_expected == 25
+    assert 0 <= r.n_hits <= 25
+    assert abs(r.recall - r.n_hits / 25) < 1e-12
+    # int8 keeps most of the ranking on this corpus
+    assert r.recall >= 0.6
