@@ -1018,6 +1018,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_keep": lambda s, d: dedup.docs_keep(_docs(s, d)),
         # versioned-corpus as-of snapshot (latest commit per file)
         "corpus_snapshot": snapshot.corpus_snapshot,
+        # snapshot-to-snapshot change set (incremental-maintenance feed)
+        "corpus_diff": snapshot.corpus_diff_gate,
         "docs_sample_stratified": lambda s, d: sample.docs_sample_stratified(
             _docs(s, d)
         ),
@@ -1260,6 +1262,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_clusters": dedup.neardup_clusters_sql(),
         "docs_keep": dedup.docs_keep_sql(),
         "corpus_snapshot": snapshot.corpus_snapshot_sql(),
+        "corpus_diff": snapshot.corpus_diff_sql(),
         "docs_sample_stratified": sample.docs_sample_stratified_sql(),
         "docs_shuffle_rank": sample.docs_shuffle_rank_sql(),
         "docs_decontaminate": decon.decontaminate_sql(),

@@ -17,10 +17,9 @@ as-of bound is a plain pre-aggregation filter (pushable to the scan /
 partition pruning when the table is version-partitioned).
 
 Determinism: ``max_by`` ties are unspecified in both engines, so the
-version expression MUST be a total order per key.  ``version_of``
-defaults to the ``commit`` column's lexicographic order, which is total
-whenever commits are unique per (repo, path) — callers with a commit
-*sequence* column should pass it explicitly.
+``version_col`` values MUST be a total order per key (unique commits /
+a commit sequence number); the gate's o_orderkey versions are globally
+unique.
 """
 
 from __future__ import annotations
@@ -112,4 +111,98 @@ def corpus_snapshot_sql() -> str:
              max_by(lang, commit) AS lang,
              max_by(content, commit) AS content
       FROM v GROUP BY repo, path
+    """
+
+
+def corpus_diff(
+    files: DataFrame,
+    v_old: Column,
+    v_new: Column,
+    keys: Sequence[str] = KEYS,
+    version_col: str = "commit",
+    content_col: str = "content",
+) -> DataFrame:
+    """Change set between two as-of snapshots -> ``(*keys, change)``
+    with ``change`` in {'added', 'removed', 'modified'}.
+
+    This is the feed for incremental KG maintenance: 'added'/'modified'
+    files re-enter extraction, 'removed'/'modified' files drive
+    retraction of their previously-derived triples (the streaming
+    retract path) — at 10^12 files the diff is what makes a daily
+    update O(changed), not O(corpus).
+
+    One shuffle total: both snapshots share the ``groupBy(keys)``
+    hash partitioning, computed as a SINGLE aggregate with two
+    conditional ``max_by`` branches over one scan (never two passes +
+    a join).  Files changing between the cuts compare by content."""
+    keys = list(keys)
+    if version_col not in files.columns:
+        raise ValueError(f"version column {version_col!r} not in input")
+    vc, cc = F.col(version_col), F.col(content_col)
+    agg = files.groupBy(*keys).agg(
+        F.max_by(
+            F.when(vc <= v_old, cc), F.when(vc <= v_old, vc)
+        ).alias("_old"),
+        F.max_by(
+            F.when(vc <= v_new, cc), F.when(vc <= v_new, vc)
+        ).alias("_new"),
+    )
+    change = (
+        F.when(F.col("_old").isNull() & F.col("_new").isNotNull(), "added")
+        .when(F.col("_old").isNotNull() & F.col("_new").isNull(), "removed")
+        .when(F.col("_old") != F.col("_new"), "modified")
+    )
+    return (
+        agg.withColumn("change", change)
+        .filter(F.col("change").isNotNull())
+        .select(*keys, "change")
+    )
+
+
+def corpus_diff_gate(spark, sf_dir: str) -> DataFrame:
+    """Gate: diff the versioned orders-corpus between the half-max and
+    3/4-max version cuts.  Every content embeds its version, so any
+    file with a commit inside the window diffs 'modified' (or 'added'
+    when its FIRST commit lands there) — the oracle reproduces both
+    cuts with windowed arg_max."""
+    corpus = versioned_corpus(spark, sf_dir)
+    mx = corpus.agg(F.max("commit")).first()[0]
+    return corpus_diff(
+        corpus, F.lit(mx // 2), F.lit(mx * 3 // 4)
+    )
+
+
+def corpus_diff_sql() -> str:
+    return """
+      WITH cuts AS (
+        SELECT MAX(o_orderkey) // 2 AS v_old,
+               MAX(o_orderkey) * 3 // 4 AS v_new
+        FROM orders
+      ),
+      v AS (
+        SELECT 'repo_' || (o_custkey % 10) AS repo,
+               'src/f_' || o_custkey || '.py' AS path,
+               CAST(o_orderkey AS BIGINT) AS commit,
+               'def f_' || o_custkey || '(): return ' || o_orderkey
+                 AS content
+        FROM orders
+      ),
+      snap AS (
+        SELECT repo, path,
+               max_by(CASE WHEN commit <= (SELECT v_old FROM cuts)
+                           THEN content END,
+                      CASE WHEN commit <= (SELECT v_old FROM cuts)
+                           THEN commit END) AS c_old,
+               max_by(CASE WHEN commit <= (SELECT v_new FROM cuts)
+                           THEN content END,
+                      CASE WHEN commit <= (SELECT v_new FROM cuts)
+                           THEN commit END) AS c_new
+        FROM v GROUP BY repo, path
+      )
+      SELECT repo, path,
+             CASE WHEN c_old IS NULL THEN 'added'
+                  WHEN c_new IS NULL THEN 'removed'
+                  ELSE 'modified' END AS change
+      FROM snap
+      WHERE (c_old IS NULL) != (c_new IS NULL) OR c_old != c_new
     """

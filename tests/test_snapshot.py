@@ -73,3 +73,65 @@ def test_single_partial_aggregate_plan(files):
     assert "Window" not in plan
     assert plan.count("Exchange") == 1
     assert "partial_max_by" in plan
+
+
+# --- corpus_diff -------------------------------------------------------------
+
+from rify_spark.ops.snapshot import corpus_diff  # noqa: E402
+
+
+def test_corpus_diff_classifies_changes(spark):
+    rows = [
+        # unchanged: only version <= v_old
+        ("r", "same.py", 1, "python", "s1"),
+        # modified: new content after the old cut
+        ("r", "mod.py", 2, "python", "m-old"),
+        ("r", "mod.py", 7, "python", "m-new"),
+        # added: first commit lands between the cuts
+        ("r", "new.py", 6, "python", "n6"),
+        # invisible: first commit after BOTH cuts
+        ("r", "later.py", 99, "python", "l99"),
+        # content identical across cuts despite a new commit -> no diff
+        ("r", "touch.py", 3, "python", "t"),
+        ("r", "touch.py", 8, "python", "t"),
+    ]
+    files = spark.createDataFrame(
+        rows, "repo string, path string, commit long, lang string, content string"
+    )
+    got = {
+        r.path: r.change
+        for r in corpus_diff(files, F.lit(5), F.lit(10)).collect()
+    }
+    assert got == {"mod.py": "modified", "new.py": "added"}
+
+
+def test_corpus_diff_removed_needs_tombstone_free_semantics(spark):
+    # a file visible at v_old whose every version is > v_new is
+    # impossible under append-only versions (v_old < v_new), so
+    # 'removed' only arises when v_old > v_new is passed reversed —
+    # diff is directional and reports it
+    rows = [("r", "a.py", 3, "python", "x")]
+    files = spark.createDataFrame(
+        rows, "repo string, path string, commit long, lang string, content string"
+    )
+    got = [
+        (r.path, r.change)
+        for r in corpus_diff(files, F.lit(5), F.lit(1)).collect()
+    ]
+    assert got == [("a.py", "removed")]
+
+
+def test_corpus_diff_single_shuffle_plan(spark):
+    files = spark.createDataFrame(
+        [("r", "a.py", 1, "python", "x")],
+        "repo string, path string, commit long, lang string, content string",
+    )
+    plan = (
+        corpus_diff(files, F.lit(1), F.lit(2))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # both snapshots ride ONE aggregate: a single exchange, no join
+    assert plan.count("Exchange") == 1
+    assert "Join" not in plan
