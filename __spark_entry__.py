@@ -1001,6 +1001,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_redact_pii": lambda s, d: text.redact_pii(_docs(s, d)),
         "text_repetition": lambda s, d: text.repetition(_docs(s, d)),
         "text_top_ngrams": lambda s, d: text.top_ngrams(_docs(s, d)),
+        "text_tfidf": lambda s, d: text.tfidf_top_terms(_docs(s, d)),
         # training-sequence prep: overlapping token-window chunking
         "docs_chunk": lambda s, d: text.chunk_docs(_docs(s, d)),
         # concat-then-chunk sequence packing offsets (one window shuffle)
@@ -1251,6 +1252,7 @@ def oracle_sql() -> dict[str, str]:
         "text_redact_pii": text.redact_pii_sql(),
         "text_repetition": text.repetition_sql(),
         "text_top_ngrams": text.top_ngrams_sql(),
+        "text_tfidf": text.tfidf_top_terms_sql(),
         "docs_chunk": text.chunk_docs_sql(),
         "docs_pack": text.pack_offsets_sql(),
         "dedup_exact": dedup.exact_dedup_sql(),

@@ -410,3 +410,86 @@ def pack_offsets_sql(budget: int = PACK_SEQ_TOKENS) -> str:
                AS spans_boundary
       FROM c
     """
+
+
+# --- TF-IDF keyword extraction ----------------------------------------------
+
+TFIDF_K = 3              # top terms kept per document
+TFIDF_IDF_SCALE = 1_000_000
+
+
+def tfidf_top_terms(docs: DataFrame, k: int = TFIDF_K) -> DataFrame:
+    """Per-document top-k TF-IDF terms -> (doc_id, term, score, rank).
+
+    The curation primitive behind keyword extraction / topic tagging.
+    Scoring uses the RATIONAL integer IDF  ``(N * SCALE) div df``  in
+    place of ``ln(N/df)``: monotone in N/df, so per-document rankings
+    match the log form whenever tf is equal, and — the reason it is the
+    shipped default — EXACT across engines.  ``ln`` is only 1-ulp
+    accurate in both the JVM and libm, and mathematically-equal scores
+    from different (tf, df) pairs (e.g. 2*ln(10) vs ln(100)) can
+    straddle the top-k boundary differently per engine; integer
+    arithmetic cannot.  A float ``ln`` swap is one line where ranking
+    fidelity to the textbook formula matters more than replayability.
+
+    Scale shape: one explode -> (doc, term) partial-aggregated count
+    (tf), document frequency folded from the SAME relation (no second
+    scan), joined back (vocabulary side broadcasts below threshold /
+    AQE otherwise), top-k per doc via a row_number window — the
+    standard per-key-sort shuffle, k rows kept per document.  N is one
+    driver-side count (metadata-sized at real scale)."""
+    n_docs = docs.count()
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower("text"), " ")).alias("term"),
+    ).filter(F.col("term") != "")
+    tf = toks.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = tf.join(df, "term").select(
+        "doc_id",
+        "term",
+        (
+            F.col("tf")
+            * F.expr(f"({n_docs}L * {TFIDF_IDF_SCALE}L) div df")
+        ).cast("long").alias("score"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "term", "score", "rank")
+    )
+
+
+def tfidf_top_terms_sql(table: str = "documents", k: int = TFIDF_K) -> str:
+    return f"""
+      WITH toks AS (
+        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+        FROM {table}
+      ),
+      tf AS (
+        SELECT doc_id, term, count(*) AS tf
+        FROM toks WHERE term != '' GROUP BY 1, 2
+      ),
+      df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      scored AS (
+        SELECT doc_id, term,
+               CAST(tf * (((SELECT count(*) FROM {table})
+                           * {TFIDF_IDF_SCALE}) // df) AS BIGINT) AS score
+        FROM tf JOIN df USING (term)
+      ),
+      ranked AS (
+        SELECT doc_id, term, score,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY score DESC, term) AS rnk
+        FROM scored
+      )
+      SELECT doc_id, term, score, CAST(rnk AS BIGINT) AS rank
+      FROM ranked WHERE rnk <= {k}
+    """

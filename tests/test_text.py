@@ -152,3 +152,46 @@ def test_pack_offsets_concat_then_chunk(spark):
             out[2].spans_boundary) == (3, 0, 3, True)
     assert (out[3].global_offset, out[3].seq_id, out[3].offset_in_seq,
             out[3].spans_boundary) == (5, 1, 1, True)
+
+
+# --- TF-IDF ------------------------------------------------------------------
+
+from rify_spark.ops.text import TFIDF_IDF_SCALE, tfidf_top_terms  # noqa: E402
+
+
+def test_tfidf_rare_term_outranks_common(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "common common zebra"),
+            (2, "common filler filler"),
+            (3, "common other words"),
+        ],
+        "doc_id long, text string",
+    )
+    got = tfidf_top_terms(docs, k=1).collect()
+    top = {r.doc_id: r.term for r in got}
+    # 'zebra' (df=1) beats 'common' (df=3) in doc 1 despite tf 1 vs 2:
+    # score(zebra) = 1 * 3e6, score(common) = 2 * 1e6
+    assert top[1] == "zebra"
+    assert top[2] == "filler"
+    ranks = {(r.doc_id, r.term): r.score for r in got}
+    assert ranks[(1, "zebra")] == 3 * TFIDF_IDF_SCALE
+
+
+def test_tfidf_rank_is_dense_per_doc_and_tie_broken(spark):
+    docs = spark.createDataFrame(
+        [(1, "aa bb"), (2, "aa bb")], "doc_id long, text string"
+    )
+    got = sorted(
+        (r.doc_id, r.rank, r.term) for r in tfidf_top_terms(docs, k=2).collect()
+    )
+    # equal scores everywhere: rank by term lexicographically
+    assert got == [(1, 1, "aa"), (1, 2, "bb"), (2, 1, "aa"), (2, 2, "bb")]
+
+
+def test_tfidf_empty_tokens_dropped(spark):
+    docs = spark.createDataFrame(
+        [(1, "x  y   ")], "doc_id long, text string"
+    )
+    terms = {r.term for r in tfidf_top_terms(docs, k=10).collect()}
+    assert terms == {"x", "y"}
