@@ -703,9 +703,13 @@ def kcore(edges: DataFrame, k: int, max_iter: int = KCORE_MAX_ITER) -> DataFrame
         removed = deg.filter(F.col("deg") < k).select("node")
         if not removed.take(1):
             break
+        # neighbors of newly-removed nodes, read from the removed side's
+        # OUT-edges (symmetric table: identical to in-edges) so the join
+        # key is the edge cache's own partitioning column `s` — the
+        # removed delta shuffles/broadcasts, the edge table never does
         loss = (
-            ed.join(removed.select(F.col("node").alias("o")), "o")
-            .groupBy(F.col("s").alias("node"))
+            ed.join(removed.select(F.col("node").alias("s")), "s")
+            .groupBy(F.col("o").alias("node"))
             .agg(F.count("*").cast("long").alias("_loss"))
         )
         deg = (

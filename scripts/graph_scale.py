@@ -81,6 +81,7 @@ def worker() -> None:
     from rify_spark.ops.graph import (
         PR_ITERS,
         bfs_levels,
+        kcore,
         pagerank,
         triangle_counts,
     )
@@ -112,6 +113,17 @@ def worker() -> None:
     out["triangles_wall"] = round(w, 2)
     out["triangles_nodes"] = n_tri_nodes
     out["triangles_edges_per_sec"] = round(n_edges / w, 1)
+
+    # k-core at k=2 on the mesh: a shallow peel (node 0 then node 1, the
+    # rest is 2-core), so the measured cost is the op's symmetrize +
+    # full-degree aggregate + delta rounds over ~2x the edge volume —
+    # the shuffle-bound shape whose scaling the shuffle control yardsticks
+    t0 = time.time()
+    n_core = _force(kcore(edges, 2))
+    w = time.time() - t0
+    out["kcore_wall"] = round(w, 2)
+    out["kcore_nodes"] = n_core
+    out["kcore_edges_per_sec"] = round(n_edges / w, 1)
 
     rev = edges.select(F.col("o").alias("s"), F.col("s").alias("o"))
     bfs_src = spark.createDataFrame([("node:0",)], "node string")
@@ -226,6 +238,7 @@ def main() -> None:
         "triangles_scaling_efficiency": eff("triangles_edges_per_sec"),
         "nquads_parse_scaling_efficiency": eff("nquads_lines_per_sec"),
         "bfs_scaling_efficiency": eff("bfs_nodes_per_sec"),
+        "kcore_scaling_efficiency": eff("kcore_edges_per_sec"),
         "scan_control_scaling_efficiency": eff("scan_control_lines_per_sec"),
         "shuffle_control_scaling_efficiency": eff(
             "shuffle_control_rows_per_sec"
@@ -237,6 +250,7 @@ def main() -> None:
                 "triangles_edges_per_sec",
                 "nquads_lines_per_sec",
                 "bfs_nodes_per_sec",
+                "kcore_edges_per_sec",
             )
         },
         "best_hi": {
@@ -246,6 +260,7 @@ def main() -> None:
                 "triangles_edges_per_sec",
                 "nquads_lines_per_sec",
                 "bfs_nodes_per_sec",
+                "kcore_edges_per_sec",
             )
         },
     }
