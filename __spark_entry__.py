@@ -711,6 +711,12 @@ def _q_graph_kcore(spark, sf_dir):
     return graph_kcore(spark, sf_dir)
 
 
+def _q_graph_degree_histogram(spark, sf_dir):
+    from rify_spark.ops.graph import graph_degree_histogram
+
+    return graph_degree_histogram(spark, sf_dir)
+
+
 def _q_rdf_trig_format(spark, sf_dir):
     from rify_spark.rdf import rdf_trig_format
 
@@ -875,6 +881,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "owl_property_closure": _q_owl_property_closure,
         # graph materialize (north-rule final stage): vertex/degree table
         "kg_graph_vertices": _q_graph_vertices,
+        "kg_store_stats": quads.kg_store_stats,
         # graph analytics over the materialized KG: integer-exact PageRank
         # and degree-oriented triangle counts (bit-identical DuckDB twins)
         "kg_graph_pagerank": _q_graph_pagerank,
@@ -975,6 +982,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # undirected connected components (min-label + edge consistency)
         "graph_components": _q_graph_components,
         "graph_kcore": _q_graph_kcore,
+        "graph_degree_histogram": _q_graph_degree_histogram,
         # subject-grouped TriG serialization (one-shuffle distributed writer)
         "rdf_trig_format": _q_rdf_trig_format,
         # TriG write -> distributed subset reader -> exact quad set
@@ -1176,6 +1184,7 @@ def oracle_sql() -> dict[str, str]:
         "rdfs_closure": RDFS_CLOSURE_SQL,
         "owl_property_closure": _owl_property_closure_sql(),
         "kg_graph_vertices": graph.graph_vertices_sql(),
+        "kg_store_stats": quads.KG_STORE_STATS_SQL,
         "kg_graph_pagerank": graph.graph_pagerank_sql(),
         "kg_graph_triangles": graph.graph_triangles_sql(),
         "rdf_nquads_parse": _rdf_parse_fixture_sql(),
@@ -1230,6 +1239,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_sssp": graph.graph_sssp_sql(),
         "graph_components": graph.graph_components_sql(),
         "graph_kcore": graph.graph_kcore_sql(),
+        "graph_degree_histogram": graph.graph_degree_histogram_sql(),
         "rdf_trig_format": _rdf_sql("rdf_trig_format_sql"),
         "rdf_trig_roundtrip": _rdf_sql("rdf_trig_roundtrip_sql"),
         "sparql_construct_bnode": _sparql_sql("sparql_construct_bnode_sql"),

@@ -765,3 +765,58 @@ def graph_kcore_sql() -> str:
       SELECT 'node:' || a AS node, CAST(COUNT(DISTINCT b) AS BIGINT) AS deg
       FROM sym WHERE a <> b GROUP BY a
     """
+
+
+# --- degree distribution -----------------------------------------------------
+
+
+def degree_histogram(edges: DataFrame) -> DataFrame:
+    """Log2-bucketed undirected-degree histogram -> (bucket, n_nodes)
+    with ``bucket = floor(log2(deg))`` — the first profile run on any
+    100-TB graph (skew detection: a hub bucket at 2^20 tells the
+    planner which keys need salting before any join is written).
+
+    Two aggregate exchanges (degree, then bucket — the second over
+    O(distinct degrees) rows), no joins.  The bucket is computed from
+    the BINARY STRING LENGTH of the degree (``conv(deg, 10, 2)``),
+    never ``floor(log2())``: float log at bucket boundaries is 1-ulp
+    ambiguous and flips 2^k between buckets across engines."""
+    fwd = edges.select("s", "o").filter(
+        F.col("s").isNotNull()
+        & F.col("o").isNotNull()
+        & (F.col("s") != F.col("o"))
+    )
+    deg = (
+        fwd.unionByName(
+            fwd.select(F.col("o").alias("s"), F.col("s").alias("o"))
+        )
+        .dropDuplicates(["s", "o"])
+        .groupBy("s")
+        .agg(F.count("*").alias("deg"))
+    )
+    bucket = (F.length(F.conv(F.col("deg"), 10, 2)) - 1).cast("long")
+    return (
+        deg.select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").cast("long").alias("n_nodes"))
+    )
+
+
+def graph_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate query: degree distribution of the customer-key mesh."""
+    return degree_histogram(mesh_edges(spark, sf_dir))
+
+
+def graph_degree_histogram_sql() -> str:
+    return f"""
+      WITH mesh AS ({MESH_EDGES_SQL}),
+      ed AS (
+        SELECT DISTINCT s, o FROM (
+          SELECT s, o FROM mesh UNION ALL SELECT o AS s, s AS o FROM mesh
+        ) WHERE s IS NOT NULL AND o IS NOT NULL AND s != o
+      ),
+      deg AS (SELECT s, count(*) AS deg FROM ed GROUP BY s)
+      SELECT CAST(length(bin(deg)) - 1 AS BIGINT) AS bucket,
+             CAST(count(*) AS BIGINT) AS n_nodes
+      FROM deg GROUP BY 1
+    """

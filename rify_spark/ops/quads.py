@@ -848,3 +848,38 @@ SKEW_SALTED_CLOSURE_SQL = f"""
   UNION ALL
   SELECT 'hub', 'ancestor', 'root', '{TREE_G}'
 """
+
+
+# --- per-predicate store statistics ------------------------------------------
+
+
+def store_stats(quads: DataFrame) -> DataFrame:
+    """Per-predicate statistics of a quad store -> (p, n_quads,
+    n_subjects, n_objects) — the public surface of what the join-order
+    heuristic consumes (matcher.order_body takes per-predicate counts;
+    n_subjects/n_objects additionally expose fanout, the broadcast- and
+    salt-decision inputs a 100-TB deployment tunes with).
+
+    One groupBy(p): count + two COUNT(DISTINCT) in a single aggregate
+    (Catalyst plans the multi-distinct as one Expand + aggregate
+    pipeline — still a single pass over the store, map-side partials).
+    The output is O(vocabulary) rows: driver-safe at any corpus size.
+    """
+    return quads.groupBy("p").agg(
+        F.count("*").cast("long").alias("n_quads"),
+        F.countDistinct("s").cast("long").alias("n_subjects"),
+        F.countDistinct("o").cast("long").alias("n_objects"),
+    )
+
+
+def kg_store_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return store_stats(tpch_quads(spark, sf_dir))
+
+
+KG_STORE_STATS_SQL = f"""
+  WITH q AS ({TPCH_QUADS_SQL})
+  SELECT p, CAST(count(*) AS BIGINT) AS n_quads,
+         CAST(count(DISTINCT s) AS BIGINT) AS n_subjects,
+         CAST(count(DISTINCT o) AS BIGINT) AS n_objects
+  FROM q GROUP BY p
+"""

@@ -225,3 +225,30 @@ def test_kcore_rejects_k0(spark):
 
     with pytest.raises(ValueError, match="k >= 1"):
         kcore(_edges(spark, [("a", "b")]), 0)
+
+
+# --- degree histogram --------------------------------------------------------
+
+from rify_spark.ops.graph import degree_histogram  # noqa: E402
+
+
+def test_degree_histogram_log2_buckets(spark):
+    # hub h has degree 4 (bucket 2); x gets degree 2 (bucket 1) via the
+    # extra edge; the remaining leaves sit at degree 1 (bucket 0)
+    ed = _edges(
+        spark,
+        [("h", "a"), ("h", "b"), ("h", "c"), ("h", "x"), ("x", "a")],
+    )
+    got = {r.bucket: r.n_nodes for r in degree_histogram(ed).collect()}
+    assert got == {2: 1, 1: 2, 0: 2}
+
+
+def test_degree_histogram_power_boundaries_exact(spark):
+    # degrees 1,2,3,4 land in buckets 0,1,1,2 — integer bit-length, no
+    # float log at the 2^k boundaries
+    pairs = []
+    for i, d in enumerate((1, 2, 3, 4)):
+        pairs += [(f"n{i}", f"leaf{i}_{j}") for j in range(d)]
+    got = {r.bucket: r.n_nodes for r in degree_histogram(_edges(spark, pairs)).collect()}
+    # leaves all have degree 1 -> bucket 0 (10 leaves + n0)
+    assert got[1] == 2 and got[2] == 1 and got[0] == 11

@@ -148,3 +148,22 @@ def test_fixpoint_max_iterations_guard(spark):
         spark, facts0, lrules, InferConfig(encode_terms=False, max_iterations=1)
     )
     assert res.iterations == 1  # stopped early, did not reach closure
+
+
+def test_store_stats_counts_and_fanout(spark):
+    from rify_spark.ops.quads import store_stats
+
+    quads = spark.createDataFrame(
+        [
+            ("a", "p", "x", "g"),
+            ("a", "p", "y", "g"),
+            ("b", "p", "x", "g"),
+            ("a", "q", "x", "g"),
+        ],
+        "s string, p string, o string, g string",
+    )
+    got = {
+        r.p: (r.n_quads, r.n_subjects, r.n_objects)
+        for r in store_stats(quads).collect()
+    }
+    assert got == {"p": (3, 2, 2), "q": (1, 1, 1)}
