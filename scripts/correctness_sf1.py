@@ -50,6 +50,13 @@ PARAMETERIZED = [
     "knn_ivf",
     "knn_ivf_recall",
     "knn_ivf_refined_recall",
+    # SQ8 scale factors are corpus maxima (per-dimension MAX(ABS)), and
+    # the quantized-vs-exact recall depends on the candidate density
+    "emb_sq8_codes",
+    "knn_sq8_recall",
+    # the shuffle rank is a bijection onto 1..n — n-parameterized by
+    # construction (offset arithmetic across 10x more partitions)
+    "docs_shuffle_rank",
 ]
 
 

@@ -96,43 +96,62 @@ def worker() -> None:
     )
     spark.range(1_000_000).selectExpr("sum(id)").collect()  # JVM warmup
 
+    # optional arm filter for targeted runs (e.g. the BFS amortization
+    # pair at a larger N): RIFY_GRAPH_ARMS=bfs skips everything else
+    arms = set(
+        os.environ.get(
+            "RIFY_GRAPH_ARMS", "pagerank,triangles,kcore,bfs,nquads"
+        ).split(",")
+    )
+
     edges = _mesh(spark, N_NODES)
     n_edges = 2 * N_NODES - 2
     out: dict = {"cpus": cpus, "nodes": N_NODES, "edges": n_edges}
 
-    t0 = time.time()
-    n_ranked = _force(pagerank(edges))
-    w = time.time() - t0
-    out["pagerank_wall"] = round(w, 2)
-    out["pagerank_nodes"] = n_ranked
-    out["pagerank_edge_iters_per_sec"] = round(n_edges * PR_ITERS / w, 1)
+    if "pagerank" in arms:
+        t0 = time.time()
+        n_ranked = _force(pagerank(edges))
+        w = time.time() - t0
+        out["pagerank_wall"] = round(w, 2)
+        out["pagerank_nodes"] = n_ranked
+        out["pagerank_edge_iters_per_sec"] = round(
+            n_edges * PR_ITERS / w, 1
+        )
 
-    t0 = time.time()
-    n_tri_nodes = _force(triangle_counts(edges))
-    w = time.time() - t0
-    out["triangles_wall"] = round(w, 2)
-    out["triangles_nodes"] = n_tri_nodes
-    out["triangles_edges_per_sec"] = round(n_edges / w, 1)
+    if "triangles" in arms:
+        t0 = time.time()
+        n_tri_nodes = _force(triangle_counts(edges))
+        w = time.time() - t0
+        out["triangles_wall"] = round(w, 2)
+        out["triangles_nodes"] = n_tri_nodes
+        out["triangles_edges_per_sec"] = round(n_edges / w, 1)
 
     # k-core at k=2 on the mesh: a shallow peel (node 0 then node 1, the
     # rest is 2-core), so the measured cost is the op's symmetrize +
     # full-degree aggregate + delta rounds over ~2x the edge volume —
     # the shuffle-bound shape whose scaling the shuffle control yardsticks
-    t0 = time.time()
-    n_core = _force(kcore(edges, 2))
-    w = time.time() - t0
-    out["kcore_wall"] = round(w, 2)
-    out["kcore_nodes"] = n_core
-    out["kcore_edges_per_sec"] = round(n_edges / w, 1)
+    if "kcore" in arms:
+        t0 = time.time()
+        n_core = _force(kcore(edges, 2))
+        w = time.time() - t0
+        out["kcore_wall"] = round(w, 2)
+        out["kcore_nodes"] = n_core
+        out["kcore_edges_per_sec"] = round(n_edges / w, 1)
 
-    rev = edges.select(F.col("o").alias("s"), F.col("s").alias("o"))
-    bfs_src = spark.createDataFrame([("node:0",)], "node string")
-    t0 = time.time()
-    n_reached = _force(bfs_levels(rev, bfs_src))
-    w = time.time() - t0
-    out["bfs_wall"] = round(w, 2)
-    out["bfs_nodes"] = n_reached
-    out["bfs_nodes_per_sec"] = round(n_reached / w, 1)
+    if "bfs" in arms:
+        rev = edges.select(F.col("o").alias("s"), F.col("s").alias("o"))
+        bfs_src = spark.createDataFrame([("node:0",)], "node string")
+        t0 = time.time()
+        n_reached = _force(bfs_levels(rev, bfs_src))
+        w = time.time() - t0
+        out["bfs_wall"] = round(w, 2)
+        out["bfs_nodes"] = n_reached
+        out["bfs_nodes_per_sec"] = round(n_reached / w, 1)
+
+    if "nquads" not in arms:
+        spark.stop()
+        print(json.dumps(out))
+        return
 
     lines = spark.read.text(_lines_path())
     t0 = time.time()
