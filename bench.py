@@ -198,8 +198,14 @@ def main() -> None:
             "nodes", "edges", "cpus_lo", "cpus_hi",
             "pagerank_scaling_efficiency", "triangles_scaling_efficiency",
             "nquads_parse_scaling_efficiency",
+            "bfs_scaling_efficiency", "kcore_scaling_efficiency",
             "scan_control_scaling_efficiency",
             "shuffle_control_scaling_efficiency", "best_lo", "best_hi",
+        )),
+        ("BFS_AMORTIZE.json", "scaling_bfs_amortize", (
+            "nodes", "cpus_lo", "cpus_hi", "best_lo_nodes_per_sec",
+            "best_hi_nodes_per_sec", "scaling_efficiency",
+            "efficiency_at_5m_nodes",
         )),
         ("RETRACT_SCALING_2M.json", "scaling_retract", retract_keys),
         ("RETRACT_CONTROL.json", "retract_control", ("store_rows", "cpus_lo", "cpus_hi", "control_scaling_efficiency")),
