@@ -129,7 +129,14 @@ def corpus_diff(
     files re-enter extraction, 'removed'/'modified' files drive
     retraction of their previously-derived triples (the streaming
     retract path) — at 10^12 files the diff is what makes a daily
-    update O(changed), not O(corpus).
+    update O(changed), not O(corpus).  The contract is pinned end to
+    end by tests/test_incremental_corpus.py: diff -> re-extract ->
+    signed-batch assert/retract lands on exactly the batch closure of
+    the new snapshot.  Scope note: the canonical-ID mapping is treated
+    as stable across the two cuts (entities are path-level); if a diff
+    merges or splits link components, re-canonicalization of the
+    affected components is a separate (batch) step — stated, not
+    approximated.
 
     One shuffle total: both snapshots share the ``groupBy(keys)``
     hash partitioning, computed as a SINGLE aggregate with two
