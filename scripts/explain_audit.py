@@ -927,6 +927,100 @@ def main() -> None:
         )
     )
 
+    # round-5 continuation ops: snapshot/diff single-aggregate shapes,
+    # SQ8 broadcast stats, compat-EXISTS hash-semi, TF-IDF JVM pipeline
+    from rify_spark.ops import snapshot as snap_mod
+
+    snap_df = snap_mod.corpus_snapshot(spark, SF_DIR)
+    snap_exec = snap_df._jdf.queryExecution().executedPlan().toString()
+    sections.append(("corpus_snapshot", snap_exec[:4000]))
+    checks.append(
+        (
+            "corpus_snapshot",
+            "as-of snapshot is ONE partial-aggregating exchange "
+            "(max_by with map-side combine), never a sort-window",
+            snap_exec.count("Exchange") == 1
+            and "partial_max_by" in snap_exec
+            and "Window" not in snap_exec,
+        )
+    )
+
+    from pyspark.sql import functions as FF
+
+    diff_corpus = snap_mod.versioned_corpus(spark, SF_DIR)
+    diff_df = snap_mod.corpus_diff(
+        diff_corpus, FF.lit(1000), FF.lit(2000)
+    )
+    diff_exec = diff_df._jdf.queryExecution().executedPlan().toString()
+    sections.append(("corpus_diff", diff_exec[:4000]))
+    checks.append(
+        (
+            "corpus_diff",
+            "both as-of snapshots ride a SINGLE two-branch aggregate "
+            "over one scan — 1 Exchange, no Join",
+            diff_exec.count("Exchange") == 1 and "Join" not in diff_exec,
+        )
+    )
+
+    sq8_df = similarity.emb_sq8_codes(emb)
+    sq8_exec = sq8_df._jdf.queryExecution().executedPlan().toString()
+    sections.append(("emb_sq8_codes", sq8_exec[:4000]))
+    checks.append(
+        (
+            "emb_sq8_codes",
+            "per-dimension scales broadcast back onto the exploded "
+            "projection (64-row stats side), all-JVM integer math",
+            "BroadcastExchange" in sq8_exec
+            and not re.search(
+                r"(BatchEvalPython|ArrowEvalPython)", sq8_exec
+            ),
+        )
+    )
+
+    from rify_spark.sparql import sparql_exists_compat_gate
+
+    ec_df = sparql_exists_compat_gate(spark, SF_DIR)
+    ec_exec = ec_df._jdf.queryExecution().executedPlan().toString()
+    sections.append(("sparql_exists_compat", ec_exec[:4000]))
+    checks.append(
+        (
+            "sparql_exists_compat",
+            "compat-EXISTS membership: bound=bound leg is a hash/merge "
+            "LeftSemi on the shared var; no cartesian product anywhere",
+            "CartesianProduct" not in ec_exec
+            and bool(
+                re.search(
+                    r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)"
+                    r" \[\w*ord#\d+\], \[__x_\w*ord#\d+\], LeftSemi",
+                    ec_exec,
+                )
+            ),
+        )
+    )
+
+    from rify_spark.ops import text as text_mod
+
+    tf_df = text_mod.tfidf_top_terms(docs)
+    tf_exec = tf_df._jdf.queryExecution().executedPlan().toString()
+    sections.append(("text_tfidf", tf_exec[:4000]))
+    checks.append(
+        (
+            "text_tfidf",
+            "TF-IDF is a pure JVM pipeline: no Python eval, no "
+            "cartesian; the df side joins hash-strategy",
+            not re.search(
+                r"(BatchEvalPython|ArrowEvalPython|CartesianProduct)",
+                tf_exec,
+            )
+            and bool(
+                re.search(
+                    r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)",
+                    tf_exec,
+                )
+            ),
+        )
+    )
+
     lines = ["# PLANS — physical-plan audit", ""]
     lines.append("| query | property | status |")
     lines.append("|---|---|---|")
