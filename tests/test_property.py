@@ -901,3 +901,118 @@ def test_sparql_bind_expressions_match_python(spark, data, ast):
         for k, v in va.items()
     )
     assert got == want
+
+
+# --- snapshot / diff / k-core vs pure-Python oracles -------------------------
+#
+# The corpus-management and graph ops are deterministic data algorithms, so
+# they get the same treatment as the engine: random inputs, exact agreement
+# with a reference implementation written directly from the semantics.
+
+VSCHEMA = "repo string, path string, commit long, lang string, content string"
+
+ver_rows_st = st.lists(
+    st.tuples(
+        st.integers(0, 1),   # repo
+        st.integers(0, 2),   # path
+        st.integers(0, 30),  # commit (content derives from it, so a
+                             # duplicate (key, commit) row is identical
+                             # and max_by ties are impossible)
+    ),
+    min_size=0,
+    max_size=14,
+)
+
+
+def _ver_tuples(raw):
+    return [
+        (f"r{r}", f"f{p}.py", c, "python", f"body-{c % 3}")
+        for r, p, c in raw
+    ]
+
+
+def _py_snapshot(rows, asof):
+    best = {}
+    for repo, path, commit, _lang, content in rows:
+        if asof is not None and commit > asof:
+            continue
+        k = (repo, path)
+        if k not in best or commit > best[k][0]:
+            best[k] = (commit, content)
+    return best
+
+
+def _py_diff(rows, v_old, v_new):
+    s1, s2 = _py_snapshot(rows, v_old), _py_snapshot(rows, v_new)
+    out = {}
+    for k in set(s1) | set(s2):
+        if k in s1 and k not in s2:
+            out[k] = "removed"
+        elif k not in s1:
+            out[k] = "added"
+        elif s1[k][1] != s2[k][1]:
+            out[k] = "modified"
+    return out
+
+
+@settings(max_examples=5 * _SCALE, **_SETTINGS)
+@given(raw=ver_rows_st, cuts=st.tuples(st.integers(0, 30), st.integers(0, 30)))
+def test_snapshot_and_diff_match_python_oracle(spark, raw, cuts):
+    from pyspark.sql import functions as F
+
+    from rify_spark.ops.snapshot import corpus_diff, latest_snapshot
+
+    rows = _ver_tuples(raw)
+    files = spark.createDataFrame(rows, VSCHEMA)
+    asof, v2 = cuts
+
+    got = {
+        (r.repo, r.path): (r.commit, r.content)
+        for r in latest_snapshot(files, asof=F.lit(asof)).collect()
+    }
+    assert got == _py_snapshot(rows, asof)
+
+    got_diff = {
+        (r.repo, r.path): r.change
+        for r in corpus_diff(files, F.lit(asof), F.lit(v2)).collect()
+    }
+    assert got_diff == _py_diff(rows, asof, v2)
+
+
+edges_st = st.lists(
+    st.tuples(st.integers(0, 5), st.integers(0, 5)),
+    min_size=0,
+    max_size=14,
+)
+
+
+def _py_kcore(pairs, k):
+    adj: dict = {}
+    for a, b in pairs:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    nodes = set(adj)
+    while True:
+        drop = {n for n in nodes if len(adj[n] & nodes) < k}
+        if not drop:
+            break
+        nodes -= drop
+    return {n: len(adj[n] & nodes) for n in nodes}
+
+
+@settings(max_examples=5 * _SCALE, **_SETTINGS)
+@given(pairs=edges_st, k=st.integers(1, 3))
+def test_kcore_matches_python_oracle(spark, pairs, k):
+    from rify_spark.ops.graph import kcore
+
+    ed = spark.createDataFrame(
+        [(f"n{a}", f"n{b}") for a, b in pairs] or [("x", "x")],
+        "s string, o string",
+    )
+    got = {r.node: r.deg for r in kcore(ed, k).collect()}
+    expected = {
+        f"n{n}": d for n, d in _py_kcore(pairs, k).items()
+    }
+    assert got == expected
