@@ -1057,6 +1057,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # int8 scalar quantization (compressed-candidate ANN path)
         "emb_sq8_codes": lambda s, d: similarity.emb_sq8_codes(_emb(s, d)),
         "knn_sq8_recall": lambda s, d: similarity.knn_sq8_recall(_emb(s, d)),
+        "knn_sq8_refined_recall": lambda s, d: similarity.knn_sq8_refined_recall(
+            _emb(s, d)
+        ),
         # event windows / sessionization (batch forms)
         "events_windowed": lambda s, d: events.windowed_counts(_events(s, d)),
         "events_sliding": lambda s, d: events.sliding_counts(_events(s, d)),
@@ -1291,6 +1294,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_lsh_recall": similarity.knn_lsh_recall_sql(),
         "emb_sq8_codes": similarity.emb_sq8_codes_sql(),
         "knn_sq8_recall": similarity.knn_sq8_recall_sql(),
+        "knn_sq8_refined_recall": similarity.knn_sq8_refined_recall_sql(),
         "events_windowed": events.windowed_counts_sql(),
         "events_sliding": events.sliding_counts_sql(),
         "events_sessionize": events.sessionize_sql(),

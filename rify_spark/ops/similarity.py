@@ -888,3 +888,143 @@ def knn_sq8_recall_sql(
              n_hits / CAST({n_queries * k} AS DOUBLE) AS recall
       FROM hits
     """
+
+
+SQ8_REFINE = 4  # coarse candidates kept per query = k * SQ8_REFINE
+
+
+def knn_sq8_refined_recall(
+    emb: DataFrame,
+    n_queries: int = KNN_N_QUERIES,
+    k: int = KNN_K,
+    refine: int = SQ8_REFINE,
+) -> DataFrame:
+    """The production two-stage compressed search, measured: a coarse
+    scan ranks by SQ8 dot and keeps k*refine candidates per query; ONLY
+    those pairs are re-scored at full precision and re-ranked to top-k.
+    At 100 TB the coarse pass streams int8 codes (4x the vectors per
+    byte of IO) and the refine touches k*refine full vectors per query
+    instead of the corpus.  One summary row: recall@k of the coarse
+    top-k, of the refined top-k, and the not_worse invariant —
+    refinement can only fix coarse ranking mistakes inside the
+    candidate set, never introduce new ones."""
+    ex = _sq8_exploded(emb)
+    qs = ex.filter(F.col("vec_id") < n_queries)
+
+    def dots(col, right=None):
+        q = qs.select(
+            F.col("vec_id").alias("query_id"), "dim",
+            F.col(col).alias("qv"),
+        )
+        base = (ex if right is None else right).select(
+            "vec_id", "dim", F.col(col).alias("cv")
+        )
+        return (
+            base.join(F.broadcast(q), "dim")
+            .filter(F.col("vec_id") != F.col("query_id"))
+            .groupBy("query_id", "vec_id")
+            .agg(F.sum(F.col("qv") * F.col("cv")).alias("dot"))
+        )
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dot").desc(), F.col("vec_id")
+    )
+    coarse = dots("code").withColumn("rank", F.row_number().over(w))
+    cand = coarse.filter(F.col("rank") <= k * refine).select(
+        "query_id", "vec_id"
+    )
+    topk_coarse = coarse.filter(F.col("rank") <= k).select(
+        "query_id", "vec_id"
+    )
+    # full-precision re-score restricted to the candidate pairs: the
+    # exact dot joins ONLY candidate (query, vec) rows, k*refine per
+    # query — the refine never rescans the corpus
+    exact_cand = (
+        dots("xq")
+        .join(cand, ["query_id", "vec_id"], "left_semi")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id")
+    )
+    truth = (
+        dots("xq")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id")
+    )
+    n_exp = n_queries * k
+    h_coarse = topk_coarse.join(truth, ["query_id", "vec_id"]).count()
+    h_ref = exact_cand.join(truth, ["query_id", "vec_id"]).count()
+    return emb.sparkSession.createDataFrame(
+        [(n_exp, h_coarse, h_ref, h_coarse / n_exp, h_ref / n_exp,
+          h_ref >= h_coarse)],
+        "n_expected long, n_hits_sq8 long, n_hits_refined long, "
+        "recall_sq8 double, recall_refined double, not_worse boolean",
+    )
+
+
+def knn_sq8_refined_recall_sql(
+    n_queries: int = KNN_N_QUERIES,
+    k: int = KNN_K,
+    refine: int = SQ8_REFINE,
+) -> str:
+    return f"""
+      WITH ex AS (
+        SELECT vec_id, r.range AS dim1,
+               CAST(round(embedding[r.range]::DOUBLE * {KNN_QUANT}) AS BIGINT) AS xq
+        FROM embeddings, range(1, {EMB_DIM} + 1) r
+      ),
+      mx AS (SELECT dim1, MAX(ABS(xq)) AS m FROM ex GROUP BY dim1),
+      co AS (
+        SELECT vec_id, ex.dim1, xq,
+               CASE WHEN m = 0 THEN 0
+                    WHEN xq < 0 THEN -((ABS(xq) * {SQ8_LEVELS}) // m)
+                    ELSE (xq * {SQ8_LEVELS}) // m END AS code
+        FROM ex JOIN mx USING (dim1)
+      ),
+      dots AS (
+        SELECT q.vec_id AS query_id, c.vec_id,
+               SUM(q.code * c.code) AS dot_sq8,
+               SUM(q.xq * c.xq) AS dot_exact
+        FROM co q JOIN co c USING (dim1)
+        WHERE q.vec_id < {n_queries} AND q.vec_id != c.vec_id
+        GROUP BY 1, 2
+      ),
+      coarse AS (
+        SELECT query_id, vec_id, dot_exact,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY dot_sq8 DESC, vec_id) AS rnk
+        FROM dots
+      ),
+      refined AS (
+        SELECT query_id, vec_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY dot_exact DESC, vec_id) AS rnk
+        FROM coarse WHERE rnk <= {k * refine}
+      ),
+      truth AS (
+        SELECT query_id, vec_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY dot_exact DESC, vec_id) AS rnk
+        FROM dots
+      ),
+      hc AS (
+        SELECT count(*) AS n FROM coarse a
+        JOIN truth t USING (query_id, vec_id)
+        WHERE a.rnk <= {k} AND t.rnk <= {k}
+      ),
+      hr AS (
+        SELECT count(*) AS n FROM refined a
+        JOIN truth t USING (query_id, vec_id)
+        WHERE a.rnk <= {k} AND t.rnk <= {k}
+      )
+      SELECT CAST({n_queries * k} AS BIGINT) AS n_expected,
+             CAST((SELECT n FROM hc) AS BIGINT) AS n_hits_sq8,
+             CAST((SELECT n FROM hr) AS BIGINT) AS n_hits_refined,
+             (SELECT n FROM hc) / CAST({n_queries * k} AS DOUBLE)
+               AS recall_sq8,
+             (SELECT n FROM hr) / CAST({n_queries * k} AS DOUBLE)
+               AS recall_refined,
+             (SELECT n FROM hr) >= (SELECT n FROM hc) AS not_worse
+      FROM (SELECT 1)
+    """

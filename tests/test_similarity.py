@@ -132,3 +132,19 @@ def test_sq8_recall_summary_well_formed(spark, emb):
     assert abs(r.recall - r.n_hits / 25) < 1e-12
     # int8 keeps most of the ranking on this corpus
     assert r.recall >= 0.6
+
+
+def test_sq8_refined_recall_not_worse_and_exact_when_cands_cover(spark, emb):
+    from rify_spark.ops.similarity import knn_sq8_refined_recall
+
+    r = knn_sq8_refined_recall(emb, n_queries=5, k=5, refine=3).first()
+    assert r.n_expected == 25
+    assert r.not_worse
+    assert r.n_hits_refined >= r.n_hits_sq8
+    # a candidate budget >= corpus size makes the refine a full exact
+    # re-rank: recall must be exactly 1
+    n = emb.count()
+    full = knn_sq8_refined_recall(
+        emb, n_queries=3, k=5, refine=(n // 5) + 1
+    ).first()
+    assert full.recall_refined == 1.0
