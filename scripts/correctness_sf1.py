@@ -54,6 +54,7 @@ PARAMETERIZED = [
     # the quantized-vs-exact recall depends on the candidate density
     "emb_sq8_codes",
     "knn_sq8_recall",
+    "knn_sq8_refined_recall",
     # the shuffle rank is a bijection onto 1..n — n-parameterized by
     # construction (offset arithmetic across 10x more partitions)
     "docs_shuffle_rank",
