@@ -844,7 +844,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def _events(s_, d_):
         return s_.read.parquet(f"{d_}/events.parquet")
 
-    return {
+    q = {
         # engine operators (SURVEY.md §2)
         "o1_dict_build": quads.dict_build,
         "o2_encode": quads.encode,
@@ -1068,6 +1068,51 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": _q_multimodal,
         "multimodal_codec": _q_multimodal_codec,
     }
+    # The driver's correctness sample is the FIRST 50 dict keys, so order
+    # one representative of every operator family up front (round-5 ask
+    # #4: CORRECTNESS_r05 sampled only engine ops + early SPARQL gates —
+    # dedup/text/knn/graph-analytics/UPDATE got zero driver-side
+    # verification). Pure dict insertion order: no query is renamed,
+    # removed, or changed, and every oracle stays byte-identical.
+    first = [
+        # §2 engine operators + strategy layer
+        "o1_dict_build", "o2_encode", "o3_decode", "o4_insert_dedup",
+        "o5_membership", "o6_pattern_scan", "o7_conjunctive_match",
+        "o8_join_order", "o9_delta_round", "o10_head_projection",
+        "o11_ancestry_fixpoint", "o12_seed_unconditional",
+        "o13_prove_lineage", "o14_proof_extract", "o15_proof_raise",
+        "o16_validate_roundtrip", "o17_rule_lowering",
+        "o18_rule_validation", "o19_linear_chain_rewrite",
+        "skew_salted_closure",
+        # streaming / rulesets
+        "streaming_incremental_closure", "streaming_retract_closure",
+        "rdfs_closure",
+        # graph materialize + analytics over the KG
+        "kg_graph_vertices", "kg_graph_pagerank",
+        # RDF formats (N-Quads + TriG round trips)
+        "rdf_nquads_roundtrip", "rdf_trig_roundtrip",
+        # KG pipeline end-to-end
+        "kg_pipeline_derived",
+        # text family
+        "text_quality", "text_tfidf", "docs_chunk", "docs_pack",
+        # dedup family
+        "dedup_minhash", "dedup_lsh_pairs", "dedup_clusters",
+        "dedup_ngram_jaccard",
+        # similarity family (exact, LSH, compressed SQ8)
+        "knn_bruteforce", "knn_lsh", "knn_sq8_refined_recall",
+        # events / multimodal
+        "events_sessionize", "multimodal_codec",
+        # graph analytics (frontier BFS, k-core peeling)
+        "graph_bfs_levels", "graph_kcore",
+        # snapshot / diff / sample
+        "corpus_snapshot", "corpus_diff", "docs_shuffle_rank",
+        # SPARQL query / aggregate / UPDATE / SERVICE
+        "sparql_bgp", "sparql_agg_count", "sparql_update",
+        "sparql_service",
+    ]
+    out = {k: q[k] for k in first}
+    out.update({k: v for k, v in q.items() if k not in out})
+    return out
 
 
 # Literal oracle for the prove->validate round trip: the implied set of the

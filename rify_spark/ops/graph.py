@@ -452,23 +452,27 @@ def bfs_levels(
     )
     frontier = visited
     d = 0
-    while d < max_iter:
-        d += 1
-        nxt = (
-            ed.join(
-                frontier.select(F.col("node").alias("s")), "s"
+    try:
+        while d < max_iter:
+            d += 1
+            nxt = (
+                ed.join(
+                    frontier.select(F.col("node").alias("s")), "s"
+                )
+                .select(F.col("o").alias("node"))
+                .dropDuplicates(["node"])
+                .join(visited, "node", "left_anti")
+                .select("node", F.lit(d).cast("long").alias("dist"))
+                .localCheckpoint()
             )
-            .select(F.col("o").alias("node"))
-            .dropDuplicates(["node"])
-            .join(visited, "node", "left_anti")
-            .select("node", F.lit(d).cast("long").alias("dist"))
-            .localCheckpoint()
-        )
-        if not nxt.take(1):
-            break
-        visited = visited.unionByName(nxt)
-        frontier = nxt
-    ed.unpersist()
+            if not nxt.take(1):
+                break
+            visited = visited.unionByName(nxt)
+            frontier = nxt
+    finally:
+        # a job failure mid-loop must not leak the cached edge table for
+        # the session lifetime
+        ed.unpersist()
     return visited
 
 
@@ -545,37 +549,40 @@ def sssp_distances(
         .localCheckpoint()
     )
     frontier = dist
-    for _ in range(max_iter):
-        cand = (
-            ed.join(
-                frontier.select(
-                    F.col("node").alias("s"), F.col("dist").alias("_d")
-                ),
-                "s",
+    try:
+        for _ in range(max_iter):
+            cand = (
+                ed.join(
+                    frontier.select(
+                        F.col("node").alias("s"), F.col("dist").alias("_d")
+                    ),
+                    "s",
+                )
+                .select(
+                    F.col("o").alias("node"),
+                    (F.col("_d") + F.col("w")).alias("_cand"),
+                )
+                .groupBy("node")
+                .agg(F.min("_cand").alias("_cand"))
             )
-            .select(
-                F.col("o").alias("node"),
-                (F.col("_d") + F.col("w")).alias("_cand"),
+            improved = (
+                cand.join(dist, "node", "left")
+                .filter(
+                    F.col("dist").isNull() | (F.col("_cand") < F.col("dist"))
+                )
+                .select("node", F.col("_cand").alias("dist"))
+                .localCheckpoint()
             )
-            .groupBy("node")
-            .agg(F.min("_cand").alias("_cand"))
-        )
-        improved = (
-            cand.join(dist, "node", "left")
-            .filter(
-                F.col("dist").isNull() | (F.col("_cand") < F.col("dist"))
+            if not improved.take(1):
+                break
+            dist = (
+                dist.join(improved, "node", "left_anti")
+                .unionByName(improved)
             )
-            .select("node", F.col("_cand").alias("dist"))
-            .localCheckpoint()
-        )
-        if not improved.take(1):
-            break
-        dist = (
-            dist.join(improved, "node", "left_anti")
-            .unionByName(improved)
-        )
-        frontier = improved
-    ed.unpersist()
+            frontier = improved
+    finally:
+        # a job failure mid-loop must not leak the cached edge table
+        ed.unpersist()
     return dist
 
 
@@ -694,36 +701,50 @@ def kcore(edges: DataFrame, k: int, max_iter: int = KCORE_MAX_ITER) -> DataFrame
         .persist()
     )
     ed.count()
-    deg = (
-        ed.groupBy(F.col("s").alias("node"))
-        .agg(F.count("*").cast("long").alias("deg"))
-        .localCheckpoint()
-    )
-    for _ in range(max_iter):
-        removed = deg.filter(F.col("deg") < k).select("node")
-        if not removed.take(1):
-            break
-        # neighbors of newly-removed nodes, read from the removed side's
-        # OUT-edges (symmetric table: identical to in-edges) so the join
-        # key is the edge cache's own partitioning column `s` — the
-        # removed delta shuffles/broadcasts, the edge table never does
-        loss = (
-            ed.join(removed.select(F.col("node").alias("s")), "s")
-            .groupBy(F.col("o").alias("node"))
-            .agg(F.count("*").cast("long").alias("_loss"))
-        )
+    try:
         deg = (
-            deg.join(removed, "node", "left_anti")
-            .join(loss, "node", "left")
-            .select(
-                "node",
-                (
-                    F.col("deg") - F.coalesce(F.col("_loss"), F.lit(0))
-                ).alias("deg"),
-            )
+            ed.groupBy(F.col("s").alias("node"))
+            .agg(F.count("*").cast("long").alias("deg"))
             .localCheckpoint()
         )
-    ed.unpersist()
+        converged = False
+        for _ in range(max_iter):
+            removed = deg.filter(F.col("deg") < k).select("node")
+            if not removed.take(1):
+                converged = True
+                break
+            # neighbors of newly-removed nodes, read from the removed side's
+            # OUT-edges (symmetric table: identical to in-edges) so the join
+            # key is the edge cache's own partitioning column `s` — the
+            # removed delta shuffles/broadcasts, the edge table never does
+            loss = (
+                ed.join(removed.select(F.col("node").alias("s")), "s")
+                .groupBy(F.col("o").alias("node"))
+                .agg(F.count("*").cast("long").alias("_loss"))
+            )
+            deg = (
+                deg.join(removed, "node", "left_anti")
+                .join(loss, "node", "left")
+                .select(
+                    "node",
+                    (
+                        F.col("deg") - F.coalesce(F.col("_loss"), F.lit(0))
+                    ).alias("deg"),
+                )
+                .localCheckpoint()
+            )
+        if not converged and deg.filter(F.col("deg") < k).take(1):
+            # a partially-peeled table is NOT the k-core — nodes below k
+            # are still present. Exhausting the round budget is an error,
+            # never a silently wrong answer (adversarial peel depths, e.g.
+            # a path graph at k=2, peel in O(n) layers).
+            raise RuntimeError(
+                f"kcore did not converge within max_iter={max_iter} peel "
+                f"rounds (nodes of degree < {k} remain); raise max_iter — "
+                f"peel depth can reach O(n) on path-like graphs"
+            )
+    finally:
+        ed.unpersist()
     return deg
 
 

@@ -150,9 +150,13 @@ def knn_lsh(emb: DataFrame, n_queries: int = KNN_N_QUERIES, k: int = KNN_K) -> D
     method retains them — recall vs knn_bruteforce is structurally low.
     knn_lsh_recall gates recall on planted genuinely-near neighbors
     (cosine ~1), where multi-probe holds recall ≈ 1."""
-    buckets = knn_lsh_buckets(emb)
-    withb = emb.join(buckets, "vec_id").select(
-        "vec_id", "bucket", _quantized(F.col("embedding")).alias("ce")
+    # the bucket is a deterministic projection of the embedding row itself,
+    # so compute it inline (same shape as knn_lsh_recall/_bucketed):
+    # joining emb against knn_lsh_buckets(emb) on vec_id — the previous
+    # form — planned a full self-join, one extra corpus scan plus an
+    # exchange, just to attach a derivable column
+    withb = _bucketed(
+        emb.select("vec_id", _quantized(F.col("embedding")).alias("ce"))
     )
     q = (
         withb.filter(F.col("vec_id") < n_queries)

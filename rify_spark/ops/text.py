@@ -358,24 +358,64 @@ def pack_offsets(docs: DataFrame, budget: int = PACK_SEQ_TOKENS) -> DataFrame:
     it starts in, the offset inside that sequence, and whether it spans a
     sequence boundary.
 
-    One shuffle: the running-sum window over ``doc_id`` order
-    range-partitions the table (Spark's global-window machinery), which
-    is the scalable form of "concatenate the corpus" — no driver-side
-    sequencing, no per-doc Python.
+    The global token cumsum is computed with the distributed two-pass
+    scheme (the same pattern as :func:`rify_spark.ops.sample.docs_shuffle_rank`),
+    NOT a bare ``Window.orderBy(doc_id)`` running sum — Spark plans that as
+    ``Exchange SinglePartition``, funnelling the whole corpus through ONE
+    task (the round-5 audit confirmed it in the executed plan):
+
+      1. project the narrow (doc_id, n_tokens) relation — text never moves;
+      2. ``repartitionByRange(width, doc_id)`` so each partition holds a
+         contiguous doc_id range;
+      3. per-partition token-sum partials (one O(width)-row aggregate,
+         collected) prefix-summed driver-side into per-partition bases,
+         broadcast-joined back;
+      4. the in-partition running sum is a window PARTITIONED by the
+         range-partition id — width-way parallel, no single-partition
+         exchange anywhere.
+
+    The result is independent of where the sampled range boundaries land:
+    contiguous ranges + exact bases reproduce the one global cumsum.
     """
     from pyspark.sql import Window
 
+    spark = docs.sparkSession
+    width = int(spark.conf.get("spark.sql.shuffle.partitions"))
     n = F.size(F.split("text", " ")).cast("long")
-    w = Window.orderBy("doc_id").rowsBetween(
+    ranged = (
+        docs.select("doc_id", n.alias("n_tokens"))
+        .repartitionByRange(width, "doc_id")
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
+    )
+    parts = sorted(
+        (r["_pid"], r["tok"])
+        for r in ranged.groupBy("_pid")
+        .agg(F.sum("n_tokens").alias("tok"))
+        .collect()
+    )
+    bases, acc = [], 0
+    for pid, tok in parts:
+        bases.append((pid, acc))
+        acc += tok
+    base = F.broadcast(
+        spark.createDataFrame(bases or [(0, 0)], "_pid int, _base long")
+    )
+    w = Window.partitionBy("_pid").orderBy("doc_id").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    cum = F.sum(n).over(w)
-    start = (cum - n).alias("global_offset")
-    return docs.select(
-        "doc_id",
-        n.alias("n_tokens"),
-        start,
-    ).select(
+    cum = F.sum("n_tokens").over(w) + F.col("_base")
+    out = (
+        ranged.join(base, "_pid")
+        .select(
+            "doc_id",
+            "n_tokens",
+            (cum - F.col("n_tokens")).alias("global_offset"),
+        )
+        .localCheckpoint()
+    )
+    ranged.unpersist()
+    return out.select(
         "doc_id",
         "n_tokens",
         "global_offset",

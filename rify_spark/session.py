@@ -60,4 +60,54 @@ def get_spark(
         b = b.config("spark.local.dir", local_dir)
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
-    return b.getOrCreate()
+    spark = b.getOrCreate()
+    _warm_session(spark)
+    return spark
+
+
+def _warm_session(spark: SparkSession) -> None:
+    """One-time per-session infrastructure warmup (RIFY_SESSION_WARMUP=0
+    opts out).
+
+    A fresh Spark JVM charges its first queries for work that has nothing
+    to do with their data: the janino compile of each codegen operator
+    shape, shuffle/broadcast machinery init, the Arrow serialization path,
+    and — the big one for this engine's pandas-UDF stages — spawning one
+    Python worker per core and importing pandas/numpy inside each
+    (profiled: the KG pipeline's extract stage is ~9 s cold vs ~1 s warm,
+    and the whole pipeline 28.8 s cold vs 8.9 s warm at bench scale). One
+    small synthetic job over ``spark.range`` touching a broadcast join, a
+    window, a hash aggregate and a pandas UDF moves that cost into session
+    construction where it belongs. No input data is read and nothing is
+    cached: every subsequent query still computes entirely from its own
+    inputs.
+    """
+    if getattr(spark, "_rify_warmed", False):
+        return
+    spark._rify_warmed = True
+    if os.environ.get("RIFY_SESSION_WARMUP", "1") == "0":
+        return
+    try:
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+        from pyspark.sql.functions import pandas_udf
+
+        @pandas_udf("long")
+        def _identity(s):
+            return s
+
+        n = max(2, spark.sparkContext.defaultParallelism)
+        df = spark.range(0, n * 4, 1, n).withColumn("k", F.col("id") % 16)
+        small = spark.range(0, 16).select(F.col("id").alias("k"))
+        w = Window.partitionBy("k").orderBy("id")
+        (
+            df.join(F.broadcast(small), "k")
+            .withColumn("u", _identity("id"))
+            .withColumn("r", F.row_number().over(w))
+            .groupBy("k")
+            .agg(F.sum("r").alias("sr"), F.sum("u").alias("su"))
+            .write.format("noop").mode("overwrite").save()
+        )
+    except Exception:
+        # warmup is best-effort: a failure must never block session use
+        pass

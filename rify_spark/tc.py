@@ -110,6 +110,34 @@ def smart_tc_fixpoint(
     tracked_deltas: list = []  # post-seed novel blocks == derived facts
     last_base = 0  # iteration of the newest full-facts parquet base
 
+    # Adaptive codegen / AQE / constraint propagation, mirroring the generic
+    # loop (infer.fixpoint): below the per-core threshold a round is
+    # floor-bound — driver-serial janino compile plus AQE's per-exchange
+    # stage-materialization jobs dominate a sub-second data path (profiled
+    # ~1-1.5 s/round of the sf0.1 ancestry closure's ~1.2 s/round wall) —
+    # so both flip off while the store is small and back on once the
+    # closure grows data-bound. Constraint propagation is off for the whole
+    # run (quad columns are non-null by construction; every join is an
+    # inner equi-join), scoped here and restored in the finally, same as
+    # the generic loop. Results are unaffected: all three are plan-cost
+    # knobs read at compile time.
+    _toggles = {
+        "spark.sql.codegen.wholeStage": None,
+        "spark.sql.adaptive.enabled": None,
+        "spark.sql.constraintPropagation.enabled": None,
+    }
+    _saved = {k: spark.conf.get(k, "true") for k in _toggles}
+    _percore = 250_000 * max(1, spark.sparkContext.defaultParallelism)
+    codegen_below = (
+        cfg.codegen_below_rows if cfg.codegen_below_rows is not None else _percore
+    )
+    aqe_below = cfg.aqe_below_rows if cfg.aqe_below_rows is not None else _percore
+
+    def _set_conf(key: str, on: bool) -> None:
+        if _toggles[key] is not on:
+            spark.conf.set(key, str(on).lower())
+            _toggles[key] = on
+
     resumed = None
     if ckpt and cfg.resume:
         resumed = ckpt.latest()
@@ -157,109 +185,124 @@ def smart_tc_fixpoint(
         d = d.localCheckpoint(eager=False)
         d_rows = d.count()
 
-    while cfg.max_iterations is None or it < cfg.max_iterations:
-        it += 1
-        t0 = time.time()
-        if it == 1:
-            # round 1 = the copy rule: seed the H relation with the edge
-            # image. H-facts already among the premises are in the store.
-            cand = d
-        else:
-            r = store.union().filter(F.col("p") == p_lit).select(*PAIR)
-            cand = _compose(d, r) if prepend else _compose(r, d)
-        cand = (
-            cand.select(
-                F.col("s"), p_lit.alias("p"), F.col("o"), F.col("g")
+    try:
+        _set_conf("spark.sql.constraintPropagation.enabled", False)
+        while cfg.max_iterations is None or it < cfg.max_iterations:
+            it += 1
+            t0 = time.time()
+            # the round's data volume: the compose scans the whole R plus the
+            # D wavefront, so key the codegen/AQE decision to the larger of
+            # the two (the generic loop keys to its delta for the same reason)
+            work_rows = max(facts_rows, d_rows)
+            if codegen_below:
+                _set_conf("spark.sql.codegen.wholeStage", work_rows > codegen_below)
+            if aqe_below:
+                _set_conf("spark.sql.adaptive.enabled", work_rows > aqe_below)
+            if it == 1:
+                # round 1 = the copy rule: seed the H relation with the edge
+                # image. H-facts already among the premises are in the store.
+                cand = d
+            else:
+                r = store.union().filter(F.col("p") == p_lit).select(*PAIR)
+                cand = _compose(d, r) if prepend else _compose(r, d)
+            cand = (
+                cand.select(
+                    F.col("s"), p_lit.alias("p"), F.col("o"), F.col("g")
+                )
+                # ONE explicit exchange per round, mirroring the main loop: the
+                # s-hash satisfies the SPOG dedup clustering and co-partitions
+                # the anti with every store block
+                .repartition(store.partitions, "s")
+                .dropDuplicates(SPOG)
             )
-            # ONE explicit exchange per round, mirroring the main loop: the
-            # s-hash satisfies the SPOG dedup clustering and co-partitions
-            # the anti with every store block
-            .repartition(store.partitions, "s")
-            .dropDuplicates(SPOG)
-        )
-        novel = store.anti(cand).localCheckpoint(eager=False)
-        block = store.stage_block(novel)
-        delta_rows = block.count()
-        if delta_rows == 0:
-            block.unpersist()
+            novel = store.anti(cand).localCheckpoint(eager=False)
+            block = store.stage_block(novel)
+            delta_rows = block.count()
+            if delta_rows == 0:
+                block.unpersist()
+                metrics.append(
+                    {
+                        "iteration": it,
+                        "delta_rows": 0,
+                        "strategy": "smart_tc",
+                        "wall_s": round(time.time() - t0, 4),
+                    }
+                )
+                if it == 1:
+                    # an empty ROUND 1 only means the copy image is subsumed by
+                    # premise H-facts (e.g. the program seeded entirely from H0)
+                    # — no composition has run yet, so nothing is proven closed;
+                    # the termination theorem (D∘R ⊆ R ⇒ D^m∘R ⊆ R) applies only
+                    # to rounds that composed. Fall through to round 2.
+                    continue
+                break
+            store.add_block(block, rows=delta_rows, src=novel)
+            if track_deltas:
+                tracked_deltas.append(novel)
+            facts_rows += delta_rows
+
+            # square the wavefront for the next round — but NOT after the copy
+            # round, which never consumed D: round 2 must compose with D = B^1
+            # (else exponent 1 — and with it every even total length — is
+            # skipped). Round i >= 2 consumes D = B^(2^(i-2)) and squares it,
+            # so round i adds exponents [2^(i-2), 2^(i-1)-1], each with a
+            # unique (D, R) split. Stop early if D empties (no path of the
+            # next power length exists).
+            if it >= 2:
+                d = (
+                    _compose(d, d)
+                    .repartition(store.partitions, "s")
+                    .dropDuplicates(PAIR)
+                    .localCheckpoint(eager=False)
+                )
+                d_rows = d.count()
             metrics.append(
                 {
                     "iteration": it,
-                    "delta_rows": 0,
+                    "delta_rows": delta_rows,
+                    "facts_rows": facts_rows,
+                    "d_rows": d_rows,
                     "strategy": "smart_tc",
+                    "store_blocks": len(store.blocks),
+                    "store_partitions": store.partitions,
+                    "compacted": store.just_compacted,
                     "wall_s": round(time.time() - t0, 4),
                 }
             )
-            if it == 1:
-                # an empty ROUND 1 only means the copy image is subsumed by
-                # premise H-facts (e.g. the program seeded entirely from H0)
-                # — no composition has run yet, so nothing is proven closed;
-                # the termination theorem (D∘R ⊆ R ⇒ D^m∘R ⊆ R) applies only
-                # to rounds that composed. Fall through to round 2.
-                continue
-            break
-        store.add_block(block, rows=delta_rows, src=novel)
-        if track_deltas:
-            tracked_deltas.append(novel)
-        facts_rows += delta_rows
+            if ckpt:
+                # persisted AFTER the squaring so the saved D is exactly the
+                # wavefront round it+1 consumes (round 1 never squares, so its
+                # saved D = B^1, what round 2 needs). d.parquet lands before
+                # save_iteration — meta.json stays the commit marker.
+                write_base = ckpt.base_due(it, last_base, cfg.store_compact_every)
+                if write_base:
+                    last_base = it
+                d.write.mode("overwrite").parquet(ckpt.extra_path(it, "d.parquet"))
+                # re-point D at the parquet just written: bounds the D lineage
+                # plan (localCheckpoint chains of compose∘compose) and drops
+                # any dependency a resumed run carried on soon-pruned files
+                d = spark.read.parquet(ckpt.extra_path(it, "d.parquet"))
+                ckpt.save_iteration(
+                    it,
+                    novel,
+                    facts=store.union() if write_base else None,
+                    extra_meta={
+                        "facts_rows": facts_rows,
+                        "delta_rows": delta_rows,
+                        "d_rows": d_rows,
+                        "base_iter": last_base,
+                        "strategy": "smart_tc",
+                    },
+                )
+                if write_base and not cfg.checkpoint_retain_history:
+                    ckpt.prune(last_base)
+            if d_rows == 0:
+                break
 
-        # square the wavefront for the next round — but NOT after the copy
-        # round, which never consumed D: round 2 must compose with D = B^1
-        # (else exponent 1 — and with it every even total length — is
-        # skipped). Round i >= 2 consumes D = B^(2^(i-2)) and squares it,
-        # so round i adds exponents [2^(i-2), 2^(i-1)-1], each with a
-        # unique (D, R) split. Stop early if D empties (no path of the
-        # next power length exists).
-        if it >= 2:
-            d = (
-                _compose(d, d)
-                .repartition(store.partitions, "s")
-                .dropDuplicates(PAIR)
-                .localCheckpoint(eager=False)
-            )
-            d_rows = d.count()
-        metrics.append(
-            {
-                "iteration": it,
-                "delta_rows": delta_rows,
-                "facts_rows": facts_rows,
-                "d_rows": d_rows,
-                "strategy": "smart_tc",
-                "store_blocks": len(store.blocks),
-                "store_partitions": store.partitions,
-                "compacted": store.just_compacted,
-                "wall_s": round(time.time() - t0, 4),
-            }
-        )
-        if ckpt:
-            # persisted AFTER the squaring so the saved D is exactly the
-            # wavefront round it+1 consumes (round 1 never squares, so its
-            # saved D = B^1, what round 2 needs). d.parquet lands before
-            # save_iteration — meta.json stays the commit marker.
-            write_base = ckpt.base_due(it, last_base, cfg.store_compact_every)
-            if write_base:
-                last_base = it
-            d.write.mode("overwrite").parquet(ckpt.extra_path(it, "d.parquet"))
-            # re-point D at the parquet just written: bounds the D lineage
-            # plan (localCheckpoint chains of compose∘compose) and drops
-            # any dependency a resumed run carried on soon-pruned files
-            d = spark.read.parquet(ckpt.extra_path(it, "d.parquet"))
-            ckpt.save_iteration(
-                it,
-                novel,
-                facts=store.union() if write_base else None,
-                extra_meta={
-                    "facts_rows": facts_rows,
-                    "delta_rows": delta_rows,
-                    "d_rows": d_rows,
-                    "base_iter": last_base,
-                    "strategy": "smart_tc",
-                },
-            )
-            if write_base and not cfg.checkpoint_retain_history:
-                ckpt.prune(last_base)
-        if d_rows == 0:
-            break
+    finally:
+        for k, v in _saved.items():
+            if _toggles[k] is not None:
+                spark.conf.set(k, v)
 
     return FixpointResult(
         facts=store.union(),

@@ -1021,6 +1021,44 @@ def main() -> None:
         )
     )
 
+    # docs_pack (round-6 fix): the global token cumsum must be the two-pass
+    # distributed form — the running-sum window partitioned by the range-
+    # partition id, NEVER an unpartitioned window over Exchange
+    # SinglePartition (the round-5 scale-killer). pack_offsets collects its
+    # per-partition partials at construction time, so the final DF's plan is
+    # the checkpoint-backed projection; audit the windowed SUBPLAN instead
+    # by rebuilding the pre-checkpoint pipeline shape here.
+    from pyspark.sql import Window as W
+
+    pk_docs = docs.select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("n_tokens")
+    )
+    pk_ranged = pk_docs.repartitionByRange(16, "doc_id").withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    pk_w = W.partitionBy("_pid").orderBy("doc_id").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    pk_win = pk_ranged.withColumn("cum", F.sum("n_tokens").over(pk_w))
+    pk_exec = pk_win._jdf.queryExecution().executedPlan().toString()
+    sections.append(("docs_pack_cumsum", pk_exec[:4000]))
+    checks.append(
+        (
+            "docs_pack_cumsum",
+            "running-sum window is partitioned (no Exchange "
+            "SinglePartition anywhere in the cumsum plan)",
+            "Exchange SinglePartition" not in pk_exec
+            and "Window" in pk_exec,
+        )
+    )
+    checks.append(
+        (
+            "docs_pack_cumsum",
+            "no python UDF in plan",
+            not re.search(r"(BatchEvalPython|ArrowEvalPython)", pk_exec),
+        )
+    )
+
     lines = ["# PLANS — physical-plan audit", ""]
     lines.append("| query | property | status |")
     lines.append("|---|---|---|")

@@ -215,6 +215,19 @@ def test_kcore_direction_duplicates_selfloops_collapse(spark):
     assert _cores(kcore(ed, 2)) == {"a": 2, "b": 2, "c": 2}
 
 
+def test_kcore_nonconvergence_raises_not_wrong(spark):
+    # a 7-node path at k=2 peels one layer per round from each end (3
+    # rounds to empty); with max_iter=1 the table still holds deg<2 nodes
+    # — that is NOT a 2-core and must raise, never return
+    import pytest
+
+    path7 = [(f"n{i}", f"n{i+1}") for i in range(6)]
+    with pytest.raises(RuntimeError, match="did not converge"):
+        kcore(_edges(spark, path7), 2, max_iter=1)
+    # the same graph converges fine with the budget restored (to empty)
+    assert _cores(kcore(_edges(spark, path7), 2)) == {}
+
+
 def test_kcore_k1_drops_isolated_only(spark):
     ed = _edges(spark, [("a", "b"), ("c", "c")])  # self-loop == isolated
     assert _cores(kcore(ed, 1)) == {"a": 1, "b": 1}
