@@ -183,17 +183,21 @@ def smart_tc_fixpoint(
             # B is already duplicate-free
             d = seed_lc.filter(F.col("p") == b_lit).select(*PAIR)
         d = d.localCheckpoint(eager=False)
-        d_rows = d.count()
+        # D materializes lazily inside round 1's block-count job (the copy
+        # round consumes it) — no dedicated count barrier; d_rows stays
+        # unknown (None) until a checkpointing run needs it for meta
+        d_rows = None
 
     try:
         _set_conf("spark.sql.constraintPropagation.enabled", False)
         while cfg.max_iterations is None or it < cfg.max_iterations:
             it += 1
             t0 = time.time()
-            # the round's data volume: the compose scans the whole R plus the
-            # D wavefront, so key the codegen/AQE decision to the larger of
-            # the two (the generic loop keys to its delta for the same reason)
-            work_rows = max(facts_rows, d_rows)
+            # the round's data volume: the compose scans the whole R plus
+            # the D wavefront, so key the codegen/AQE decision to the larger
+            # of the two; with a lazy (uncounted) wavefront, facts_rows
+            # alone decides — it already dominates every prior delta
+            work_rows = max(facts_rows, d_rows or 0)
             if codegen_below:
                 _set_conf("spark.sql.codegen.wholeStage", work_rows > codegen_below)
             if aqe_below:
@@ -255,7 +259,14 @@ def smart_tc_fixpoint(
                     .dropDuplicates(PAIR)
                     .localCheckpoint(eager=False)
                 )
-                d_rows = d.count()
+                # LAZY: the squared wavefront materializes inside the next
+                # round's block-count job (its compose reads it) — removing
+                # the dedicated count saved one driver barrier per round.
+                # Termination still holds: an empty D makes the next
+                # round's candidate set empty, so delta_rows==0 breaks one
+                # (cheap, empty-compose) round later. Checkpoint mode keeps
+                # an exact count below (parquet-footer read) for meta.
+                d_rows = None
             metrics.append(
                 {
                     "iteration": it,
@@ -282,6 +293,8 @@ def smart_tc_fixpoint(
                 # plan (localCheckpoint chains of compose∘compose) and drops
                 # any dependency a resumed run carried on soon-pruned files
                 d = spark.read.parquet(ckpt.extra_path(it, "d.parquet"))
+                if d_rows is None:
+                    d_rows = d.count()  # footer-count of the parquet just written
                 ckpt.save_iteration(
                     it,
                     novel,
@@ -296,7 +309,7 @@ def smart_tc_fixpoint(
                 )
                 if write_base and not cfg.checkpoint_retain_history:
                     ckpt.prune(last_base)
-            if d_rows == 0:
+            if d_rows is not None and d_rows == 0:
                 break
 
     finally:
