@@ -971,8 +971,10 @@ def fixpoint(
         "spark.sql.codegen.wholeStage": None,
         "spark.sql.adaptive.enabled": None,
         "spark.sql.constraintPropagation.enabled": None,
+        "spark.sql.shuffle.partitions": None,
     }
     _saved = {k: spark.conf.get(k, "true") for k in _toggles}
+    _session_width = int(_saved["spark.sql.shuffle.partitions"])
     _percore = 250_000 * max(1, spark.sparkContext.defaultParallelism)
     codegen_below = (
         cfg.codegen_below_rows if cfg.codegen_below_rows is not None else _percore
@@ -983,6 +985,12 @@ def fixpoint(
         if _toggles[key] is not on:
             spark.conf.set(key, str(on).lower())
             _toggles[key] = on
+
+    def _set_width(w: int) -> None:
+        key = "spark.sql.shuffle.partitions"
+        if _toggles[key] != w:
+            spark.conf.set(key, str(w))
+            _toggles[key] = w
 
     try:
         # constraint propagation walks every operator's expression set at
@@ -1012,6 +1020,17 @@ def fixpoint(
                     "spark.sql.adaptive.enabled",
                     delta_rows > aqe_below,
                 )
+                # with AQE off nothing coalesces the session's shuffle
+                # width, so a floor-bound iteration pays (width) near-empty
+                # tasks per implicit exchange — size the width to the
+                # delta (the pipeline small-input rule) and restore once
+                # the delta grows past the AQE threshold (or on exit)
+                if delta_rows <= aqe_below:
+                    _set_width(
+                        max(8, min(_session_width, delta_rows // 25_000 + 1))
+                    )
+                else:
+                    _set_width(_session_width)
 
             broadcast_delta = delta_rows <= broadcast_cutoff
             delta_src = F.broadcast(delta) if broadcast_delta else delta

@@ -3024,6 +3024,20 @@ class _Eval:
                 l_n = lkeys.filter(F.col(v0).isNull())
                 r_b = rkeys.filter(F.col(rv0).isNotNull())
                 r_n = rkeys.filter(F.col(rv0).isNull())
+                if sure or rest:
+                    l_n_leg = l_n.join(rkeys, conj(base), "left_semi")
+                else:
+                    # one maybe-var and no sure vars: conj(base) is
+                    # lit(True), and the semi would plan a nested loop of
+                    # l_n against the FULL rkeys set (O(|l_n| x |rkeys|)
+                    # on a sub-pattern with many distinct shared tuples).
+                    # An unbound-v0 left row is compatible with ANY right
+                    # solution, so EXISTS holds for it iff rkeys is
+                    # non-empty — a broadcast 1-row gate, O(|l_n|).
+                    gate = rkeys.limit(1)
+                    l_n_leg = l_n.join(
+                        F.broadcast(gate), F.lit(True), "left_semi"
+                    )
                 hit = (
                     l_b.join(
                         r_b,
@@ -3031,7 +3045,7 @@ class _Eval:
                         "left_semi",
                     )
                     .unionByName(l_b.join(r_n, conj(base), "left_semi"))
-                    .unionByName(l_n.join(rkeys, conj(base), "left_semi"))
+                    .unionByName(l_n_leg)
                     .distinct()
                     .select(
                         *[F.col(v).alias(f"__k_{v}") for v in shared]

@@ -125,8 +125,10 @@ def smart_tc_fixpoint(
         "spark.sql.codegen.wholeStage": None,
         "spark.sql.adaptive.enabled": None,
         "spark.sql.constraintPropagation.enabled": None,
+        "spark.sql.shuffle.partitions": None,
     }
     _saved = {k: spark.conf.get(k, "true") for k in _toggles}
+    _session_width = int(_saved["spark.sql.shuffle.partitions"])
     _percore = 250_000 * max(1, spark.sparkContext.defaultParallelism)
     codegen_below = (
         cfg.codegen_below_rows if cfg.codegen_below_rows is not None else _percore
@@ -137,6 +139,12 @@ def smart_tc_fixpoint(
         if _toggles[key] is not on:
             spark.conf.set(key, str(on).lower())
             _toggles[key] = on
+
+    def _set_width(w: int) -> None:
+        key = "spark.sql.shuffle.partitions"
+        if _toggles[key] != w:
+            spark.conf.set(key, str(w))
+            _toggles[key] = w
 
     resumed = None
     if ckpt and cfg.resume:
@@ -202,6 +210,16 @@ def smart_tc_fixpoint(
                 _set_conf("spark.sql.codegen.wholeStage", work_rows > codegen_below)
             if aqe_below:
                 _set_conf("spark.sql.adaptive.enabled", work_rows > aqe_below)
+                # with AQE off nothing coalesces the session's shuffle
+                # width, so a floor-bound round pays (width) near-empty
+                # tasks per implicit exchange (the compose join) — size the
+                # width to the round's rows, same rule as the pipeline's
+                # small-input mode, and restore once the closure grows past
+                # the AQE threshold (or on exit)
+                if work_rows <= aqe_below:
+                    _set_width(max(8, min(_session_width, work_rows // 25_000 + 1)))
+                else:
+                    _set_width(_session_width)
             if it == 1:
                 # round 1 = the copy rule: seed the H relation with the edge
                 # image. H-facts already among the premises are in the store.

@@ -83,6 +83,7 @@ def worker() -> None:
         bfs_levels,
         kcore,
         pagerank,
+        sssp_distances,
         triangle_counts,
     )
     from rify_spark.rdf import parse_nquads
@@ -100,7 +101,7 @@ def worker() -> None:
     # pair at a larger N): RIFY_GRAPH_ARMS=bfs skips everything else
     arms = set(
         os.environ.get(
-            "RIFY_GRAPH_ARMS", "pagerank,triangles,kcore,bfs,nquads"
+            "RIFY_GRAPH_ARMS", "pagerank,triangles,kcore,bfs,sssp,nquads"
         ).split(",")
     )
 
@@ -147,6 +148,25 @@ def worker() -> None:
         out["bfs_wall"] = round(w, 2)
         out["bfs_nodes"] = n_reached
         out["bfs_nodes_per_sec"] = round(n_reached / w, 1)
+
+    # weighted shortest paths over the reversed mesh (parent edges cost
+    # 3, prev edges cost 2 — same shape as the graph_sssp gate): the
+    # semi-naive Bellman-Ford whose per-round cost is the improved
+    # frontier against the once-partitioned edge cache
+    if "sssp" in arms:
+        wrev = edges.withColumn(
+            "w",
+            F.when(F.col("o") == F.expr("concat('node:', CAST(FLOOR("
+                   "CAST(substring(s, 6, 32) AS BIGINT) / 2) AS BIGINT))"),
+                   F.lit(3)).otherwise(F.lit(2)),
+        ).select(F.col("o").alias("s"), F.col("s").alias("o"), "w")
+        sssp_src = spark.createDataFrame([("node:0",)], "node string")
+        t0 = time.time()
+        n_settled = _force(sssp_distances(wrev, sssp_src))
+        w = time.time() - t0
+        out["sssp_wall"] = round(w, 2)
+        out["sssp_nodes"] = n_settled
+        out["sssp_nodes_per_sec"] = round(n_settled / w, 1)
 
     if "nquads" not in arms:
         spark.stop()
@@ -257,6 +277,7 @@ def main() -> None:
         "triangles_scaling_efficiency": eff("triangles_edges_per_sec"),
         "nquads_parse_scaling_efficiency": eff("nquads_lines_per_sec"),
         "bfs_scaling_efficiency": eff("bfs_nodes_per_sec"),
+        "sssp_scaling_efficiency": eff("sssp_nodes_per_sec"),
         "kcore_scaling_efficiency": eff("kcore_edges_per_sec"),
         "scan_control_scaling_efficiency": eff("scan_control_lines_per_sec"),
         "shuffle_control_scaling_efficiency": eff(
@@ -269,6 +290,7 @@ def main() -> None:
                 "triangles_edges_per_sec",
                 "nquads_lines_per_sec",
                 "bfs_nodes_per_sec",
+                "sssp_nodes_per_sec",
                 "kcore_edges_per_sec",
             )
         },
@@ -279,6 +301,7 @@ def main() -> None:
                 "triangles_edges_per_sec",
                 "nquads_lines_per_sec",
                 "bfs_nodes_per_sec",
+                "sssp_nodes_per_sec",
                 "kcore_edges_per_sec",
             )
         },
