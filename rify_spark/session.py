@@ -96,6 +96,14 @@ def _warm_session(spark: SparkSession) -> None:
         def _identity(s):
             return s
 
+        # nested-type pandas UDF: the Arrow writer/reader for
+        # array<struct<...>> columns initializes lazily and separately
+        # from the scalar path above (first use otherwise lands in the
+        # first extraction-shaped query)
+        @pandas_udf("array<struct<a:string,b:string>>")
+        def _nested(s):
+            return s.map(lambda v: [(str(v), str(v + 1))])
+
         n = max(2, spark.sparkContext.defaultParallelism)
         df = spark.range(0, n * 4, 1, n).withColumn("k", F.col("id") % 16)
         small = spark.range(0, 16).select(F.col("id").alias("k"))
@@ -103,11 +111,41 @@ def _warm_session(spark: SparkSession) -> None:
         (
             df.join(F.broadcast(small), "k")
             .withColumn("u", _identity("id"))
+            .withColumn("nested", _nested("id"))
+            .select("k", "u", F.explode("nested").alias("x"), F.col("id"))
             .withColumn("r", F.row_number().over(w))
             .groupBy("k")
             .agg(F.sum("r").alias("sr"), F.sum("u").alias("su"))
             .write.format("noop").mode("overwrite").save()
         )
+        # micro-fixpoint over an 8-row synthetic chain: compiles the
+        # engine's own hot path (smart-TC rounds, FactStore blocks,
+        # localCheckpoint/cache machinery, dictionary encode/decode)
+        # once per session — pure class-loading/first-compile warmup on
+        # synthetic rows; no caller data is read and nothing survives
+        from .api import infer_df
+        from .infer import InferConfig
+        from .rules import Bound as B, Rule, Unbound as U
+
+        prem = spark.createDataFrame(
+            [(f"__w{k}", "__wp", f"__w{k + 1}", "__wg") for k in range(8)],
+            "s string, p string, o string, g string",
+        )
+        wrules = [
+            Rule.create(
+                [[U("a"), B("__wp"), U("b"), U("g")]],
+                [[U("a"), B("__wanc"), U("b"), U("g")]],
+            ),
+            Rule.create(
+                [
+                    [U("a"), B("__wanc"), U("b"), U("g")],
+                    [U("b"), B("__wanc"), U("c"), U("g")],
+                ],
+                [[U("a"), B("__wanc"), U("c"), U("g")]],
+            ),
+        ]
+        derived, _ = infer_df(spark, prem, wrules, InferConfig())
+        derived.write.format("noop").mode("overwrite").save()
     except Exception:
         # warmup is best-effort: a failure must never block session use
         pass
